@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver runs this per-round at sf0.1 and records BENCH_r{N}.json
+(graded against BASELINE.md). Locally:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from mobility_etl_spark.registry import load_all
+from mobility_etl_spark.session import get_spark
+
+#: Headline queries: one per major operator family (SURVEY.md §2).
+HEADLINE: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "star_join_revenue",
+    "topk_parts_by_revenue",
+    "asof_join_events",
+    "hour_bucket_join",
+    "window_rank_orders",
+    "session_window_events",
+    "rollup_lineitem",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    match = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(match.group(1)) if match else -1.0
+    spark = get_spark(
+        "mobility-etl-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    specs = load_all()
+    names = [n for n in HEADLINE if n in specs]
+    # warm up the JVM + parquet footer caches outside the timed region
+    specs[names[0]].builder(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        start = time.perf_counter()
+        df = specs[name].builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

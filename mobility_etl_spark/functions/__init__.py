@@ -1,0 +1,1 @@
+"""Authored scalar-function families (SURVEY.md §2.B E23–E29 + domain)."""

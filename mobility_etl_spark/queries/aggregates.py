@@ -1,0 +1,178 @@
+"""Group-by aggregation operators (SURVEY.md §2.B E13–E16).
+
+The reference's destiny query is "mean delay per route per hour" over
+the scraped table (reference dags/warsaw-delays.py:182); on the driver
+tables the isomorph is TPC-H Q1-shaped pricing summaries. Partial →
+final aggregation (map-side combine) is automatic in Spark
+(HashAggregateExec, E16); the decimal-cast pattern in
+functions/compat.py makes the result independent of partial-agg order,
+so the same plan is hash-exact from local[32] to 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.functions.compat import davg, dsum, sql_davg, sql_dsum
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.registry import register
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {sql_dsum("l_quantity", "sum_qty")},
+           {sql_dsum("l_extendedprice", "sum_base_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {sql_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+           {sql_davg("l_quantity", "avg_qty")},
+           {sql_davg("l_extendedprice", "avg_price")},
+           {sql_davg("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("E13", "E16"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: count/sum/avg over two group keys
+    (the "mean delay per Route per hour" shape of SURVEY.md §2.B E13)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_minmax_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("E13", "E14"),
+)
+def agg_minmax_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max (order-independent on doubles) + exact count-distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("E14",),
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per key (distinct Vehicle No / Stop Name
+    over the scraped table, SURVEY.md §2.B E14) — expand-then-aggregate
+    plan in Spark, two-phase at scale."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "approx_count_distinct_users",
+    oracle=None,  # HLL++ estimate: engine-specific, checked rows-only;
+    # accuracy asserted vs exact count in tests/test_aggregates.py
+    tags=("E14",),
+)
+def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB path for E14 —
+    fixed-size sketch instead of an expand shuffle; rsd=0.01."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "rollup_lineitem",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("E15",),
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the route×hour×day-style hierarchy (SURVEY.md §1.2
+    partition scheme); subtotal rows' NULL keys coalesced to 'ALL' so
+    both engines agree on representation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"), dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "cube_orders",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice", "total_value")}
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("E15",),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping sets in one pass (Expand + single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_value"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )

@@ -1,0 +1,217 @@
+"""Join operators (SURVEY.md §2.B E9–E12).
+
+Scope justification: the GTFS feed is a foreign-key star schema built
+to be joined (trips⋈routes⋈stop_times⋈stops, reference
+dags/warsaw-gtfs.py:30-39); the hash/exists short-circuits (R6/R8,
+dags/warsaw-gtfs.py:60-71, dags/warsaw-weather.py:26-28) are anti/semi
+joins as set operations; the hourly delay+weather snapshots
+(dags/warsaw-delays.py:194, dags/warsaw-weather.py:21) imply
+time-bucket and as-of joins.
+
+Scale notes: dimension sides are explicitly `F.broadcast(...)` so the
+fact table never shuffles for the star join; anti/semi joins ship only
+the key column; the as-of join (operators/asof.py) costs one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.functions.compat import davg, dsum, sql_davg, sql_dsum
+from mobility_etl_spark.io import load_table, load_tables
+from mobility_etl_spark.operators.asof import asof_join
+from mobility_etl_spark.registry import register
+
+
+@register(
+    "star_join_revenue",
+    oracle=f"""
+    SELECT r_name AS region,
+           n_name AS nation,
+           COUNT(*) AS n_items,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("E9",),
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK star join (the GTFS trips⋈routes⋈stops shape) with broadcast
+    dimensions: lineitem (fact) never shuffles for nation/region."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_items"), dsum(revenue, "revenue"))
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    """,
+    tags=("E10",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no jumbo order — the engine-native
+    form of the reference's hash change-detection short-circuit (R6,
+    reference dags/warsaw-gtfs.py:60-71): new keys = incoming ANTI manifest."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    jumbo = t["orders"].filter(F.col("o_totalprice") > 450000)
+    return (
+        t["customer"]
+        .join(jumbo, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+    tags=("E10",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: existence probe without multiplying rows — the
+    reference's this-hour-already-landed guard (R8,
+    dags/warsaw-weather.py:26-28) at row granularity."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(MAX(o_totalprice), 0.0) AS max_order_value
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("E10",),
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count of NULLs = 0)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.max("o_totalprice"), F.lit(0.0)).alias("max_order_value"),
+        )
+    )
+
+
+@register(
+    "hour_bucket_join",
+    oracle=f"""
+    WITH per_type AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_davg("value", "avg_value")}
+        FROM events
+        GROUP BY 1, 2
+    ),
+    per_hour AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS hour_total
+        FROM events
+        GROUP BY 1
+    )
+    SELECT p.hour_ts, p.event_type, p.n_events, p.avg_value, h.hour_total
+    FROM per_type p JOIN per_hour h ON p.hour_ts = h.hour_ts
+    """,
+    tags=("E11",),
+)
+def hour_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket equi join on date_trunc('hour') — the delays⋈weather
+    hourly co-partitioned join (reference dags/warsaw-delays.py:194 ⋈
+    dags/warsaw-weather.py:21). Both sides derive from one scan; the
+    bucketed key joins without a range condition."""
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+    per_type = bucketed.groupBy("hour_ts", "event_type").agg(
+        F.count("*").alias("n_events"), davg("value", "avg_value")
+    )
+    per_hour = bucketed.groupBy("hour_ts").agg(F.count("*").alias("hour_total"))
+    return per_type.join(per_hour, "hour_ts").select(
+        "hour_ts", "event_type", "n_events", "avg_value", "hour_total"
+    )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id,
+           c.user_id,
+           c.ts,
+           p.ts AS ts_asof,
+           p.purchase_value AS purchase_value_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("E12",),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent purchase
+    at or before it (weather-at-delay-time semantics, SURVEY.md §2.B
+    E12), proven against DuckDB's native ASOF JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["purchase_value"],
+    ).select("event_id", "user_id", "ts", "ts_asof", "purchase_value_asof")

@@ -1,0 +1,1 @@
+"""Streaming surface (SURVEY.md §2.B E30–E37): placeholder, filled next."""

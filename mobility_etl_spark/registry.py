@@ -1,0 +1,70 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Every operator from SURVEY.md §2 that is "done" registers here with a
+PySpark builder and (when SQL-expressible) a DuckDB oracle string.
+``__spark_entry__.py`` reads this registry to produce ``queries()`` and
+``oracle_sql()``; tests/test_oracle_parity.py replays the driver's
+comparison locally at sf0.001 so mismatches are caught before the
+driver's sf0.01 gate.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+#: Modules that register queries on import (one per SURVEY.md §2 family).
+_QUERY_MODULES: tuple[str, ...] = (
+    "mobility_etl_spark.queries.relational",
+    "mobility_etl_spark.queries.joins",
+    "mobility_etl_spark.queries.aggregates",
+    "mobility_etl_spark.queries.windows",
+    "mobility_etl_spark.queries.sorts_sets",
+    "mobility_etl_spark.queries.scalars",
+    "mobility_etl_spark.queries.domain",
+    "mobility_etl_spark.queries.dedup",
+    "mobility_etl_spark.queries.similarity",
+    "mobility_etl_spark.queries.text",
+    "mobility_etl_spark.queries.multimodal",
+    "mobility_etl_spark.queries.streaming",
+)
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a (spark, sf_dir) -> DataFrame query builder."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import all query modules (idempotent) and return the registry."""
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    return dict(_REGISTRY)
