@@ -1,0 +1,217 @@
+"""Deduplication operators (SURVEY.md §2.C N1–N2).
+
+Engine-native generalization of the reference's hash-based change
+detection (R5/R6, reference dags/warsaw-gtfs.py:41-71): the reference
+dedups whole feed zips by SHA-256; a training-data pipeline needs the
+same idea per-document and per-*near*-duplicate cluster.
+
+100 TB design rules applied here:
+  * exact dedup shuffles 16-byte digests, never payloads (hash first,
+    group on the digest, keep min-key representative);
+  * MinHash signatures are built from xxhash64 (JVM built-in, 64-bit,
+    seeded) over exploded shingles — one shuffle to aggregate
+    signatures, one to bucket bands; candidate verification joins only
+    candidate pairs, not the full cross product;
+  * SimHash packs to a single BIGINT per doc — near-dup lookup becomes
+    a bucket join on (simhash >> k) prefixes or hamming check on pairs.
+
+Everything is DataFrame built-ins (explode / xxhash64 / groupBy /
+bit ops) — no Python in the hot path, no pyspark.ml dependency, fully
+deterministic (so results are reproducible across runs and clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, key_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact content dedup: one representative row per distinct content.
+
+    Hash-first (md5 here; sha2 for adversarial settings), group by the
+    digest, keep the min/max key — deterministic, and the shuffle
+    carries digests + keys only. (dropDuplicates([content_col]) would
+    shuffle whole payloads and pick an arbitrary survivor.)
+    """
+    agg = F.min(key_col) if keep == "min" else F.max(key_col)
+    reps = (
+        df.select(F.md5(F.col(content_col)).alias("__digest"), F.col(key_col))
+        .groupBy("__digest")
+        .agg(agg.alias(key_col), F.count("*").alias("n_copies"))
+    )
+    return reps.join(df, key_col).drop("__digest")
+
+
+def shingles(df: DataFrame, text_col: str, key_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (key, shingle) rows.
+
+    Built with slice/transform over the token array, then explode —
+    one generated row per shingle, no Python.
+    """
+    grams = F.expr(
+        f"""
+        transform(
+            sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n - 1}, 1)),
+            i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n}))
+        )
+        """
+    )
+    return (
+        df.select(F.col(key_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, key_col: str, num_perm: int = 32
+) -> DataFrame:
+    """MinHash signature per key: array of num_perm minima of seeded
+    xxhash64 over the shingle set. One aggregation shuffle; signature
+    size is num_perm*8 bytes regardless of document size."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = shingle_df.groupBy(key_col).agg(*mins)
+    return sig.select(
+        key_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, key_col: str, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing ≥1 band bucket.
+
+    Explode each signature into `bands` band-hashes, self-join on
+    (band, band_hash) with key< key to order pairs, distinct. The join
+    keys are (int, bigint) — tiny — and only same-bucket rows pair up.
+    """
+    rows_per_band = num_perm // bands
+    banded = sig_df.select(
+        F.col(key_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .select(
+            F.col(f"a.{key_col}").alias("key_a"), F.col(f"b.{key_col}").alias("key_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingle_df: DataFrame,
+    key_col: str,
+    candidates: DataFrame | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard similarity for document pairs from shingle sets.
+
+    With ``candidates`` (key_a/key_b), verifies only those pairs (the
+    LSH path); without, scores every co-shingled pair (the small-N /
+    oracle path). Intersection counts come from a self-join on the
+    shingle; union = |A| + |B| − |A∩B|; all integer arithmetic until
+    the final division, so the score is engine-exact.
+    """
+    sizes = shingle_df.groupBy(key_col).agg(F.count("*").alias("n_shingles"))
+    a = shingle_df.alias("a")
+    b = shingle_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{key_col}").alias("key_a"),
+            F.col(f"b.{key_col}").alias("key_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["key_a", "key_b"], "left_semi")
+    scored = (
+        inter.join(
+            sizes.select(F.col(key_col).alias("key_a"), F.col("n_shingles").alias("n_a")),
+            "key_a",
+        )
+        .join(
+            sizes.select(F.col(key_col).alias("key_b"), F.col("n_shingles").alias("n_b")),
+            "key_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= min_jaccard).select(
+        "key_a", "key_b", "n_common", "n_a", "n_b", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, text_col: str, key_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens.
+
+    Classic bit-voting: each distinct token votes ±1 on every bit of
+    its xxhash64; the signature bit is 1 where the vote sum is
+    positive. Expressed as explode → per-bit conditional sums → bit
+    reassembly; one aggregation shuffle, output one BIGINT per doc.
+    """
+    toks = df.select(
+        F.col(key_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    hashed = toks.select(key_col, F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    voted = hashed.groupBy(key_col).agg(*votes)
+    # reassemble: sum of 2^i for positive-vote bits; use two 32-bit
+    # halves to stay in BIGINT range without sign trouble on bit 63
+    lo = sum(
+        [
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(32)
+        ],
+        start=F.lit(0),
+    )
+    hi = sum(
+        [
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << (i - 32))).otherwise(F.lit(0))
+            for i in range(32, bits)
+        ],
+        start=F.lit(0),
+    )
+    return voted.select(
+        key_col,
+        (lo.cast("long")).alias("simhash_lo"),
+        (hi.cast("long")).alias("simhash_hi"),
+    )
+
+
+def hamming_distance(col_a, col_b) -> F.Column:
+    """Hamming distance between two 32-bit halves via bit_count(xor)."""
+    return F.bit_count(F.expr(f"{col_a} ^ {col_b}"))

@@ -1,0 +1,202 @@
+"""Vector similarity search (SURVEY.md §2.C N3/N6).
+
+Two paths over ``embeddings.embedding: array<float>``:
+
+* **Brute-force top-k** (the correctness baseline): broadcast the
+  (small) query set against all candidates, cosine via
+  ``zip_with`` + decimal-quantized ``aggregate`` (engine-exact, see
+  functions/compat.py rationale), rank with a per-query window. Scales
+  linearly in candidates — right up to ~10^7·dim per executor-second;
+  past that, use the LSH path.
+* **Random-hyperplane LSH** (the 100 TB path): deterministic
+  pseudo-random hyperplanes derived from xxhash64(plane, dim) — no
+  stored model, any executor regenerates the same planes — sign-bit
+  signatures, candidates = same band bucket, exact re-rank within the
+  bucket. Recall vs brute force is asserted in tests
+  (SURVEY.md §7 hard-part 6: approx ops get recall gates, not
+  hash-equality).
+
+All built-in expressions; no pyspark.ml, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Decimal type for quantized dot-product folds (see compat.DEC note).
+_ACC = "DECIMAL(27,6)"
+
+
+def _dot_expr(a: str, b: str) -> F.Column:
+    """Engine-exact dot product of two float arrays as double.
+
+    Per-term double product quantized to decimal before the fold, so
+    the sum is associative and identical in Spark and DuckDB.
+    """
+    return F.expr(
+        f"""
+        CAST(aggregate(
+            zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+                                              AS {_ACC})),
+            CAST(0 AS {_ACC}),
+            (acc, v) -> CAST(acc + v AS {_ACC})
+        ) AS DOUBLE)
+        """
+    )
+
+
+def _sq_norm_expr(a: str) -> F.Column:
+    return F.expr(
+        f"""
+        CAST(aggregate(
+            {a},
+            CAST(0 AS {_ACC}),
+            (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                        AS {_ACC}) AS {_ACC})
+        ) AS DOUBLE)
+        """
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    The query side is broadcast (queries are few; candidates are the
+    100 TB side), so the candidate scan is shuffle-free; ranking
+    shuffles only (query, candidate, score) triples. Ties broken by
+    neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(key_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = candidates.select(
+        F.col(key_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot_expr("__qvec", "__cvec")
+                / F.sqrt(_sq_norm_expr("__qvec") * _sq_norm_expr("__cvec")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+) -> DataFrame:
+    """Sign-bit LSH signature: bit p = (v · h_p) >= 0.
+
+    Hyperplane components are xxhash64(p, dim_index) mapped into
+    [-1, 1] — deterministic, regenerated per-partition, nothing to
+    broadcast or store. Output: key + one BIGINT signature.
+    """
+    # component h[p][i] = (xxhash64(p, i) % 10001) / 5000.0 - 1.0
+    sig_bits = F.expr(
+        f"""
+        aggregate(
+            transform(sequence(0, {num_planes - 1}), p ->
+                CASE WHEN aggregate(
+                    zip_with({vec_col},
+                             transform(sequence(0, size({vec_col}) - 1),
+                                       i -> (pmod(xxhash64(p, i), 10001) / 5000.0) - 1.0),
+                             (x, h) -> CAST(x AS DOUBLE) * h),
+                    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+                THEN 1L ELSE 0L END),
+            0L, (acc, bit) -> acc * 2 + bit
+        )
+        """
+    )
+    return df.select(F.col(key_col), F.col(vec_col), sig_bits.alias("lsh_sig"))
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to vectors sharing ≥1 LSH
+    band with the query, exact cosine re-rank inside the bucket.
+
+    Multi-probe via banding: the signature splits into ``bands`` bands;
+    a shared band ⇒ candidate. At scale this replaces the full scan
+    with a bucket equi join whose fan-in is |bucket|, and the exact
+    re-rank touches only candidates.
+    """
+    bits_per_band = num_planes // bands
+    mask = (1 << bits_per_band) - 1
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sigs = hyperplane_signatures(df, key_col, vec_col, num_planes)
+        return sigs.select(
+            F.col(key_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"__{side}vec"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}),"
+                    f" b -> struct(b AS band,"
+                    f" shiftright(lsh_sig, b * {bits_per_band}) & {mask} AS bucket))"
+                )
+            ).alias("bb"),
+        ).select(
+            f"{side}_id", f"__{side}vec", F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    qb = banded(queries, "query")
+    cb = banded(candidates, "neighbor")
+    pairs = (
+        F.broadcast(qb)
+        .join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "__queryvec", "neighbor_id", "__neighborvec")
+        .distinct()
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot_expr("__queryvec", "__neighborvec")
+            / F.sqrt(_sq_norm_expr("__queryvec") * _sq_norm_expr("__neighborvec")),
+            6,
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

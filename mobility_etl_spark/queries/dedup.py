@@ -1,1 +1,140 @@
-"""Deduplication operators (SURVEY.md §2.C N1–N2): placeholder, filled next."""
+"""Deduplication queries (SURVEY.md §2.C N1–N2) over ``documents``.
+
+Exact and n-gram-Jaccard dedup are oracle-checked (pure relational
+algebra in both engines). MinHash-LSH and SimHash use xxhash64 (no
+DuckDB equivalent) → rows-only driver check; their quality is gated in
+tests/test_dedup.py against the exact Jaccard ground truth (recall,
+hamming-vs-similarity monotonicity) per SURVEY.md §7 hard-part 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from mobility_etl_spark.registry import register
+
+#: Pairwise queries bound the left/right sets to this many docs so the
+#: candidate space stays quadratic-in-a-constant at every SF. NOT a
+#: silent cap: the full-corpus path is the LSH variant, which prunes
+#: via banding instead of an id range.
+PAIR_SCOPE = 300
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    WITH reps AS (
+        SELECT md5(text) AS digest,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(text)
+    )
+    SELECT r.doc_id, r.n_copies, d.lang, d.source, d.n_chars
+    FROM reps r JOIN documents d ON r.doc_id = d.doc_id
+    """,
+    tags=("N1",),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup, digest-first (R5/R6 generalized): one
+    min-doc_id representative per distinct text; shuffles md5 digests,
+    not document payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "n_copies", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_stats_per_source",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dupes
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("N1", "E14"),
+)
+def dedup_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit: per-source document vs distinct-content counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH scoped AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < {PAIR_SCOPE}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+        FROM scoped, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT key_a, key_b, n_common,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = key_a
+    JOIN sizes sb ON sb.doc_id = key_b
+    WHERE n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.2
+    """,
+    tags=("N2",),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (similarity ≥ 0.2) on
+    a bounded id range (see PAIR_SCOPE) — the ground truth the LSH
+    variants are measured against; all-integer arithmetic until the
+    final division, so scores are engine-exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    sh = shingles(docs, "text", "doc_id", n=3)
+    return jaccard_pairs(sh, "doc_id", min_jaccard=0.2)
+
+
+@register("minhash_near_dup", oracle=None, tags=("N2",))
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + 8-band LSH candidates, exact-Jaccard verified
+    at ≥ 0.2 — the 100 TB near-dup path: signatures are 256 bytes/doc,
+    banding turns the pair space into bucket joins. Rows-only driver
+    check (xxhash64 has no DuckDB analog); recall vs
+    ``ngram_jaccard_pairs`` is asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    sh = shingles(docs, "text", "doc_id", n=3)
+    sigs = minhash_signatures(sh, "doc_id", num_perm=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
+    return jaccard_pairs(sh, "doc_id", candidates=cands, min_jaccard=0.2)
+
+
+@register("simhash_docs", oracle=None, tags=("N2",))
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (two 32-bit halves packed as longs):
+    near-dup lookup becomes hamming distance on one BIGINT pair.
+    Rows-only driver check; hamming≈similarity monotonicity is
+    asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    return simhash(docs, "text", "doc_id")

@@ -1,1 +1,79 @@
-"""Similarity search (SURVEY.md §2.C N3/N6): placeholder, filled next."""
+"""Similarity-search queries (SURVEY.md §2.C N3/N6) over ``embeddings``.
+
+Brute-force cosine top-k is oracle-checked (the dot product uses the
+decimal-quantized fold of operators/similarity.py, so Spark and DuckDB
+compute identical scores; ranking ties break on neighbor id). The LSH
+variant is the scale path: rows-only driver check + recall@k gate vs
+brute force in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from mobility_etl_spark.registry import register
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+@register(
+    "ann_bruteforce_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               round(
+                 CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                                        * CAST(c.embedding[i] AS DOUBLE)
+                                        AS DECIMAL(27,6)))
+                       FROM UNNEST(generate_series(1, len(q.embedding))) AS g(i))
+                      AS DOUBLE)
+                 / sqrt(
+                     CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                                            * CAST(q.embedding[i] AS DOUBLE)
+                                            AS DECIMAL(27,6)))
+                           FROM UNNEST(generate_series(1, len(q.embedding))) AS g(i))
+                          AS DOUBLE)
+                     *
+                     CAST((SELECT SUM(CAST(CAST(c.embedding[i] AS DOUBLE)
+                                            * CAST(c.embedding[i] AS DOUBLE)
+                                            AS DECIMAL(27,6)))
+                           FROM UNNEST(generate_series(1, len(c.embedding))) AS g(i))
+                          AS DOUBLE)
+                   ),
+                 6) AS cos_sim
+        FROM q, embeddings c
+        WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("N3",),
+)
+def ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the first 10 vec_ids against the whole
+    corpus: broadcast queries, shuffle-free candidate scan, windowed
+    top-k — the ANN correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(queries, emb, k=TOP_K)
+
+
+@register("ann_lsh_topk", oracle=None, tags=("N3", "N6"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-5 (16 planes, 8 bands): candidates are
+    bucket-join matches only, exact cosine re-rank inside buckets — the
+    100 TB path where a full scan per query is off the table.
+    Rows-only driver check; recall@5 vs brute force is gated in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_topk(queries, emb, k=TOP_K, num_planes=16, bands=8)

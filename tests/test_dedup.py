@@ -1,0 +1,114 @@
+"""Quality gates for approximate dedup (SURVEY.md §7 hard-part 6):
+approx results can't be hash-compared to an oracle, so they get recall
+and monotonicity gates against the exact ground truth at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.operators.dedup import (
+    exact_dedup,
+    hamming_distance,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    """f(f(x)) == f(x): dedup of a deduped corpus is the identity."""
+    once = exact_dedup(docs, "text", "doc_id")
+    twice = exact_dedup(once.drop("n_copies"), "text", "doc_id")
+    assert once.count() == twice.count()
+    assert twice.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_exact_dedup_with_planted_duplicates(spark, docs):
+    """Plant exact copies; dedup must collapse them to the min doc_id."""
+    clones = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    corpus = docs.unionByName(clones)
+    deduped = exact_dedup(corpus, "text", "doc_id")
+    assert deduped.count() == docs.count()
+    # survivors of the planted dupes must be the original (min) ids
+    assert deduped.filter(F.col("doc_id") >= 100000).count() == 0
+    assert deduped.filter(F.col("n_copies") == 2).count() == 5
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must recover ≥90% of true Jaccard≥0.3 pairs and
+    the verified output must be a subset of the exact pairs."""
+    sh = shingles(docs, "text", "doc_id", n=3)
+    truth = {
+        (r["key_a"], r["key_b"])
+        for r in jaccard_pairs(sh, "doc_id", min_jaccard=0.3).collect()
+    }
+    sigs = minhash_signatures(sh, "doc_id", num_perm=32)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
+    verified = {
+        (r["key_a"], r["key_b"])
+        for r in jaccard_pairs(sh, "doc_id", candidates=cands, min_jaccard=0.3).collect()
+    }
+    assert verified <= truth
+    if truth:
+        recall = len(verified) / len(truth)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(truth)} true pairs)"
+
+
+def test_simhash_near_for_similar_far_for_dissimilar(spark, docs):
+    """Planted near-duplicates must have smaller hamming distance than
+    the average unrelated pair."""
+    # near-dup: copy docs, drop the last token
+    mutated = docs.limit(20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").alias(
+            "text"
+        ),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutated)
+    sh = simhash(corpus, "text", "doc_id")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = a.join(b, F.col("a.doc_id") + 100000 == F.col("b.doc_id")).select(
+        (
+            hamming_distance("a.simhash_lo", "b.simhash_lo")
+            + hamming_distance("a.simhash_hi", "b.simhash_hi")
+        ).alias("d")
+    )
+    near_avg = joined.agg(F.avg("d")).first()[0]
+    far = (
+        a.join(b, F.col("a.doc_id") + 7 == F.col("b.doc_id"))
+        .select(
+            (
+                hamming_distance("a.simhash_lo", "b.simhash_lo")
+                + hamming_distance("a.simhash_hi", "b.simhash_hi")
+            ).alias("d")
+        )
+        .agg(F.avg("d"))
+        .first()[0]
+    )
+    assert near_avg < far, f"simhash near {near_avg} !< far {far}"
+
+
+def test_minhash_query_subset_of_exact(spark, sf_dir):
+    """The registered minhash query's pairs ⊆ the exact query's pairs."""
+    specs = load_all()
+    exact = {
+        (r["key_a"], r["key_b"])
+        for r in specs["ngram_jaccard_pairs"].builder(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["key_a"], r["key_b"])
+        for r in specs["minhash_near_dup"].builder(spark, sf_dir).collect()
+    }
+    assert approx <= exact

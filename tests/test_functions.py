@@ -1,0 +1,110 @@
+"""Unit + property tests for authored functions (SURVEY.md §5.2/§5.4).
+
+The delay parser and GTFS time parser must be TOTAL: any string maps
+to a value or NULL, never an exception (hard-parts 1 & 3).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from mobility_etl_spark.functions.delays import parse_delay_seconds
+from mobility_etl_spark.functions.gtfs_time import (
+    gtfs_time_to_seconds,
+    seconds_to_gtfs_time,
+    service_day_offset,
+    wall_clock_seconds,
+)
+
+SCHEMA = StructType([StructField("s", StringType())])
+
+
+def _parse_all(spark, values, fn):
+    df = spark.createDataFrame([(v,) for v in values], SCHEMA)
+    return [r[0] for r in df.select(fn("s")).collect()]
+
+
+DELAY_CASES = {
+    "5 min 30 s": 330,
+    "5 min": 300,
+    "30 s": 30,
+    "7:45": 465,
+    "90": 90,
+    "-3 min": -180,
+    "- 2 min 5 s": -125,
+    "  12 s  ": 12,
+    "0": 0,
+    "garbage": None,
+    "": None,
+    "min 5": None,
+    "12:99": None,  # seconds out of range
+}
+
+
+def test_delay_parser_cases(spark):
+    values = list(DELAY_CASES)
+    got = _parse_all(spark, values, parse_delay_seconds)
+    assert dict(zip(values, got)) == DELAY_CASES
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=40))
+def test_delay_parser_total(s):
+    """Property: parser never throws on arbitrary input (checked via a
+    driver-side mirror of the same regexes is too weak — run Spark once
+    per batch instead; here we only assert the expression builds)."""
+    # Expression construction must not depend on the data:
+    parse_delay_seconds(F.lit(s))
+
+
+def test_delay_parser_total_on_fuzz_batch(spark):
+    import random
+    import string
+
+    rng = random.Random(42)
+    alphabet = string.ascii_letters + string.digits + " :-+."
+    values = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        for _ in range(500)
+    ]
+    got = _parse_all(spark, values, parse_delay_seconds)  # must not raise
+    assert len(got) == 500
+
+
+GTFS_CASES = {
+    "08:30:00": 8 * 3600 + 30 * 60,
+    "25:10:00": 25 * 3600 + 10 * 60,  # past-midnight service (spec-legal)
+    "00:00:00": 0,
+    "7:5:9": 7 * 3600 + 5 * 60 + 9,
+    "24:00:00": 86400,
+    "bad": None,
+    "12:60:00": None,  # minutes out of range
+    "": None,
+}
+
+
+def test_gtfs_time_cases(spark):
+    values = list(GTFS_CASES)
+    got = _parse_all(spark, values, gtfs_time_to_seconds)
+    assert dict(zip(values, got)) == GTFS_CASES
+
+
+def test_gtfs_roundtrip_and_rollover(spark):
+    df = spark.createDataFrame([("25:10:30",), ("08:00:00",)], SCHEMA)
+    out = df.select(
+        gtfs_time_to_seconds("s").alias("sec"),
+    ).select(
+        "sec",
+        seconds_to_gtfs_time("sec").alias("rendered"),
+        service_day_offset("sec").alias("offset"),
+        seconds_to_gtfs_time(wall_clock_seconds("sec")).alias("wall"),
+    )
+    rows = {r["rendered"]: r for r in out.collect()}
+    assert rows["25:10:30"]["offset"] == 1
+    assert rows["25:10:30"]["wall"] == "01:10:30"
+    assert rows["08:00:00"]["offset"] == 0
+    assert rows["08:00:00"]["wall"] == "08:00:00"
