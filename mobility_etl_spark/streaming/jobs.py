@@ -1,0 +1,193 @@
+"""Streaming jobs: the reference's hourly cadence, engine-native
+(SURVEY.md §2.B E30–E37).
+
+The reference's hourly blob drops (delays dags/warsaw-delays.py:194,
+weather dags/warsaw-weather.py:21) are *exactly* a file-arrival
+stream; its hash short-circuit (R6) is streaming dedup; its
+exists-guard (R8) is an idempotent checkpointed sink. Each helper
+below builds one of those as a Structured Streaming pipeline over the
+driver's ``events`` table schema.
+
+State-size discipline (SURVEY.md §7 hard-part 7): every stateful op
+here declares a watermark, so Spark evicts window/session/dedup state
+older than the watermark horizon — state is bounded by (watermark ×
+key arrival rate), not by stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mobility_etl_spark.functions.compat import DEC
+from mobility_etl_spark.session import ensure_session_defaults
+
+#: File schema of the driver's events parquet (ts = int64 nanos, see
+#: io.load_table): streaming reads REQUIRE an explicit schema — which
+#: is also the engine rule (§1.3: no inferSchema in production paths).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_file_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """E30: file-arrival stream over an events directory/file.
+
+    ts arrives as int64 nanoseconds and is truncated to µs with the
+    same integer arithmetic as the batch loader — but kept as plain
+    TIMESTAMP (not NTZ) because event-time watermarks require it
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session tz is pinned
+    to UTC (session.py), so TIMESTAMP here has the identical wall
+    clock as the batch loader's TIMESTAMP_NTZ; output edges cast back
+    to NTZ for oracle comparability.
+    """
+    ensure_session_defaults(spark)
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if "/" in path and not path.endswith("/"):
+        # The file source lists a *directory*; a single-file path is
+        # streamed as parent-dir + glob filter on the file name.
+        parent, _, leaf = path.rpartition("/")
+        if "." in leaf:
+            reader = reader.option("pathGlobFilter", leaf)
+            path = parent
+    stream = getattr(reader, fmt)(path)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_hourly_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """E31+E34: watermarked tumbling 1-hour windows per event type —
+    the hourly snapshot cadence (reference @hourly schedules) computed
+    from event time, not wall clock. Decimal-cast sum keeps the result
+    hash-comparable with the batch/oracle equivalent."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """E32: sliding windows smoothing across snapshot boundaries."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+        )
+    )
+
+
+def session_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """E33: session windows per user (per-vehicle delay episodes);
+    session state is evicted past the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """E35: streaming dedup — the reference's feed-hash short-circuit
+    (R6, dags/warsaw-gtfs.py:60-71) engine-native: content digest +
+    dropDuplicates bounded by the watermark."""
+    return (
+        stream.withColumn(
+            "content_hash",
+            F.sha2(F.concat_ws("|", "event_id", "event_type", "props"), 256),
+        )
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
+def run_available_now(
+    result: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently available through the streaming
+    engine into an in-memory sink table named ``query_name``.
+
+    availableNow = the reference's catchup-batch semantics: process
+    the backlog with streaming guarantees (checkpointed, exactly-once
+    per sink), then stop.
+    """
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if result.isStreaming else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def write_stream_idempotent(
+    result: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_cols: tuple[str, ...] = ("dt", "hour"),
+) -> None:
+    """E37: idempotent partitioned streaming sink via foreachBatch +
+    dynamic partition overwrite — the reference's this-hour-already-
+    exists guard (R8, dags/warsaw-weather.py:26-28) with replay safety:
+    re-processing a micro-batch overwrites the same partitions instead
+    of duplicating them."""
+    from mobility_etl_spark.io import with_time_partitions
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            with_time_partitions(batch_df, "ts")
+            .write.partitionBy(*partition_cols)
+            .mode("overwrite")
+            .parquet(path)
+        )
+
+    q = (
+        result.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,114 @@
+"""Structured Streaming surface tests (SURVEY.md §2.B E30–E37).
+
+Each test drains a bounded file stream with ``availableNow`` and
+asserts the streaming result equals the equivalent batch computation —
+the stream/batch-parity property that makes the reference's hourly
+cadence safe to move onto the streaming engine.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.streaming.jobs import (
+    dedup_stream,
+    events_file_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    tumbling_hourly_agg,
+    write_stream_idempotent,
+)
+
+
+def _drain(spark, result, mode: str | None = None) -> "list":
+    name = f"t_{uuid.uuid4().hex[:10]}"
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode or "complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).collect()
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return events_file_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_tumbling_matches_batch(spark, stream, batch_events):
+    got = {
+        (r.hour_ts, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in _drain(spark, tumbling_hourly_agg(stream))
+    }
+    want = {
+        (r.hour_ts, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_sliding_window_counts(spark, stream, batch_events):
+    rows = _drain(spark, sliding_agg(stream, "1 hour", "15 minutes"))
+    assert len(rows) > 0
+    # Every event lands in exactly 4 overlapping (1h, 15m-slide) windows.
+    assert sum(r.n_events for r in rows) == 4 * batch_events.count()
+
+
+def test_session_windows_bounded_by_gap(spark, stream):
+    rows = _drain(spark, session_agg(stream, gap="30 minutes"))
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+
+
+def test_streaming_dedup_drops_replayed_rows(spark, sf_dir, tmp_path):
+    # Write the same batch of raw rows twice (replay) into a landing
+    # dir; dedup_stream must land each logical row once.
+    landing = str(tmp_path / "landing")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").limit(500)
+    raw.write.mode("overwrite").parquet(landing)
+    raw.write.mode("append").parquet(landing)  # replay: every row twice
+    stream = events_file_stream(spark, landing)
+    deduped = dedup_stream(stream)
+    rows = _drain(spark, deduped, mode="append")
+    assert len(rows) == raw.count()
+
+
+def test_idempotent_sink_overwrites_partitions(spark, tmp_path, stream):
+    out = str(tmp_path / "out")
+    ckpt1 = str(tmp_path / "ckpt1")
+    ckpt2 = str(tmp_path / "ckpt2")
+    write_stream_idempotent(stream, out, ckpt1)
+    once = spark.read.parquet(out).count()
+    # Fresh checkpoint -> full replay of the same input; dynamic
+    # partition overwrite must leave counts unchanged (no duplicates).
+    write_stream_idempotent(stream, out, ckpt2)
+    twice = spark.read.parquet(out).count()
+    assert once == twice > 0
