@@ -1,0 +1,257 @@
+"""Bronze→silver pipeline tests on deterministic fixtures
+(SURVEY.md §5.2–5.3: golden aggregates, partition layout, run-twice
+idempotency, GTFS >24:00:00 times, parser totality on garbage).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.sources.manifest import (
+    changed_objects,
+    empty_manifest,
+    latest_per_key,
+    load_manifest,
+    with_content_hash,
+)
+from mobility_etl_spark.sources.pipelines import (
+    delays_ingest,
+    delays_silver,
+    gtfs_ingest,
+    weather_ingest,
+    weather_silver,
+)
+from mobility_etl_spark.sources.readers import (
+    expand_zip_members,
+    gtfs_tables_from_zip,
+    read_binary_files,
+    read_csv_table,
+)
+from mobility_etl_spark.sources.schemas import (
+    DELAYS_RAW_SCHEMA,
+    GTFS_SCHEMAS,
+    WEATHER_SCHEMA,
+)
+
+# --------------------------------------------------------------------------
+# fixtures
+# --------------------------------------------------------------------------
+
+GTFS_MEMBERS = {
+    "agency.txt": (
+        "agency_id,agency_name,agency_url,agency_timezone\n"
+        "1,ZTM Warszawa,https://ztm.example,Europe/Warsaw\n"
+    ),
+    "routes.txt": (
+        "route_id,agency_id,route_short_name,route_long_name,route_type\n"
+        "175,1,175,Airport Line,3\n"
+        "9,1,9,Tram Nine,0\n"
+    ),
+    "trips.txt": (
+        "route_id,service_id,trip_id,trip_headsign,shape_id\n"
+        "175,wd,t1,Metro Mlociny,s1\n"
+        "9,we,t2,Gocławek,s2\n"
+    ),
+    "stops.txt": (
+        "stop_id,stop_name,stop_lat,stop_lon\n"
+        "c01,Centrum 01,52.23,21.01\n"
+        "p02,Plac 02,52.24,21.02\n"
+    ),
+    # arrival past midnight (25:10:00) — SURVEY.md §7 hard-part 1
+    "stop_times.txt": (
+        "trip_id,arrival_time,departure_time,stop_id,stop_sequence\n"
+        "t1,08:00:00,08:00:30,c01,1\n"
+        "t1,25:10:00,25:11:00,p02,2\n"
+        "t2,12:30:00,12:30:30,c01,1\n"
+    ),
+    "calendar_dates.txt": (
+        "service_id,date,exception_type\n"
+        "wd,20241223,1\n"
+        "we,20241224,2\n"
+    ),
+    "shapes.txt": (
+        "shape_id,shape_pt_lat,shape_pt_lon,shape_pt_sequence\n"
+        "s1,52.23,21.01,1\n"
+        "s1,52.25,21.05,2\n"
+    ),
+    "feed_info.txt": (
+        "feed_publisher_name,feed_publisher_url,feed_lang,feed_start_date,feed_end_date\n"
+        "ZTM,https://ztm.example,pl,20241201,20250102\n"
+    ),
+}
+
+
+def _write_gtfs_zip(path: str, members=GTFS_MEMBERS) -> None:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, body in members.items():
+            zf.writestr(name, body)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+TS0 = dt.datetime(2024, 12, 23, 10, 15, 0)  # UTC scrape time
+
+
+def _delays_rows():
+    mk = lambda *a: a  # noqa: E731
+    return [
+        mk("BUS", "A123", "1", "175", "Metro Mlociny", "5 min 30 s", "Centrum 01", "Nie", TS0),
+        mk("TRAM", "4501", "02", "9", "Gocławek", "0 min", "Plac 02", "Tak", TS0),
+        mk("BUS", "B777", "3", "175", "Metro Mlociny", "not-a-delay", "Centrum 01", "Nie", TS0),
+        mk("", "", "", "", "", "", "", "", TS0),  # fully-empty scrape row
+    ]
+
+
+def _weather_rows():
+    d = dt.date(2024, 12, 23)
+    return [
+        ("12375", "Warszawa", d, 10, -1.5, 3.2, 270, 88.0, 0.1, 1013.2),
+        ("12375", "Warszawa", d, 11, -1.0, 2.8, 260, 86.0, 0.0, 1013.6),
+        ("12295", "Białystok", d, 10, -4.2, None, None, 91.0, None, 1015.0),
+    ]
+
+
+@pytest.fixture()
+def gtfs_zip(tmp_path):
+    p = str(tmp_path / "feed" / "gtfs.zip")
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    _write_gtfs_zip(p)
+    return p
+
+
+# --------------------------------------------------------------------------
+# readers (E1/E4/R4)
+# --------------------------------------------------------------------------
+
+
+def test_expand_zip_members(spark, gtfs_zip):
+    rows = expand_zip_members(read_binary_files(spark, gtfs_zip)).collect()
+    assert {r.member_name for r in rows} == set(GTFS_MEMBERS)
+    by_name = {r.member_name: r for r in rows}
+    assert bytes(by_name["agency.txt"].content).decode() == GTFS_MEMBERS["agency.txt"]
+    assert all(
+        r.member_bytes == len(GTFS_MEMBERS[r.member_name].encode()) for r in rows
+    )
+
+
+def test_gtfs_tables_from_zip_typed(spark, gtfs_zip):
+    tables = gtfs_tables_from_zip(spark, gtfs_zip)
+    assert set(tables) == set(GTFS_SCHEMAS)
+    routes = {r.route_id: r for r in tables["routes"].collect()}
+    assert routes["175"].route_type == 3 and routes["9"].route_type == 0
+    stops = tables["stops"].collect()
+    assert all(isinstance(r.stop_lat, float) for r in stops)
+
+
+def test_read_csv_table_explicit_schema(spark, tmp_path):
+    p = str(tmp_path / "w.csv")
+    with open(p, "w") as f:
+        f.write("station_id,station_name,meas_date,meas_hour,temperature_c,"
+                "wind_speed_ms,wind_dir_deg,rel_humidity_pct,precip_sum_mm,pressure_hpa\n")
+        f.write("12375,Warszawa,2024-12-23,10,-1.5,3.2,270,88.0,0.1,1013.2\n")
+        f.write("12295,Bialystok,2024-12-23,10,,,,,,\n")  # NULL metrics
+    df = read_csv_table(spark, p, WEATHER_SCHEMA)
+    rows = {r.station_id: r for r in df.collect()}
+    assert rows["12375"].temperature_c == -1.5
+    assert rows["12295"].temperature_c is None
+    assert rows["12375"].meas_date == dt.date(2024, 12, 23)
+
+
+# --------------------------------------------------------------------------
+# manifest (R5–R8)
+# --------------------------------------------------------------------------
+
+
+def test_changed_objects_anti_join(spark):
+    inc = with_content_hash(
+        spark.createDataFrame([("a",), ("b",)], "payload string"), ("payload",)
+    )
+    assert changed_objects(inc, empty_manifest(spark)).count() == 2
+    seen = inc.limit(0)  # none seen
+    manifest = inc.filter(F.col("payload") == "a").select(
+        F.lit("s").alias("source"),
+        F.col("payload").alias("object_key"),
+        "content_sha256",
+        F.current_timestamp().alias("ingest_ts"),
+    )
+    out = changed_objects(inc, manifest).collect()
+    assert [r.payload for r in out] == ["b"]
+    del seen
+
+
+def test_latest_per_key(spark):
+    t1 = dt.datetime(2024, 1, 1, 1)
+    t2 = dt.datetime(2024, 1, 1, 2)
+    m = spark.createDataFrame(
+        [("s", "k", "h1", t1), ("s", "k", "h2", t2)],
+        "source string, object_key string, content_sha256 string, ingest_ts timestamp",
+    )
+    rows = latest_per_key(m).collect()
+    assert len(rows) == 1 and rows[0].content_sha256 == "h2"
+
+
+# --------------------------------------------------------------------------
+# gtfs pipeline (run-twice short-circuit, typed silver)
+# --------------------------------------------------------------------------
+
+
+def test_gtfs_ingest_and_short_circuit(spark, tmp_path, gtfs_zip):
+    silver = str(tmp_path / "silver")
+    manifest = str(tmp_path / "manifest")
+    written = gtfs_ingest(spark, gtfs_zip, silver, manifest)
+    assert written and written["stop_times"] == 3
+    # >24:00:00 arrival typed to seconds-since-midnight + day offset
+    st = spark.read.parquet(f"{silver}/stop_times")
+    late = st.filter(F.col("arrival_time") == "25:10:00").collect()[0]
+    assert late.arrival_s == 25 * 3600 + 10 * 60
+    assert late.service_day_offset == 1
+    cal = spark.read.parquet(f"{silver}/calendar_dates").collect()
+    assert all(isinstance(r.date, dt.date) for r in cal)
+    # unchanged feed → short-circuit, nothing written (R6)
+    assert gtfs_ingest(spark, gtfs_zip, silver, manifest) == {}
+    assert load_manifest(spark, manifest).count() == 1
+
+
+# --------------------------------------------------------------------------
+# delays pipeline (typed parse, empty-row guard, exists-guard)
+# --------------------------------------------------------------------------
+
+
+def test_delays_silver_and_idempotent_ingest(spark, tmp_path):
+    raw = spark.createDataFrame(_delays_rows(), DELAYS_RAW_SCHEMA)
+    silver = delays_silver(raw)
+    rows = {r.vehicle_no: r for r in silver.collect()}
+    assert len(rows) == 3  # empty scrape row dropped
+    assert rows["A123"].delay_s == 330
+    assert rows["4501"].delay_s == 0 and rows["4501"].outside_flag is True
+    assert rows["B777"].delay_s is None  # garbage → NULL, never throws
+
+    out = str(tmp_path / "delays")
+    man = str(tmp_path / "man")
+    assert delays_ingest(spark, raw, out, man) == 3
+    # same hour re-scraped → exists-guard skips (R8)
+    assert delays_ingest(spark, raw, out, man) == 0
+    landed = spark.read.parquet(out)
+    assert landed.count() == 3
+    assert {"dt", "hour"} <= set(landed.columns)
+    assert landed.select("hour").distinct().collect()[0].hour == 11  # 10:15 UTC → 11:15 Warsaw
+
+
+def test_weather_ingest_idempotent(spark, tmp_path):
+    raw = spark.createDataFrame(_weather_rows(), WEATHER_SCHEMA)
+    assert weather_silver(raw).filter(F.col("obs_ts").isNull()).count() == 0
+    out = str(tmp_path / "weather")
+    man = str(tmp_path / "man")
+    assert weather_ingest(spark, raw, out, man) == 3
+    assert weather_ingest(spark, raw, out, man) == 0
+    landed = spark.read.parquet(out)
+    assert landed.count() == 3
+    # obs hour partitions are Warsaw-local of the UTC obs_ts: local 10h/11h
+    assert {r.hour for r in landed.select("hour").distinct().collect()} == {10, 11}
