@@ -17,10 +17,16 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
 from mobility_etl_spark.registry import register
 from mobility_etl_spark.streaming.jobs import (
+    dedup_stream,
     events_file_stream,
     run_available_now,
+    sliding_agg,
+    stateful_user_totals,
     tumbling_hourly_agg,
 )
 
@@ -48,3 +54,106 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         run_available_now(result, name, ckpt)
     return spark.table(name)
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', ts)
+               + ((EXTRACT(minute FROM ts)::INT // 15) * 15) * INTERVAL 1 MINUTE
+               AS b15
+        FROM events
+    ), offs AS (SELECT unnest([0, 1, 2, 3]) AS k)
+    SELECT b15 - k * 15 * INTERVAL 1 MINUTE AS win_start,
+           b15 - k * 15 * INTERVAL 1 MINUTE + INTERVAL 1 HOUR AS win_end,
+           COUNT(*) AS n_events
+    FROM base, offs
+    GROUP BY 1, 2
+    """,
+    tags=("E30", "E32", "E34"),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1 h window, 15 min slide) counts computed by the
+    streaming engine; each event falls in exactly 4 overlapping
+    windows, which the oracle states as an explicit 4-offset fan-out
+    over the batch table."""
+    name = f"ssw_{uuid.uuid4().hex[:12]}"
+    stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
+    result = sliding_agg(stream, "1 hour", "15 minutes")
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        run_available_now(result, name, ckpt)
+    return spark.table(name)
+
+
+@register(
+    "streaming_dedup_replay",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM events
+    WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+    tags=("E30", "E35"),
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E35: the feed-hash short-circuit (R6) as streaming dedup — the
+    same batch of events is landed TWICE (an at-least-once replay);
+    `dropDuplicatesWithinWatermark` on the row content digest must
+    land each logical row exactly once, matching the oracle's count
+    over the single original copy."""
+    landing = tempfile.mkdtemp(prefix="mes_replay_")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 2000
+    )
+    raw.write.mode("overwrite").parquet(landing)
+    raw.write.mode("append").parquet(landing)  # the replay
+
+    name = f"sdr_{uuid.uuid4().hex[:12]}"
+    deduped = dedup_stream(events_file_stream(spark, landing))
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        run_available_now(deduped, name, ckpt, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+
+
+@register(
+    "stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micro
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("E36",),
+)
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E36: applyInPandasWithState running totals per user, forced
+    across 4 micro-batches (4 landed files, maxFilesPerTrigger=1) so
+    state genuinely carries between batches; the final state per user
+    must equal the batch GROUP BY."""
+    landing = tempfile.mkdtemp(prefix="mes_state_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+
+    name = f"srt_{uuid.uuid4().hex[:12]}"
+    stream = events_file_stream(
+        spark, landing, options={"maxFilesPerTrigger": "1"}
+    )
+    result = stateful_user_totals(stream)
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        run_available_now(result, name, ckpt, output_mode="update")
+    sink = spark.table(name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_micro")
+    )

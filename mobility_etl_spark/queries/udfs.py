@@ -1,0 +1,110 @@
+"""Custom-function surface: grouped-agg pandas UDAF and Python UDTF
+(SURVEY.md §2.B E40/E41; E38/E39 are exercised by queries/multimodal.py).
+
+UDFs are the engine's slow path (opaque to Catalyst, Python round-trip)
+— the rule is built-ins first (queries/scalars.py), Arrow-vectorized
+pandas UDFs when custom logic is unavoidable. These queries prove the
+Arrow boundary preserves exact semantics: the oracle computes the same
+answers in pure SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import DoubleType
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.registry import register
+
+# pandas_udf/udtf decorators parse their DDL return types against the
+# ACTIVE session, so they must be built lazily inside the query fns
+# (the registry imports this module before any SparkSession exists).
+
+
+def _median_udaf():
+    @pandas_udf(DoubleType())
+    def median_udaf(v: pd.Series) -> float:
+        """Exact median (interpolated for even counts): per-group custom
+        aggregation the built-in surface lacks exactly (percentile_approx
+        is approximate). (a+b)/2 is one IEEE op — bit-identical to the
+        oracle's MEDIAN, so the result is hash-comparable."""
+        return float(v.median())
+
+    return median_udaf
+
+
+def _count_udaf():
+    @pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        return int(len(v))
+
+    return count_udaf
+
+
+@register(
+    "grouped_agg_udaf_median",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           MEDIAN(o_totalprice) AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("E40",),
+)
+def grouped_agg_udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E40: custom grouped-agg pandas UDAF (Arrow-batched, partial-agg
+    NOT available — Spark ships whole groups to Python, so group
+    cardinality must be bounded; fine for enum-like keys, wrong for
+    high-cardinality keys at 100 TB where percentile_approx is the
+    scale path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    # Pandas grouped-agg UDFs cannot mix with JVM aggregates in one
+    # agg (INVALID_PANDAS_UDF_PLACEMENT) — the count is a pandas UDAF too.
+    return orders.groupBy("o_orderpriority").agg(
+        _count_udaf()("o_orderkey").alias("n"),
+        _median_udaf()("o_totalprice").alias("median_price"),
+    )
+
+
+def _split_sentences_udtf():
+    @udtf(returnType="idx int, sentence string")
+    class SplitSentences:
+        """E41: one-row→many UDTF — the zip-manifest expansion shape
+        (R4) applied to text: emit (index, sentence) per '. '-delimited
+        chunk. Mirrors Python str.split semantics exactly; the oracle
+        mirrors it with string_split + unnest."""
+
+        def eval(self, text: str):  # noqa: D102
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, s
+
+    return SplitSentences
+
+
+@register(
+    "udtf_split_sentences",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, '. '), 1) - 1 AS idx,
+           unnest(string_split(text, '. ')) AS sentence
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("E41",),
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL join: each document row fans out to
+    one row per sentence with its ordinal."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("split_sentences", _split_sentences_udtf())
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.idx, s.sentence
+        FROM _udtf_docs d, LATERAL split_sentences(d.text) s
+        WHERE d.doc_id < 200
+        """
+    )

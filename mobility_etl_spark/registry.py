@@ -43,7 +43,9 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.similarity",
     "mobility_etl_spark.queries.text",
     "mobility_etl_spark.queries.multimodal",
+    "mobility_etl_spark.queries.sources",
     "mobility_etl_spark.queries.streaming",
+    "mobility_etl_spark.queries.udfs",
 )
 
 

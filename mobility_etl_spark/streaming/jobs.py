@@ -45,7 +45,10 @@ EVENTS_FILE_SCHEMA = StructType(
 
 
 def events_file_stream(
-    spark: SparkSession, path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """E30: file-arrival stream over an events directory/file.
 
@@ -59,6 +62,8 @@ def events_file_stream(
     """
     ensure_session_defaults(spark)
     reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     if "/" in path and not path.endswith("/"):
         # The file source lists a *directory*; a single-file path is
         # streamed as parent-dir + glob filter on the file name.
@@ -103,8 +108,8 @@ def sliding_agg(
         .groupBy(F.window("ts", window, slide).alias("win"))
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("win_end"),
             "n_events",
         )
     )
@@ -142,20 +147,64 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stateful_user_totals(stream: DataFrame) -> DataFrame:
+    """E36: custom stateful per-key processing via
+    ``applyInPandasWithState`` — running (event count, value total) per
+    user across micro-batches, the per-vehicle running-delay-state
+    shape (reference `Vehicle No`, dags/warsaw-delays.py:182).
+
+    The running total accumulates ``floor(value·1e6)`` as int64:
+    exact, associative, order-independent — so the emitted state is
+    hash-comparable with a batch GROUP BY regardless of how rows split
+    across micro-batches. Emission is in `update` mode (one row per
+    key per batch it appears in); the final state per key is the row
+    with the highest running count.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def upd(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(
+                sum(int(math.floor(v * 1_000_000.0)) for v in pdf["value"])
+            )
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_micro": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType="user_id long, n_events long, total_micro long",
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
-    result: DataFrame, query_name: str, checkpoint_dir: str
+    result: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently available through the streaming
     engine into an in-memory sink table named ``query_name``.
 
     availableNow = the reference's catchup-batch semantics: process
     the backlog with streaming guarantees (checkpointed, exactly-once
-    per sink), then stop.
+    per sink), then stop. ``output_mode``: "complete" for windowed
+    aggregations, "append" for row-level ops (dedup), "update" for
+    stateful per-key emission.
     """
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if result.isStreaming else "append")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
