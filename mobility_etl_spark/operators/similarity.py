@@ -200,3 +200,129 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its ``nprobe``
+    nearest centroid cells by cosine.
+
+    Centroids are a tiny broadcast side (K ≪ N; at 100 TB K ~ 2^12
+    while N ~ 2^33), so assignment is a shuffle-free map over the
+    candidate scan plus one window per vector over K scored cells.
+    Output: (key, vec, cell, probe_rank).
+    """
+    cents = centroids.select(
+        F.col(key_col).alias("cell"), F.col(vec_col).alias("__centvec")
+    )
+    scored = F.broadcast(cents).join(
+        df.select(F.col(key_col), F.col(vec_col)), how="cross"
+    ).select(
+        key_col,
+        vec_col,
+        "cell",
+        (
+            _dot_expr(vec_col, "__centvec")
+            / F.sqrt(_sq_norm_expr(vec_col) * _sq_norm_expr("__centvec"))
+        ).alias("__cscore"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("__cscore").desc(), F.col("cell")
+    )
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(key_col, vec_col, "cell", "probe_rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: the inverted-file ANN layout as a Spark
+    join. Candidates are partitioned once into centroid cells
+    (nprobe=1); each query probes its ``nprobe`` nearest cells and
+    exact-re-ranks only vectors in those cells.
+
+    At 100 TB the cell assignment is the *stored layout* (write
+    candidates partitioned/bucketed by `cell`), so a query's probe is
+    partition-pruned I/O, not a scan: cost ~ nprobe/K of the corpus.
+    """
+    cand_cells = ivf_assign(candidates, centroids, key_col, vec_col, nprobe=1).select(
+        F.col(key_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        "cell",
+    )
+    query_cells = ivf_assign(queries, centroids, key_col, vec_col, nprobe=nprobe).select(
+        F.col(key_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        "cell",
+    )
+    scored = (
+        F.broadcast(query_cells)
+        .join(cand_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot_expr("__qvec", "__cvec")
+                / F.sqrt(_sq_norm_expr("__qvec") * _sq_norm_expr("__cvec")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a pair may meet in several probed cells
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
+
+    Exact all-pairs — the correctness baseline, O(n²) in candidates.
+    The scale path is the same computation after an LSH or IVF
+    prefilter (share a band bucket / a centroid cell), which turns the
+    cross join into a bucket equi-join; recall is gated in tests.
+    """
+    a = df.select(F.col(key_col).alias("a_id"), F.col(vec_col).alias("__avec"))
+    b = df.select(F.col(key_col).alias("b_id"), F.col(vec_col).alias("__bvec"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot_expr("__avec", "__bvec")
+                / F.sqrt(_sq_norm_expr("__avec") * _sq_norm_expr("__bvec")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

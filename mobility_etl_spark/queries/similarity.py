@@ -77,3 +77,73 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return lsh_topk(queries, emb, k=TOP_K, num_planes=16, bands=8)
+
+
+@register("ann_ivf_topk", oracle=None, tags=("N3", "N6"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: corpus partitioned into 16 deterministic centroid
+    cells (every 31st vector seeds a cell), queries probe their 5
+    nearest cells, exact cosine re-rank inside the probed cells — the
+    inverted-file ANN layout where a query touches ~nprobe/K of the
+    corpus instead of all of it (recall on clustered real-world
+    embeddings is far higher than on this uniform synthetic corpus). Rows-only driver check; recall@5 vs
+    brute force is gated in tests/test_similarity.py."""
+    from mobility_etl_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 31 == 0).limit(16)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(queries, emb, centroids, k=TOP_K, nprobe=5)
+
+
+_NDUP_THRESH = 0.2
+_NDUP_MAX_ID = 300
+
+
+@register(
+    "embedding_cosine_near_dup",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id < {_NDUP_MAX_ID}),
+    pairs AS (
+        SELECT a.vec_id AS a_id,
+               b.vec_id AS b_id,
+               round(
+                 CAST((SELECT SUM(CAST(CAST(a.embedding[i] AS DOUBLE)
+                                        * CAST(b.embedding[i] AS DOUBLE)
+                                        AS DECIMAL(27,6)))
+                       FROM UNNEST(generate_series(1, len(a.embedding))) AS g(i))
+                      AS DOUBLE)
+                 / sqrt(
+                     CAST((SELECT SUM(CAST(CAST(a.embedding[i] AS DOUBLE)
+                                            * CAST(a.embedding[i] AS DOUBLE)
+                                            AS DECIMAL(27,6)))
+                           FROM UNNEST(generate_series(1, len(a.embedding))) AS g(i))
+                          AS DOUBLE)
+                     *
+                     CAST((SELECT SUM(CAST(CAST(b.embedding[i] AS DOUBLE)
+                                            * CAST(b.embedding[i] AS DOUBLE)
+                                            AS DECIMAL(27,6)))
+                           FROM UNNEST(generate_series(1, len(b.embedding))) AS g(i))
+                          AS DOUBLE)
+                   ),
+                 6) AS cos_sim
+        FROM sub a, sub b
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cos_sim FROM pairs WHERE cos_sim >= {_NDUP_THRESH}
+    """,
+    tags=("N1", "N2", "N3"),
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: all pairs (a < b)
+    with cosine ≥ threshold over a bounded corpus slice, hash-checked
+    against the oracle's identical quantized arithmetic. The 100 TB
+    form runs the same scorer after an LSH/IVF bucket prefilter
+    (operators/similarity.py:cosine_near_dup_pairs docstring)."""
+    from mobility_etl_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _NDUP_MAX_ID
+    )
+    return cosine_near_dup_pairs(emb, threshold=_NDUP_THRESH)
