@@ -95,3 +95,100 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("lang", "source").alias("meta"),
     )
     return payloads.mapInPandas(_extract_features, FEATURE_SCHEMA)
+
+
+def _payloads(spark: SparkSession, sf_dir: str, max_id: int = 300) -> DataFrame:
+    """documents.text as opaque binary payloads (the image/audio stand-in)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < max_id)
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS nb
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(ceil(nb / 256.0) AS INT), 4)) AS INTEGER)
+               AS frame_idx,
+           CAST(LEAST(256, nb - CAST(unnest(range(0, CAST(ceil(nb / 256.0) AS INT), 4))
+                                     AS INTEGER) * 256) AS INTEGER) AS frame_bytes
+    FROM d
+    """,
+    tags=("N4", "E39", "E41"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through mapInPandas (one payload row → many
+    frame rows, the video keyframe shape): 256-byte frames, every 4th
+    emitted. The oracle re-derives frame indices and sizes from byte
+    lengths — hash-checking the fan-out arithmetic end-to-end."""
+    from mobility_etl_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_payloads(spark, sf_dir), every=4)
+    return frames.select("doc_id", "frame_idx", "frame_bytes")
+
+
+@register(
+    "multimodal_pointer_load",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS loaded_sha256,
+           1 AS hash_ok
+    FROM documents
+    WHERE doc_id < 150
+    """,
+    tags=("N4", "E39"),
+)
+def multimodal_pointer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-not-payload: payloads land as files; the table carries
+    (doc_id, uri, sha256); bytes are opened inside the Arrow batch
+    loop and integrity-checked. Hash-matching the oracle's direct
+    sha256 over the table proves the pointer round-trip is lossless."""
+    import os
+    import tempfile
+
+    from mobility_etl_spark.operators.multimodal import load_pointer_payloads
+
+    root = tempfile.mkdtemp(prefix="mes_ptr_")
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+        .collect()  # bounded: builds the payload *fixture store*
+    )
+    recs = []
+    for r in rows:
+        payload = r.text.encode()
+        uri = os.path.join(root, f"{r.doc_id}.bin")
+        with open(uri, "wb") as f:
+            f.write(payload)
+        recs.append((r.doc_id, uri, hashlib.sha256(payload).hexdigest()))
+    pointers = spark.createDataFrame(recs, "doc_id long, uri string, sha256 string")
+    loaded = load_pointer_payloads(pointers)
+    return loaded.select(
+        "doc_id", "loaded_sha256", F.col("hash_ok").cast("int").alias("hash_ok")
+    )
+
+
+@register("multimodal_decode_resize", oracle=None, tags=("N4", "E39"))
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + aspect-preserving resize through two chained
+    mapInPandas stages (decode dims are the deterministic stub;
+    rows-only driver check, exact values unit-tested in
+    tests/test_multimodal.py)."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_features,
+        resize_thumbnails,
+    )
+
+    payloads = _payloads(spark, sf_dir, max_id=200)
+    dims = decode_features(payloads)
+    thumbs = resize_thumbnails(payloads, max_side=32)
+    return dims.join(thumbs, "doc_id").select(
+        "doc_id", "width", "height", "out_width", "out_height", "thumb_sha256"
+    )

@@ -1,0 +1,72 @@
+"""Multimodal operator unit tests (SURVEY.md §2.C N4): exact expected
+values for the deterministic decode stub, frame sampling arithmetic,
+resize bounds, and pointer-load integrity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.operators.multimodal import (
+    FRAME_SIZE,
+    decode_features,
+    fake_decode,
+    load_pointer_payloads,
+    resize_thumbnails,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def payloads(spark):
+    rows = [
+        (1, b"a" * 1000),          # 4 frames
+        (2, b"xyz"),               # 1 frame, partial
+        (3, b"b" * (FRAME_SIZE * 9 + 1)),  # 10 frames, last is 1 byte
+    ]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_decode_features_deterministic(spark, payloads):
+    out = {r.doc_id: r for r in decode_features(payloads).collect()}
+    m = fake_decode(b"a" * 1000)
+    assert out[1].width == m["width"] and out[1].height == m["height"]
+    assert out[1].n_bytes == 1000 and out[1].n_channels == 3
+    assert 64 <= out[2].width <= 255
+
+
+def test_sample_frames_every_4th(spark, payloads):
+    rows = sample_frames(payloads, every=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 1000 bytes → frames 0..3, sampled {0}
+    assert [r.frame_idx for r in by_doc[1]] == [0]
+    assert by_doc[1][0].frame_bytes == FRAME_SIZE
+    # doc 2: single partial frame
+    assert [(r.frame_idx, r.frame_bytes) for r in by_doc[2]] == [(0, 3)]
+    # doc 3: 10 frames → sampled 0,4,8; frame 8 is full
+    assert [r.frame_idx for r in sorted(by_doc[3], key=lambda r: r.frame_idx)] == [0, 4, 8]
+    assert bytes(by_doc[2][0].frame) == b"xyz"
+
+
+def test_resize_respects_max_side(spark, payloads):
+    rows = resize_thumbnails(payloads, max_side=32).collect()
+    for r in rows:
+        assert 1 <= max(r.out_width, r.out_height) <= 32
+
+
+def test_pointer_load_detects_corruption(spark, tmp_path):
+    good = tmp_path / "good.bin"
+    good.write_bytes(b"payload-bytes")
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"tampered")
+    sha = hashlib.sha256(b"payload-bytes").hexdigest()
+    pointers = spark.createDataFrame(
+        [(1, str(good), sha), (2, str(bad), sha)],
+        "doc_id long, uri string, sha256 string",
+    )
+    out = {r.doc_id: r.hash_ok for r in load_pointer_payloads(pointers).collect()}
+    assert out == {1: 1, 2: 0}

@@ -255,3 +255,37 @@ def test_weather_ingest_idempotent(spark, tmp_path):
     assert landed.count() == 3
     # obs hour partitions are Warsaw-local of the UTC obs_ts: local 10h/11h
     assert {r.hour for r in landed.select("hour").distinct().collect()} == {10, 11}
+
+
+# --------------------------------------------------------------------------
+# scrape contract (R3) + orchestration import-gate (R19/R20)
+# --------------------------------------------------------------------------
+
+
+def test_scrape_contract_end_to_end(spark, tmp_path):
+    from mobility_etl_spark.sources.scrape import fake_scrape, to_spark_batch
+
+    raw = to_spark_batch(spark, fake_scrape(100))
+    assert raw.schema == DELAYS_RAW_SCHEMA
+    n = delays_ingest(spark, raw, str(tmp_path / "d"), str(tmp_path / "m"))
+    assert n == 100
+    silver = spark.read.parquet(str(tmp_path / "d"))
+    parsed = silver.filter(F.col("delay_s").isNotNull()).count()
+    assert parsed == 90  # 10% unparseable by construction → NULL, not error
+
+
+def test_scrape_contract_rejects_bad_batch(spark):
+    import pandas as pd
+
+    from mobility_etl_spark.sources.scrape import to_spark_batch
+
+    with pytest.raises(ValueError, match="missing columns"):
+        to_spark_batch(spark, pd.DataFrame({"vehicle_no": ["x"]}))
+
+
+def test_orchestration_importable_without_airflow():
+    from mobility_etl_spark.orchestration import dags
+
+    assert dags.HAS_AIRFLOW is False  # container has no airflow
+    # DAG factories are inert plain functions under the no-airflow gate
+    assert callable(dags.warsaw_gtfs_spark)
