@@ -40,6 +40,15 @@ def main() -> None:
         "mobility-etl-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # Size scan splits to the core count at bench SF (single ~11 MB
+        # parquet files would otherwise scan as one task under the
+        # 128 MB default). At 100 TB the defaults are correct — files
+        # are many and row groups large; this is measurement-harness
+        # tuning, not engine policy.
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
     )
     specs = load_all()
     names = [n for n in HEADLINE if n in specs]
