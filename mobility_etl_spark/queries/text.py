@@ -177,3 +177,160 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(vocab).alias("vocab_fingerprint"),
         F.md5("text").alias("exact_fingerprint"),
     )
+
+
+#: Tiny signed sentiment lexicon (the broadcast-join sentiment pattern,
+#: SURVEY.md §2.C N5 / PAPERS.md EDBT-2016 reference). Scores are ints
+#: so per-doc sums are exact in both engines.
+SENTIMENT_LEXICON: tuple[tuple[str, int], ...] = (
+    # demo lexicon aligned to the synthetic corpus vocabulary (the
+    # driver's documents are query-plan prose); swap for AFINN/VADER
+    # weights on natural text — the operator is the broadcast join,
+    # not the word list.
+    ("fast", 2), ("small", 1), ("clean", 2), ("fresh", 1), ("good", 2),
+    ("slow", -2), ("big", -1), ("dup", -2), ("stale", -1), ("skew", -2),
+    ("spill", -2), ("bad", -2),
+)
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    n AS (SELECT COUNT(*) AS n_docs FROM sub),
+    tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM sub
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok WHERE length(term) >= 4
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.tf >= 2
+    """,
+    tags=("N5", "E27", "E23"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf = ln((N+1)/(df+1)) over ≥4-char terms;
+    rows with tf ≥ 2. Two shuffles at scale (doc-term agg, term df) —
+    the df side is a term-keyed dimension that broadcasts back. The
+    single IEEE ln keeps both engines bit-identical; the oracle
+    recomputes the full pipeline independently."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") >= 4)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # tiny control scalar (bounded subset)
+    return (
+        tf.join(F.broadcast(df), "term")
+        .filter(F.col("tf") >= 2)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_sentiment_lexicon",
+    oracle=f"""
+    WITH lex(term, score) AS (VALUES
+        {", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)}
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents WHERE doc_id < 300
+    )
+    SELECT tok.doc_id,
+           CAST(SUM(lex.score) AS BIGINT) AS sentiment_score,
+           COUNT(*) AS n_sentiment_tokens
+    FROM tok JOIN lex USING (term)
+    GROUP BY tok.doc_id
+    """,
+    tags=("N5", "E9"),
+)
+def text_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-join sentiment (the Spark-sentiment pattern, PAPERS.md
+    EDBT 2016): tokens equi-join a broadcast signed lexicon; per-doc
+    integer score sums are exact. At 100 TB the lexicon is KBs — the
+    corpus never shuffles for the join, only for the per-doc rollup."""
+    lex = spark.createDataFrame(
+        list(SENTIMENT_LEXICON), "term string, score int"
+    )
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    )
+    return (
+        tok.join(F.broadcast(lex), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("score").cast("bigint").alias("sentiment_score"),
+            F.count("*").alias("n_sentiment_tokens"),
+        )
+    )
+
+
+@register(
+    "text_bigrams",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           t -> length(t) >= 3 AND t NOT IN ({_sql_stoplist()}))
+                   AS ts
+        FROM documents WHERE doc_id < 300
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ts) - 1),
+                                     i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+        FROM tok
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM bg
+    GROUP BY bigram
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("N5", "E27", "E23"),
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-filtered bigram counts (the NGram stage of SURVEY §2.C
+    N5) via higher-order array ops — zip_with over offset slices builds
+    bigrams without exploding unigrams first; one shuffle for the
+    global count."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower("text"), " "),
+            lambda t: (F.length(t) >= 3) & ~F.array_contains(stop, t),
+        ).alias("ts")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                F.expr("slice(ts, 2, greatest(size(ts) - 1, 0))"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
