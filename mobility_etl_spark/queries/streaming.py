@@ -157,3 +157,53 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "total_micro")
     )
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, prev_ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+    tags=("E33", "E34"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E33 through the real streaming engine: per-user session windows
+    (30-minute gap) computed by ``session_window`` with a watermark,
+    drained with availableNow. The oracle derives identical sessions
+    with the lag/cumulative-sum technique — streaming session
+    semantics proven against an independent batch construction.
+
+    session_window's end is last_event + gap, so only (user, start,
+    count) are compared; the gap-extended end is engine-internal.
+    """
+    from mobility_etl_spark.streaming.jobs import session_agg
+
+    name = f"ssn_{uuid.uuid4().hex[:12]}"
+    stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
+    result = session_agg(stream, gap="30 minutes")
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        run_available_now(result, name, ckpt)
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+    )

@@ -1,0 +1,87 @@
+"""Scale-utility gates (SURVEY.md §2.C): bucketed joins must plan
+shuffle-free; salted joins must be row-identical to unsalted."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.scale import salted_join, write_bucketed
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force non-broadcast strategies so the bucket/salt machinery is
+    actually exercised."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(
+        orders, "b_orders", str(tmp_path / "bo"), ("o_custkey",), 8,
+        sort_cols=("o_custkey",),
+    )
+    write_bucketed(
+        customer, "b_customer", str(tmp_path / "bc"), ("c_custkey",), 8,
+        sort_cols=("c_custkey",),
+    )
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        tree = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        ).split("\n\n")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree, f"bucketed join still shuffles:\n{tree}"
+        # and it's correct
+        assert joined.count() == orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir, no_broadcast):
+    # manufacture pathological skew: 80% of rows share one key
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.when(F.col("event_id") % 5 != 0, F.lit(1)).otherwise(
+            F.col("event_id") % 100
+        )
+    )
+    dim = spark.range(100).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 10).alias("weight"),
+    )
+    plain = ev.join(dim, ["k"]).agg(
+        F.count("*").alias("n"), F.sum("weight").alias("w")
+    ).collect()[0]
+    salted = salted_join(ev, dim, ["k"], n_salts=8).agg(
+        F.count("*").alias("n"), F.sum("weight").alias("w")
+    ).collect()[0]
+    assert (plain.n, plain.w) == (salted.n, salted.w)
+    assert plain.n > 0
+
+
+def test_salted_join_left_outer(spark, sf_dir, no_broadcast):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.col("event_id") % 200  # keys 100..199 miss the dim
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("hit"))
+    plain = ev.join(dim, ["k"], "left").filter(F.col("hit").isNull()).count()
+    salted = (
+        salted_join(ev, dim, ["k"], n_salts=4, how="left")
+        .filter(F.col("hit").isNull())
+        .count()
+    )
+    assert plain == salted > 0
