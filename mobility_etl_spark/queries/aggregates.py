@@ -176,3 +176,32 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("E15",),
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit SQL GROUPING SETS (the third E15 form beside rollup and
+    cube): per-(flag,status), per-flag, and grand-total rows in one
+    pass — Spark expands to a single Expand+HashAggregate, one shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

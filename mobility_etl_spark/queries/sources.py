@@ -192,3 +192,50 @@ def manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fresh = changed_objects(ev, manifest)
     return fresh.groupBy("event_type").agg(F.count("*").alias("n_new"))
+
+
+@register(
+    "json_scan_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+           COUNT(json_extract(props, '$.source')) AS n_with_source
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("E3", "E28", "R2"),
+)
+def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → JSON-lines → explicit-schema `spark.read.json` →
+    aggregate (the IMGW-payload shape, reference dags/warsaw-weather.py:32-34):
+    numeric fidelity through JSON text plus nested-field extraction
+    from the embedded `props` JSON string, hash-checked against the
+    original table."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out = _tmpdir()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").json(out)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value", "sum_value"),
+        F.count(F.get_json_object("props", "$.source")).alias("n_with_source"),
+    )

@@ -112,3 +112,16 @@ def test_minhash_query_subset_of_exact(spark, sf_dir):
         for r in specs["minhash_near_dup"].builder(spark, sf_dir).collect()
     }
     assert approx <= exact
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    """HLL (E14) can't hash-match an oracle; gate its relative error
+    instead (rsd default 0.05 → generous 10% test bound)."""
+    from mobility_etl_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(
+        F.approx_count_distinct("user_id").alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) / exact <= 0.10
