@@ -45,6 +45,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.multimodal",
     "mobility_etl_spark.queries.sources",
     "mobility_etl_spark.queries.streaming",
+    "mobility_etl_spark.queries.tpch",
     "mobility_etl_spark.queries.udfs",
 )
 
