@@ -108,3 +108,43 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 200
         """
     )
+
+
+def _value_micro_udf():
+    @pandas_udf("long")
+    def value_micro(v: pd.Series) -> pd.Series:
+        """Vectorized scalar pandas UDF (Arrow batches): floor(v·1e6)
+        as int64 — one IEEE multiply + floor per element, bit-identical
+        to the SQL oracle, so the whole Python round-trip is
+        hash-checked."""
+        import numpy as np
+
+        return pd.Series(np.floor(v.values * 1_000_000.0).astype("int64"))
+
+    return value_micro
+
+
+@register(
+    "pandas_udf_scalar",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sum_micro
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("E38",),
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E38 standalone: a scalar @pandas_udf in the projection (the
+    Delay-parser-fallback shape, SURVEY §2.B) feeding a JVM aggregate —
+    proving the Arrow scalar boundary preserves exact semantics.
+    Engine rule remains built-ins-first: this op exists because custom
+    per-value Python sometimes can't be avoided; when it can't, it
+    looks like this (vectorized, never row-at-a-time)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("micro", _value_micro_udf()("value"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("micro").alias("sum_micro"))
+    )

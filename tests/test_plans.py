@@ -86,3 +86,17 @@ def test_broadcast_dims_in_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     )
+
+
+def test_sort_within_partitions_no_exchange(spark, sf_dir):
+    """E20's physical half: sortWithinPartitions must not shuffle —
+    it's the write-path ordering primitive (row-group clustering for
+    better min/max pruning) and a global Exchange would defeat it."""
+    from mobility_etl_spark.io import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").sortWithinPartitions("l_shipdate")
+    tree = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    ).split("\n\n")[0]
+    assert "Sort" in tree
+    assert "Exchange" not in tree
