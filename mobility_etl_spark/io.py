@@ -17,6 +17,8 @@ does when it coerces ns → its µs TIMESTAMP (the oracle side).
 
 from __future__ import annotations
 
+import pathlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -96,3 +98,66 @@ def with_time_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.withColumn("dt", F.to_date(ts_col)).withColumn(
         "hour", F.hour(ts_col)
     )
+
+
+def read_incremental(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str,
+    source: str,
+    key_cols: tuple[str, ...],
+) -> DataFrame:
+    """Incremental scan (SURVEY.md §4: the one optimization the
+    reference hand-rolls that Catalyst lacks — cross-run memoization —
+    done at the API layer, not as a Catalyst rule): rows of ``path``
+    whose content digest is not yet in the manifest for ``source``.
+
+    Pair with :func:`mobility_etl_spark.sources.manifest.record_ingest`
+    after the downstream write commits; the next call then skips
+    everything already processed. Anti-join ships 32-byte digests only.
+    """
+    from mobility_etl_spark.sources.manifest import (
+        changed_objects,
+        load_manifest,
+        with_content_hash,
+    )
+
+    ensure_session_defaults(spark)
+    incoming = with_content_hash(spark.read.parquet(path), key_cols)
+    manifest = load_manifest(spark, manifest_path).filter(
+        F.col("source") == source
+    )
+    return changed_objects(incoming, manifest)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = ("dt", "hour"),
+) -> int:
+    """Small-file compaction for an hourly-ingested lake table: rewrite
+    each partition's many small files into ~``target_file_bytes``
+    outputs (the reference's one-blob-per-hour layout accretes a file
+    per micro-batch/run; small files poison scan planning at 100 TB —
+    footer reads and task scheduling dominate).
+
+    Rewrites in place with dynamic partition overwrite (idempotent;
+    re-running compacts nothing new). Returns the number of files
+    after compaction.
+    """
+    ensure_session_defaults(spark)
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in pathlib.Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, total_bytes // target_file_bytes)
+    (
+        df.repartition(int(n_files), *[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(*partition_cols)
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return sum(1 for _ in pathlib.Path(path).rglob("*.parquet"))

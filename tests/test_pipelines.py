@@ -289,3 +289,61 @@ def test_orchestration_importable_without_airflow():
     assert dags.HAS_AIRFLOW is False  # container has no airflow
     # DAG factories are inert plain functions under the no-airflow gate
     assert callable(dags.warsaw_gtfs_spark)
+
+
+# --------------------------------------------------------------------------
+# incremental read + compaction (SURVEY §4 API-layer optimizations)
+# --------------------------------------------------------------------------
+
+
+def test_read_incremental_skips_processed(spark, tmp_path, sf_dir):
+    from mobility_etl_spark.io import load_table, read_incremental
+    from mobility_etl_spark.sources.manifest import record_ingest, with_content_hash
+
+    landing = str(tmp_path / "landing")
+    man = str(tmp_path / "man")
+    ev = load_table(spark, sf_dir, "events").limit(0)  # schema only
+    first = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    first.write.mode("overwrite").parquet(landing)
+    del ev
+
+    batch1 = read_incremental(spark, landing, man, "ev", ("event_id",))
+    assert batch1.count() == first.count()
+    record_ingest(
+        spark, man, "ev",
+        with_content_hash(first, ("event_id",)).select(
+            F.col("event_id").cast("string").alias("object_key"),
+            "content_sha256",
+        ),
+    )
+    # second arrival appends new rows; incremental read sees ONLY them
+    second = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id").between(500, 699)
+    )
+    second.write.mode("append").parquet(landing)
+    batch2 = read_incremental(spark, landing, man, "ev", ("event_id",))
+    assert batch2.count() == second.count()
+    assert batch2.filter(F.col("event_id") < 500).count() == 0
+
+
+def test_compact_partitions_reduces_files(spark, tmp_path, sf_dir):
+    import pathlib
+
+    from mobility_etl_spark.io import compact_partitions, load_table
+
+    path = str(tmp_path / "lake")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("dt", F.to_date("ts"))
+        .withColumn("hour", F.hour("ts"))
+    )
+    # simulate 6 micro-batch appends → many small files per partition
+    for i in range(6):
+        ev.filter(F.col("event_id") % 6 == i).write.partitionBy(
+            "dt", "hour"
+        ).mode("append").parquet(path)
+    before = sum(1 for _ in pathlib.Path(path).rglob("*.parquet"))
+    n_rows = spark.read.parquet(path).count()
+    after = compact_partitions(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert after < before
+    assert spark.read.parquet(path).count() == n_rows  # lossless
