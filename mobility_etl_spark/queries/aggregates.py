@@ -205,3 +205,39 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "pivot_qty_by_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity END
+                         AS DECIMAL(20,6))) AS DOUBLE) AS qty_a,
+           CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity END
+                         AS DECIMAL(20,6))) AS DOUBLE) AS qty_n,
+           CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity END
+                         AS DECIMAL(20,6))) AS DOUBLE) AS qty_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("E13", "E15"),
+)
+def pivot_qty_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): quantity totals per linestatus x returnflag
+    as columns. The pivot values are given EXPLICITLY - omitting them
+    makes Spark run an extra distinct-collect job to discover them,
+    which at 100 TB is a full extra scan. With values pinned this is
+    one conditional aggregation, one shuffle, same plan shape as the
+    CASE-WHEN oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum("l_quantity", "q"))
+    )
+    return pivoted.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )

@@ -1,0 +1,103 @@
+"""Reproducible sampling queries over ``documents`` (SURVEY.md §2.C).
+
+Training-data pipelines live and die on deterministic subsetting:
+train/test splits, fractional corpus samples, and per-class balancing
+must be pure functions of record keys so that re-runs, re-partitions,
+and incremental rebuilds select identical rows at 100 TB. These
+queries drive operators/sampling.py's integer-arithmetic hash, which is
+engine-portable — so unlike RNG-based ``df.sample``, every one is
+exactly oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.functions.compat import davg
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.sampling import (
+    balanced_sample,
+    hash_sample,
+    hash_split,
+    sql_hash_bucket,
+)
+from mobility_etl_spark.registry import register
+
+_BUCKET100 = sql_hash_bucket("doc_id", 100)
+_BUCKET1000 = sql_hash_bucket("doc_id", 1000)
+_BUCKETBIG = sql_hash_bucket("doc_id", 1000000007)
+
+
+@register(
+    "hash_split_train_test",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN {_BUCKET100} < 80 THEN 'train' ELSE 'test' END
+                   AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(n_chars) AS avg_chars
+    FROM h GROUP BY split
+    """,
+    tags=("N5", "N1"),
+)
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/20 train/test split as a pure function of doc_id: stable
+    across runs, partitionings, and cluster sizes — the property RNG
+    sampling cannot give an incremental 100 TB pipeline. Narrow until
+    the 2-group aggregate; nothing but the final agg shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", train_pct=80)
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), davg("n_chars", "avg_chars"))
+    )
+
+
+@register(
+    "hash_sample_quarter",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_BUCKET1000} < 250
+    """,
+    tags=("N5", "N1"),
+)
+def hash_sample_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% corpus sample by key hash. A pure per-row
+    filter: no shuffle, no RNG state, and the same rows survive when
+    the corpus is re-read with any split layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", permille=250).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "balanced_label_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_BUCKETBIG}, doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= 40
+    """,
+    tags=("N5", "E17"),
+)
+def balanced_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: at most 40 docs per language, chosen
+    by hash order (file order is layout-dependent; hash order is not).
+    One shuffle on the label; per-class window state is bounded by k.
+    This is the class-rebalancing primitive for skewed corpora (en
+    dominates the driver table ~3:1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return balanced_sample(docs, label="lang", key="doc_id", k=40).select(
+        "doc_id", "lang", "rn"
+    )
