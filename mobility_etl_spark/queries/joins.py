@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from mobility_etl_spark.functions.compat import davg, dsum, sql_davg, sql_dsum
 from mobility_etl_spark.io import load_table, load_tables
 from mobility_etl_spark.operators.asof import asof_join
+from mobility_etl_spark.operators.rangejoin import interval_join
 from mobility_etl_spark.registry import register
 
 
@@ -225,3 +226,48 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         payload_cols=["purchase_value"],
     ).select("event_id", "user_id", "ts", "ts_asof", "purchase_value_asof")
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    SELECT l.event_id AS purchase_id,
+           COUNT(r.event_id) AS n_clicks_nearby,
+           CAST(SUM(CAST(r.value AS DECIMAL(20,6))) AS DOUBLE)
+               AS nearby_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 1800000000
+    GROUP BY l.event_id
+    """,
+    tags=("E12",),
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks within ±30 min of each purchase
+    (operators/rangejoin.py — bucketed replication, NOT a cross join;
+    the oracle's inequality join is O(n·m), the engine's plan is a
+    linear equi join on time buckets). Left-outer: purchases with no
+    nearby click keep count 0."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    paired = interval_join(
+        purchases,
+        clicks,
+        left_ts="p_ts",
+        right_ts="c_ts",
+        tolerance_us=1_800_000_000,
+        how="left",
+    )
+    return paired.groupBy("purchase_id").agg(
+        F.count("click_id").alias("n_clicks_nearby"),
+        F.sum(F.col("c_value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("nearby_click_value"),
+    )

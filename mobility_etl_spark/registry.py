@@ -38,6 +38,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.windows",
     "mobility_etl_spark.queries.sorts_sets",
     "mobility_etl_spark.queries.scalars",
+    "mobility_etl_spark.queries.scalars2",
     "mobility_etl_spark.queries.domain",
     "mobility_etl_spark.queries.dedup",
     "mobility_etl_spark.queries.similarity",

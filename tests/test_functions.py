@@ -108,3 +108,68 @@ def test_gtfs_roundtrip_and_rollover(spark):
     assert rows["25:10:30"]["wall"] == "01:10:30"
     assert rows["08:00:00"]["offset"] == 0
     assert rows["08:00:00"]["wall"] == "08:00:00"
+
+
+class TestIntervalJoin:
+    """operators/rangejoin.py: bucketed range join semantics."""
+
+    def _frames(self, spark):
+        from datetime import datetime
+
+        def ts(s):
+            return datetime(2024, 1, 1, 0, 0, s)
+
+        left = spark.createDataFrame(
+            [(1, ts(0), "k"), (2, ts(30), "k"), (3, ts(50), "j")],
+            "lid int, lts timestamp_ntz, lk string",
+        )
+        right = spark.createDataFrame(
+            [(10, ts(9), "k"), (11, ts(41), "k"), (12, ts(41), "j")],
+            "rid int, rts timestamp_ntz, rk string",
+        )
+        return left, right
+
+    def test_inner_pairs_exactly_once(self, spark):
+        from mobility_etl_spark.operators.rangejoin import interval_join
+
+        left, right = self._frames(spark)
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_join(
+                left, right, "lts", "rts", tolerance_us=10_000_000
+            ).collect()
+        )
+        # |Δt|<=10s: 1↔10 (9s), 2↔11 (11s: out), 2↔10 (21s: out),
+        # 3↔11 (9s), 3↔12 (9s) — each qualifying pair exactly once
+        assert got == [(1, 10), (3, 11), (3, 12)]
+
+    def test_left_keeps_unmatched_once(self, spark):
+        from mobility_etl_spark.operators.rangejoin import interval_join
+
+        left, right = self._frames(spark)
+        got = interval_join(
+            left, right, "lts", "rts", tolerance_us=10_000_000, how="left"
+        ).collect()
+        rows = sorted(
+            ((r.lid, r.rid) for r in got), key=lambda p: (p[0], p[1] or -1)
+        )
+        # 2 matches nothing within 10s and must survive exactly once
+        assert rows == [(1, 10), (2, None), (3, 11), (3, 12)]
+
+    def test_extra_equality_keys(self, spark):
+        from mobility_etl_spark.operators.rangejoin import interval_join
+
+        left, right = self._frames(spark)
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_join(
+                left.withColumnRenamed("lk", "k"),
+                right.withColumnRenamed("rk", "k"),
+                "lts",
+                "rts",
+                tolerance_us=10_000_000,
+                on=["k"],
+            ).collect()
+        )
+        # same pairs as inner, minus the cross-key 3↔11 ('j' vs 'k')
+        assert got == [(1, 10), (3, 12)]

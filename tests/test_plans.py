@@ -100,3 +100,13 @@ def test_sort_within_partitions_no_exchange(spark, sf_dir):
     ).split("\n\n")[0]
     assert "Sort" in tree
     assert "Exchange" not in tree
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """interval_join must plan as a hash join on time buckets — a
+    BroadcastNestedLoopJoin/CartesianProduct here is the O(n·m) plan
+    that dies at 100 TB (operators/rangejoin.py)."""
+    plan = _plan(spark, "range_join_events", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
