@@ -1,0 +1,69 @@
+"""Connected components over a similarity-pair graph — the clustering
+step of near-duplicate deduplication (SURVEY.md §2.C N1/N2: pairs say
+"these two are dups"; components say "this whole family is one
+document, keep one representative").
+
+Algorithm: iterative minimum-label propagation on DataFrames. Each
+round, every node adopts the smallest component id among itself and
+its neighbors; a fixpoint is reached within graph-diameter rounds.
+Near-dup graphs are overwhelmingly tiny cliques/chains (diameter ≤ a
+few hops), so convergence is fast in practice; ``max_iter`` bounds the
+worst case.
+
+Scale design (100 TB): each round is one equi join (labels ⋈ edges)
+plus one groupBy-min — both plain shuffles on the node key, AQE-
+handled. Lineage is truncated every round with ``localCheckpoint``
+so the plan does not grow with iteration count (the classic iterative-
+DataFrame trap). Convergence is detected from the monotone global
+label sum (labels only ever decrease), which costs one tiny scalar agg
+per round rather than an old⋈new anti join. For graphs with huge
+diameters (not the dedup shape) the large-star/small-star variant
+would halve rounds; the hook here keeps the simple form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node with the minimum node id reachable from it.
+
+    ``nodes``: one row per node (isolated nodes become their own
+    component). ``edges``: undirected pairs (each pair listed once is
+    enough). Returns ``(node_col, component)``.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+
+    for _ in range(max_iter):
+        neighbor_labels = sym.join(
+            labels, sym["src"] == labels["node"], "inner"
+        ).select(F.col("dst").alias("node"), "component")
+        labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:  # labels are monotone non-increasing
+            break
+        prev_sum = cur_sum
+
+    return labels.withColumnRenamed("node", node_col)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.components import connected_components
 from mobility_etl_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -138,3 +139,67 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
     return simhash(docs, "text", "doc_id")
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE scoped AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < {PAIR_SCOPE}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+        FROM scoped, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS key_a, b.doc_id AS key_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+        SELECT key_a, key_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = key_a
+        JOIN sizes sb ON sb.doc_id = key_b
+        WHERE n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)
+              >= 0.2
+    ),
+    sym AS (
+        SELECT key_a AS src, key_b AS dst FROM edges
+        UNION ALL
+        SELECT key_b AS src, key_a AS dst FROM edges
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM scoped
+        UNION
+        SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS doc_id,
+           MIN(lab) AS component,
+           (node = MIN(lab)) AS keep
+    FROM reach
+    GROUP BY node
+    """,
+    tags=("N1", "N2"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    exact-Jaccard ≥ 0.2 pair graph (operators/components.py, iterative
+    min-label propagation with per-round lineage truncation), each doc
+    labeled with its cluster's canonical id and a keep flag — the
+    representative-selection step of corpus dedup. Proven against a
+    DuckDB recursive-CTE transitive closure of the same edge set."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
+    sh = shingles(docs, "text", "doc_id", n=3)
+    edges = jaccard_pairs(sh, "doc_id", min_jaccard=0.2).select("key_a", "key_b")
+    comp = connected_components(
+        docs.select("doc_id"), edges, "doc_id", "key_a", "key_b"
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )

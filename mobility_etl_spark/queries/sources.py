@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from mobility_etl_spark.functions.compat import dsum
 from mobility_etl_spark.io import load_table
 from mobility_etl_spark.registry import register
+from mobility_etl_spark.operators.scd import scd2_from_observations
 from mobility_etl_spark.sources.manifest import changed_objects, with_content_hash
 from mobility_etl_spark.sources.readers import (
     expand_zip_members,
@@ -238,4 +239,76 @@ def json_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum("value", "sum_value"),
         F.count(F.get_json_object("props", "$.source")).alias("n_with_source"),
+    )
+
+
+@register(
+    "orc_roundtrip_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS sum_price,
+           MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority
+    """,
+    tags=("E2", "E5", "R10"),
+)
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet → ORC → ORC scan → aggregate: the second columnar format
+    the engine supports natively (both ride the same vectorized reader
+    + predicate-pushdown machinery; the o_orderkey filter is pushed
+    into the ORC scan). Fidelity proven by hash-matching the aggregate
+    computed off the original parquet — doubles and timestamps survive
+    the format round-trip bit-exactly."""
+    out = _tmpdir()
+    src = load_table(spark, sf_dir, "orders")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("o_orderkey") < 2000)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        dsum("o_totalprice", "sum_price"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_date"),
+    )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER w AS prev_state
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE prev_state IS NULL OR event_type <> prev_state
+    )
+    SELECT user_id,
+           event_type AS state,
+           ts AS valid_from,
+           LEAD(ts) OVER w2 AS valid_to,
+           (LEAD(ts) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("E17", "E18", "R7"),
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build (operators/scd.py): per-user state
+    history with valid_from/valid_to intervals collapsed from the raw
+    observation stream — the warehouse-native form of the reference's
+    overwrite-latest state blob (R7, dags/warsaw-gtfs.py:73-80).
+    Ordering is made total with the event_id tiebreak so interval
+    bounds are engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    return scd2_from_observations(
+        events.select("user_id", "event_type", "ts", "event_id"),
+        key_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak_col="event_id",
     )

@@ -27,6 +27,7 @@ from mobility_etl_spark.streaming.jobs import (
     run_available_now,
     sliding_agg,
     stateful_user_totals,
+    stream_stream_join,
     tumbling_hourly_agg,
 )
 
@@ -207,3 +208,31 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         "n_events",
     )
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS p_ts,
+           c.ts AS c_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    """,
+    tags=("E30", "E34"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream inner join executed by the streaming engine (both
+    sides watermarked, time-bounded join condition → bounded state,
+    append sink), proven identical to the batch interval self-join."""
+    name = f"ssj_{uuid.uuid4().hex[:12]}"
+    stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
+    result = stream_stream_join(stream)
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        run_available_now(result, name, ckpt, output_mode="append")
+    return spark.table(name)

@@ -240,3 +240,52 @@ def write_stream_idempotent(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_join(
+    stream: DataFrame,
+    lag: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's clicks in the preceding ``lag`` window.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so the engine can evict buffered rows once
+    the watermark passes — state is bounded by (watermark × arrival
+    rate), never the full stream (SURVEY.md §7 hard-part 7). This is
+    the streaming-native form of the delays⋈weather correlation
+    (E11/E12) when BOTH feeds arrive continuously.
+    """
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND c_ts >= p_ts - INTERVAL {lag}"
+            " AND c_ts <= p_ts"
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+    )

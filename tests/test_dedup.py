@@ -125,3 +125,19 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
         F.approx_count_distinct("user_id").alias("a")
     ).collect()[0].a
     assert abs(approx - exact) / exact <= 0.10
+
+
+def test_connected_components_chain_clique_isolated(spark):
+    """operators/components.py on a known graph: a 4-chain (diameter 3,
+    needs >1 propagation round), a triangle, and an isolated node."""
+    from mobility_etl_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], "a long, b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, "id", "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
