@@ -33,6 +33,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: Modules that register queries on import (one per SURVEY.md §2 family).
 _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.relational",
+    "mobility_etl_spark.queries.relational2",
     "mobility_etl_spark.queries.joins",
     "mobility_etl_spark.queries.aggregates",
     "mobility_etl_spark.queries.windows",

@@ -110,3 +110,26 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must prune
+    partitions at runtime (DPP): the scan's PartitionFilters must
+    carry a dynamicpruning subquery — at 100 TB this is the difference
+    between scanning one day and scanning the lake."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.io import load_table, with_time_partitions
+
+    events = with_time_partitions(load_table(spark, "/root/testdata/sf0.001", "events"))
+    root = str(tmp_path / "events_part")
+    events.write.partitionBy("dt").mode("overwrite").parquet(root)
+    fact = spark.read.parquet(root)
+    dim = (
+        events.select("dt", "user_id")
+        .distinct()
+        .filter(F.col("dt").isin("2024-01-05", "2024-01-06"))
+    )
+    joined = fact.join(F.broadcast(dim), "dt").groupBy("dt").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
