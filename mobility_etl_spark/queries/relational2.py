@@ -128,3 +128,128 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("centroid")
     )
+
+
+@register(
+    "variant_json_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("E3", "E28"),
+)
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` builds a
+    binary variant once, ``variant_get`` extracts typed fields without
+    re-parsing — the at-scale answer to string-JSON hot paths (parse
+    cost paid once per row, pushdown-friendly binary encoding), vs the
+    oracle's per-access json_extract."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "topk_per_group_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT p.p_brand, l.l_partkey,
+               SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                        AS DECIMAL(20,6))) AS revenue
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand, l.l_partkey
+    )
+    SELECT p_brand, l_partkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY revenue DESC, l_partkey) AS rk
+        FROM rev
+    )
+    WHERE rk <= 3
+    """,
+    tags=("E17", "E21"),
+)
+def topk_per_group_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PER GROUP (global top-k is TakeOrderedAndProject; per-group
+    needs rank-then-filter): top-3 parts by revenue within each brand.
+    Ranking happens on the exact DECIMAL revenue (double ordering could
+    disagree across engines on ties); the rank filter runs on the
+    already-aggregated per-(brand,part) rollup, never on raw lineitem."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "part")}
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+                    "decimal(20,6)"
+                )
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    )
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "p_brand",
+            "l_partkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "array_higher_order_embeddings",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           (len(list_filter(embedding, x -> x > 2.0)) > 0) AS has_large,
+           (len(list_filter(embedding, x -> abs(x) >= 1e6)) = 0)
+               AS all_bounded,
+           list_max(embedding) AS v_max,
+           list_min(embedding) AS v_min,
+           embedding[1:3] AS head3
+    FROM embeddings
+    WHERE vec_id < 200
+    """,
+    tags=("E27",),
+)
+def array_higher_order_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on the embedding column — filter/
+    exists/forall lambdas, array extrema, slice — all JVM codegen over
+    the array without exploding (the fan-out-free path for per-vector
+    feature checks at 100 TB)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.exists(e, lambda x: x > 2.0).alias("has_large"),
+        F.forall(e, lambda x: F.abs(x) < 1e6).alias("all_bounded"),
+        F.array_max(e).alias("v_max"),
+        F.array_min(e).alias("v_min"),
+        F.slice(e, 1, 3).alias("head3"),
+    )

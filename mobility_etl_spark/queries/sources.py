@@ -312,3 +312,35 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_col="event_type",
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "pyds_weather_source",
+    oracle="""
+    SELECT CAST(i AS INTEGER) AS station_id,
+           'ST_' || lpad(CAST(i AS VARCHAR), 3, '0') AS station,
+           CAST(h // 24 + 1 AS INTEGER) AS obs_day,
+           CAST(h % 24 AS INTEGER) AS obs_hour,
+           ((i * 7 + h * 3) % 350) / 10.0 - 5.0 AS temp_c,
+           CAST((i * 13 + h * 5) % 90 AS DOUBLE) AS wind_kmh,
+           CAST((i * 11 + h * 7) % 101 AS DOUBLE) AS humidity_pct
+    FROM generate_series(0, 39) s(i)
+    CROSS JOIN generate_series(0, 23) t(h)
+    """,
+    tags=("R1", "R2", "E1"),
+)
+def pyds_weather_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMGW feed as a REGISTERED PYTHON DATA SOURCE
+    (sources/pydatasource.py): explicit schema, partition-split fetch
+    units, typed rows — scanned with ordinary ``spark.read.format``.
+    The deterministic stub is reproduced exactly by the oracle's
+    generate_series arithmetic."""
+    from mobility_etl_spark.sources.pydatasource import FakeWeatherDataSource
+
+    spark.dataSource.register(FakeWeatherDataSource)
+    return (
+        spark.read.format("imgw_synop_fake")
+        .option("n_stations", 40)
+        .option("hours", 24)
+        .load()
+    )

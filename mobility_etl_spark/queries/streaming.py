@@ -236,3 +236,43 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         run_available_now(result, name, ckpt, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "streaming_static_join",
+    oracle="""
+    SELECT e.event_id,
+           e.user_id,
+           e.event_type,
+           e.value,
+           c.c_mktsegment,
+           e.ts
+    FROM (SELECT * FROM events WHERE event_id < 2000) e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+    tags=("E30",),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined per
+    micro-batch against a static broadcast dimension (no state, no
+    watermark needed — the static side is re-broadcast per batch).
+    The streaming form of the GTFS-dimension enrichment every landed
+    snapshot needs."""
+    name = f"ssj2_{uuid.uuid4().hex[:12]}"
+    stream = events_file_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 2000
+    )
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "c_mktsegment",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        run_available_now(enriched, name, ckpt, output_mode="append")
+    return spark.table(name)

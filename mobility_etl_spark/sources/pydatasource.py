@@ -1,0 +1,102 @@
+"""Custom Python DataSource (Spark 4 ``spark.dataSource.register``):
+the IMGW weather feed as an engine-native source.
+
+The reference fetches the IMGW synop endpoint with driver-side
+``requests`` and lands the raw payload (dags/warsaw-weather.py:30-34).
+SURVEY.md §2.A R1 judged a custom source "possible but overkill" for
+one URL — but the *API shape* matters for engine completeness: a
+source that (a) declares an explicit schema, (b) splits itself into
+input partitions so the fetch parallelizes across executors, and
+(c) yields typed rows, makes any HTTP/paginated feed a first-class
+scan instead of a driver-side download.
+
+The network fetch is STUBBED with a deterministic synthetic feed
+(integer arithmetic only — exactly reproducible by the DuckDB oracle;
+the container has no network). The real implementation would issue
+the HTTP GET inside ``read()`` per partition (one page/station range
+per partition), which is exactly where it would run on a cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WEATHER_SOURCE_NAME = "imgw_synop_fake"
+
+WEATHER_SOURCE_SCHEMA = StructType(
+    [
+        StructField("station_id", IntegerType()),
+        StructField("station", StringType()),
+        StructField("obs_day", IntegerType()),
+        StructField("obs_hour", IntegerType()),
+        StructField("temp_c", DoubleType()),
+        StructField("wind_kmh", DoubleType()),
+        StructField("humidity_pct", DoubleType()),
+    ]
+)
+
+
+def synth_observation(i: int, h: int) -> tuple:
+    """One deterministic synthetic observation (station i, hour-slot h).
+
+    Integer arithmetic with at most two trailing IEEE double ops per
+    value — bit-identical in any engine (see functions/compat.py).
+    """
+    return (
+        i,
+        f"ST_{i:03d}",
+        h // 24 + 1,
+        h % 24,
+        ((i * 7 + h * 3) % 350) / 10.0 - 5.0,
+        float((i * 13 + h * 5) % 90),
+        float((i * 11 + h * 7) % 101),
+    )
+
+
+class _StationRange(InputPartition):
+    def __init__(self, start: int, end: int, hours: int):
+        self.start, self.end, self.hours = start, end, hours
+
+
+class FakeWeatherReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_stations = int(options.get("n_stations", 40))
+        self.hours = int(options.get("hours", 24))
+        self.n_partitions = int(options.get("partitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """Split the station id space — each partition is one
+        independent fetch unit, so the scan parallelizes like any
+        other (this is the piece the reference's driver-side GET
+        cannot do)."""
+        step = max(1, -(-self.n_stations // self.n_partitions))
+        return [
+            _StationRange(lo, min(lo + step, self.n_stations), self.hours)
+            for lo in range(0, self.n_stations, step)
+        ]
+
+    def read(self, partition: _StationRange) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            for h in range(partition.hours):
+                yield synth_observation(i, h)
+
+
+class FakeWeatherDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return WEATHER_SOURCE_NAME
+
+    def schema(self) -> StructType:
+        return WEATHER_SOURCE_SCHEMA
+
+    def reader(self, schema: StructType) -> FakeWeatherReader:
+        return FakeWeatherReader(self.options)
