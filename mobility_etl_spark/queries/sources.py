@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 from mobility_etl_spark.functions.compat import dsum
 from mobility_etl_spark.io import load_table
 from mobility_etl_spark.registry import register
+from mobility_etl_spark.operators.quality import check_constraints
+from mobility_etl_spark.operators.rollup import (
+    finalize_rollup,
+    merge_rollups,
+    partial_rollup,
+)
 from mobility_etl_spark.operators.scd import scd2_from_observations
 from mobility_etl_spark.sources.manifest import changed_objects, with_content_hash
 from mobility_etl_spark.sources.readers import (
@@ -344,3 +350,75 @@ def pyds_weather_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("hours", 24)
         .load()
     )
+
+
+@register(
+    "dq_violations_orders",
+    oracle="""
+    SELECT o_orderkey, 'price_cap' AS constraint
+    FROM orders WHERE NOT (o_totalprice <= 400000.0)
+    UNION ALL
+    SELECT o_orderkey, 'date_window'
+    FROM orders WHERE NOT (o_orderdate < TIMESTAMP '2001-01-01')
+    UNION ALL
+    SELECT o_orderkey, 'fk_customer'
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+    tags=("E7", "E8", "R8"),
+)
+def dq_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-quality validation (operators/quality.py): three
+    declared constraints — a numeric cap, a date window, and an
+    FK-existence check phrased as a broadcast left-join flag — checked
+    in ONE projection pass; violations come back long-form
+    (order key, constraint). The bronze→silver gate the reference's
+    'blob landed' pipelines never had."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    flagged = orders.join(
+        F.broadcast(
+            customer.select(F.col("c_custkey")).withColumn("__cust_ok", F.lit(True))
+        ),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left",
+    )
+    _, violations = check_constraints(
+        flagged,
+        {
+            "price_cap": F.col("o_totalprice") <= 400000.0,
+            "date_window": F.col("o_orderdate") < "2001-01-01",
+            "fk_customer": F.col("__cust_ok").isNotNull(),
+        },
+        key_cols=["o_orderkey"],
+    )
+    return violations
+
+
+@register(
+    "incremental_rollup_events",
+    oracle="""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS dt,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("E13", "R6", "R7"),
+)
+def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (operators/rollup.py): the first
+    20 days are the stored base rollup, later days arrive as a delta;
+    the result is merge(base_partials, delta_partials) — which the
+    oracle proves EQUALS the full recompute, bit-for-bit, because the
+    partials are counts + exact decimal sums (mergeable in any order).
+    At 100 TB this replaces a full-history re-scan with |rollup|+|delta|."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    keys = ["event_type", "dt"]
+    base = partial_rollup(events.filter(F.col("dt") <= "2024-01-20"), keys, "value")
+    delta = partial_rollup(events.filter(F.col("dt") > "2024-01-20"), keys, "value")
+    return finalize_rollup(merge_rollups(base, delta, keys))

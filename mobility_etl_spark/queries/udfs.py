@@ -148,3 +148,62 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum("micro").alias("sum_micro"))
     )
+
+
+@register(
+    "cogrouped_pandas_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_value AS purchase_value_asof
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("E39", "E12"),
+)
+def cogrouped_pandas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped ``applyInPandas`` (E39's two-sided form): clicks and
+    purchases co-grouped per user, merged with ``pandas.merge_asof``
+    inside the Arrow batch — the escape hatch for per-key logic that
+    needs BOTH sides as local frames. Proven equivalent to DuckDB's
+    native ASOF JOIN (and to operators/asof.py, which stays the
+    preferred all-JVM form)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "purchase_value_asof"]
+            )
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")[["ts", "purchase_value"]]
+        out = pd.merge_asof(left, right, on="ts", direction="backward")
+        return out.rename(columns={"purchase_value": "purchase_value_asof"})[
+            ["event_id", "user_id", "ts", "purchase_value_asof"]
+        ]
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, ts timestamp_ntz, "
+            "purchase_value_asof double",
+        )
+    )

@@ -347,3 +347,57 @@ def test_compact_partitions_reduces_files(spark, tmp_path, sf_dir):
     after = compact_partitions(spark, path, target_file_bytes=64 * 1024 * 1024)
     assert after < before
     assert spark.read.parquet(path).count() == n_rows  # lossless
+
+
+def test_check_constraints_valid_plus_violations_partition(spark):
+    """operators/quality.py: valid ∪ violating == input; a row failing
+    two rules appears twice in the long-form violations."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.operators.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, -1.0, None), (4, 3.0, None)],
+        "id int, amount double, status string",
+    )
+    valid, violations = check_constraints(
+        df,
+        {
+            "amount_positive": F.col("amount") > 0,
+            "status_present": F.col("status").isNotNull(),
+        },
+        key_cols=["id"],
+    )
+    assert sorted(r.id for r in valid.collect()) == [1]
+    got = sorted((r.id, r.constraint) for r in violations.collect())
+    assert got == [
+        (2, "amount_positive"),
+        (3, "amount_positive"),
+        (3, "status_present"),
+        (4, "status_present"),
+    ]
+
+
+def test_incremental_rollup_merge_equals_full(spark):
+    """operators/rollup.py: merge(base, delta) == full recompute, and a
+    second merge of an empty delta is a no-op (idempotent refresh)."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.operators.rollup import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", 4.0), ("a", 3.0), ("b", 1.0)],
+        "k string, v double",
+    )
+    base = partial_rollup(df.limit(3), ["k"], "v")
+    delta = partial_rollup(df.subtract(df.limit(3)), ["k"], "v")
+    merged = finalize_rollup(merge_rollups(base, delta, ["k"]))
+    full = finalize_rollup(partial_rollup(df, ["k"], "v"))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+    empty = partial_rollup(df.filter(F.lit(False)), ["k"], "v")
+    again = finalize_rollup(merge_rollups(merge_rollups(base, delta, ["k"]), empty, ["k"]))
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, full.collect()))
