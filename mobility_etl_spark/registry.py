@@ -49,6 +49,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.streaming",
     "mobility_etl_spark.queries.tpch",
     "mobility_etl_spark.queries.tpch2",
+    "mobility_etl_spark.queries.tpch3",
     "mobility_etl_spark.queries.subqueries",
     "mobility_etl_spark.queries.sampling",
     "mobility_etl_spark.queries.udfs",
