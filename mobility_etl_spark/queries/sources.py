@@ -422,3 +422,78 @@ def incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = partial_rollup(events.filter(F.col("dt") <= "2024-01-20"), keys, "value")
     delta = partial_rollup(events.filter(F.col("dt") > "2024-01-20"), keys, "value")
     return finalize_rollup(merge_rollups(base, delta, keys))
+
+
+@register(
+    "cdc_merge_orders",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    changes AS (
+        SELECT o_orderkey, o_custkey, o_totalprice * 1.05 AS o_totalprice,
+               o_orderstatus, 1 AS seq, 'U' AS op
+        FROM target WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice * 1.1,
+               o_orderstatus, 2, 'U'
+        FROM target WHERE o_orderkey % 14 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 3, 'D'
+        FROM target WHERE o_orderkey % 21 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 1, 'I'
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ),
+    latest AS (
+        SELECT * FROM changes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC) = 1
+    )
+    SELECT t.* FROM target t ANTI JOIN latest l
+        ON t.o_orderkey = l.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM latest WHERE op <> 'D'
+    """,
+    tags=("R7", "E10", "E17"),
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-upsert (operators/merge.py): a replayed, out-of-order CDC
+    feed — two update batches (the later overrides), deletes, and
+    late-window inserts — applied to the pre-1999 orders snapshot.
+    Last-writer-wins is decided by the feed's sequence number, not
+    arrival order, and the oracle replays the same feed in pure SQL."""
+    from mobility_etl_spark.operators.merge import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+    target = orders.filter(F.col("o_orderdate") < "1999-01-01").select(*cols)
+
+    def batch(df, price_mult, seq, op):
+        return df.select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * price_mult).alias("o_totalprice")
+            if price_mult != 1.0
+            else F.col("o_totalprice"),
+            "o_orderstatus",
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    changes = (
+        batch(target.filter(F.col("o_orderkey") % 7 == 0), 1.05, 1, "U")
+        .unionByName(batch(target.filter(F.col("o_orderkey") % 14 == 0), 1.1, 2, "U"))
+        .unionByName(batch(target.filter(F.col("o_orderkey") % 21 == 0), 1.0, 3, "D"))
+        .unionByName(
+            batch(
+                orders.filter(F.col("o_orderdate") >= "1999-01-01").select(*cols),
+                1.0,
+                1,
+                "I",
+            )
+        )
+    )
+    return apply_cdc(target, changes, keys=["o_orderkey"], seq_col="seq")

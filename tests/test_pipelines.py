@@ -401,3 +401,27 @@ def test_incremental_rollup_merge_equals_full(spark):
     empty = partial_rollup(df.filter(F.lit(False)), ["k"], "v")
     again = finalize_rollup(merge_rollups(merge_rollups(base, delta, ["k"]), empty, ["k"]))
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_apply_cdc_last_writer_wins_and_delete(spark):
+    """operators/merge.py: a reordered replayed feed — the max-seq
+    change wins regardless of arrival order; deletes drop the key;
+    inserts to unseen keys land; untouched rows survive verbatim."""
+    from mobility_etl_spark.operators.merge import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    )
+    # arrival order deliberately scrambled vs seq
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 5, "U"),   # final state for 2
+            (2, "b1", 1, "U"),   # stale, must lose
+            (3, "c", 2, "D"),    # delete 3
+            (4, "d", 1, "I"),    # insert new key
+            (9, "x", 1, "D"),    # delete of a key target never had: no-op
+        ],
+        "id int, v string, seq int, op string",
+    )
+    got = sorted(map(tuple, apply_cdc(target, changes, ["id"], "seq").collect()))
+    assert got == [(1, "a"), (2, "b2"), (4, "d")]
