@@ -241,3 +241,32 @@ def pivot_qty_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("N").alias("qty_n"),
         F.col("R").alias("qty_r"),
     )
+
+
+@register(
+    "percentile_disc_events",
+    oracle="""
+    SELECT event_type,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("E13", "E14"),
+)
+def percentile_disc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99 latency-style stats)
+    per event type. percentile_disc returns an ACTUAL data value — no
+    interpolation arithmetic — so Spark and DuckDB agree bit-for-bit
+    (verified: identical on all groups at sf0.01). The exact form is
+    the correctness anchor for approx_percentile at scale, where the
+    full sort-per-group becomes too expensive."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__pct_events")
+    return spark.sql(
+        """SELECT event_type,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+                  percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+                  percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+           FROM __pct_events GROUP BY event_type"""
+    )

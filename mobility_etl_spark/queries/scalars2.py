@@ -129,3 +129,42 @@ def stats_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("var_value"),
         F.sqrt(var).alias("std_value"),
     )
+
+
+@register(
+    "map_funcs_events",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           MAX(CASE WHEN event_type = 'click' THEN n END) AS click_count,
+           COUNT(CASE WHEN n > 5 THEN 1 END) AS heavy_types
+    FROM c GROUP BY user_id
+    """,
+    tags=("E27", "E29"),
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns + higher-order map lambdas (the map half of
+    E27): per-user event-type counts are materialized as a MAP column
+    (map_from_entries over collect_list), then consumed with
+    map_keys/element_at/map_filter — all JVM-side lambda expressions,
+    no explode and no Python. The oracle computes the same scalars
+    relationally, proving the map pipeline loses nothing."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("type_counts")
+    )
+    return maps.select(
+        "user_id",
+        F.size(F.map_keys("type_counts")).cast("long").alias("n_types"),
+        F.element_at("type_counts", "click").alias("click_count"),
+        F.size(
+            F.map_filter("type_counts", lambda k, v: v > 5)
+        ).cast("long").alias("heavy_types"),
+    )
