@@ -270,3 +270,20 @@ def percentile_disc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
            FROM __pct_events GROUP BY event_type"""
     )
+
+
+@register(
+    "approx_percentile_events",
+    oracle=None,  # sketch-specific values; error bound gated in tests
+    tags=("E13", "E14"),
+)
+def approx_percentile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the scale path
+    for percentile_disc_events: mergeable per-partition sketches, one
+    pass, no per-group sort. accuracy=10000 bounds rank error at
+    1/10000 of the group; tests/test_functions.py gates the result
+    against the exact discrete percentiles at sf0.001."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    )

@@ -164,3 +164,42 @@ def session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "window_range_frame_events",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS hour_n
+    FROM events WHERE user_id < 500
+    """,
+    tags=("E19", "E17"),
+)
+def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs window_moving_avg's row frame): per
+    user, the trailing-1-hour sum/count at every event — value-based
+    frame bounds, so tied timestamps are peers and gaps shrink the
+    frame, which a ROWS frame can't express. Spark's rangeBetween
+    needs a numeric ordering key: epoch seconds, with [-3600, 0]
+    inclusive == the oracle's INTERVAL form. One shuffle on user_id,
+    no self-join — the naive equivalent is an O(n^2) range self-join."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("hour_sum"),
+        F.count("*").over(w).alias("hour_n"),
+    )

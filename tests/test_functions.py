@@ -173,3 +173,36 @@ class TestIntervalJoin:
         )
         # same pairs as inner, minus the cross-key 3↔11 ('j' vs 'k')
         assert got == [(1, 10), (3, 12)]
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """approx_percentile vs exact percentile_disc: with accuracy=10000
+    the sketch's rank error is <= n/10000 < 1 rank at sf0.001, so the
+    approximate values must land within the immediate neighborhood of
+    the exact ones (here: relative value error < 1%)."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__apx_events")
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in spark.sql(
+            """SELECT event_type,
+                      percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+                      percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+                      percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+               FROM __apx_events GROUP BY event_type"""
+        ).collect()
+    }
+    approx = {
+        r.event_type: r.pcts
+        for r in events.groupBy("event_type")
+        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, (p50, p90, p99) in exact.items():
+        for got, want in zip(approx[et], (p50, p90, p99)):
+            assert abs(got - want) <= 0.01 * abs(want) + 1e-9, (et, got, want)
