@@ -287,3 +287,58 @@ def approx_percentile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
     )
+
+
+@register(
+    "regression_slope_events",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x,
+               value AS y
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE) AS sum_x,
+           CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE) AS sum_y,
+           (COUNT(*) * CAST(SUM(CAST(x * y AS DECIMAL(20,6))) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE)
+                * CAST(SUM(CAST(y AS DECIMAL(20,6))) AS DOUBLE))
+           / (COUNT(*) * CAST(SUM(CAST(x * x AS DECIMAL(20,6))) AS DOUBLE)
+              - CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE)
+                * CAST(SUM(CAST(x AS DECIMAL(20,6))) AS DOUBLE))
+               AS slope
+    FROM t GROUP BY event_type
+    """,
+    tags=("E13",),
+)
+def regression_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate (REGR_SLOPE analog): slope of value
+    vs hour-of-day per event type, from the closed-form moment sums.
+    The built-in regr_slope accumulates doubles (order-dependent, so
+    cross-engine hashes diverge); here every moment (Σx, Σy, Σxy, Σx²)
+    is an exact decimal sum and the slope is pure scalar arithmetic on
+    the finalized doubles — one pass, mergeable partials, bit-stable
+    at any parallelism."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    t = events.select("event_type", x.alias("x"), y.alias("y"))
+    agg = t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x"), "sum_x"),
+        dsum(F.col("y"), "sum_y"),
+        dsum(F.col("x") * F.col("y"), "sum_xy"),
+        dsum(F.col("x") * F.col("x"), "sum_xx"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "sum_x",
+        "sum_y",
+        (
+            (F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+            / (F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x"))
+        ).alias("slope"),
+    )

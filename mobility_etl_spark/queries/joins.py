@@ -271,3 +271,41 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("nearby_click_value"),
     )
+
+
+@register(
+    "join_null_safe_priority",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+        FROM orders WHERE o_orderkey < 2000
+    ),
+    r AS (
+        SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pri, COUNT(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT l.o_orderkey, l.pri, r.n
+    FROM l JOIN r ON l.pri IS NOT DISTINCT FROM r.pri
+    """,
+    tags=("E10", "E7"),
+)
+def join_null_safe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the corner
+    that loses rows when a plain equi-join meets nullable keys (here
+    '3-MEDIUM' is nulled out on both sides and must still pair up).
+    Spark plans eqNullSafe as a hash join on the null-coalesced key,
+    not a nested loop, so it still broadcasts."""
+    orders = load_table(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    left = orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", pri.alias("pri")
+    )
+    right = (
+        orders.groupBy(pri.alias("rpri"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        left.join(F.broadcast(right), F.col("pri").eqNullSafe(F.col("rpri")))
+        .select("o_orderkey", "pri", "n")
+    )
