@@ -42,6 +42,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.scalars2",
     "mobility_etl_spark.queries.domain",
     "mobility_etl_spark.queries.dedup",
+    "mobility_etl_spark.queries.graph",
     "mobility_etl_spark.queries.similarity",
     "mobility_etl_spark.queries.text",
     "mobility_etl_spark.queries.multimodal",

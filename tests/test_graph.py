@@ -1,0 +1,60 @@
+"""PageRank (operators/pagerank.py) vs a dense NumPy power iteration."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from mobility_etl_spark.operators.pagerank import pagerank
+
+
+def _numpy_pagerank(edges, damping, iters):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for u, _ in edges:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # chain + hub + a dangling sink (c has no out-edges... b->c, c dangles)
+        [("a", "b"), ("b", "c"), ("d", "c"), ("e", "c"), ("c2", "a")],
+        # cycle (no dangling)
+        [("a", "b"), ("b", "c"), ("c", "a")],
+    ],
+    ids=["hub_with_dangling", "cycle"],
+)
+def test_pagerank_matches_numpy(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, iters=12, checkpoint_every=4).collect()}
+    want = _numpy_pagerank(edges, 0.85, 12)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_bipartite_sf(spark, sf_dir):
+    """The registered query's graph at sf0.001: ranks are a proper
+    distribution, every node present, hub suppliers beat the floor."""
+    from mobility_etl_spark.queries.graph import pagerank_part_supplier
+
+    ranks = pagerank_part_supplier(spark, sf_dir).collect()
+    n = len(ranks)
+    assert n > 0
+    total = sum(r.rank for r in ranks)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    floor = 0.15 / n
+    assert all(r.rank >= floor - 1e-12 for r in ranks)
+    # suppliers aggregate many parts' mass: the max-ranked node is one
+    assert max(ranks, key=lambda r: r.rank).node.startswith("s")
