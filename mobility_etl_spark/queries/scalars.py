@@ -204,3 +204,49 @@ def collect_list_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list("vec_id")).alias("vec_ids"),
         )
     )
+
+
+@register(
+    "json_corrupt_records_events",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CASE WHEN event_id % 7 = 0 THEN 'x' || props
+                    ELSE props END AS s
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN json_valid(s) THEN 1 END) AS n_valid,
+           SUM(CASE WHEN json_valid(s)
+                    THEN CAST(json_extract_string(s, '$.k') AS INTEGER)
+               END) AS sum_k
+    FROM t GROUP BY event_type
+    """,
+    tags=("E28", "E3", "R8"),
+)
+def json_corrupt_records_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record tolerance on the JSON path: 1-in-7 payloads are
+    deterministically mangled (prefix garbage — real feeds truncate
+    and concatenate), parsed with try_parse_json (strict VARIANT
+    parser → NULL on malformed, never a job abort), and the query
+    routes on validity: totals, parse-success counts, and sums over
+    only the parseable payloads. The poisoned-feed drill every
+    100 TB ingest needs; from_json alone can't express 'did it parse'
+    (it yields a null-fielded struct, and is lenient about trailing
+    garbage where DuckDB's json_valid is not)."""
+    events = load_table(spark, sf_dir, "events")
+    s = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(s)
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", v.alias("v"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("v").isNotNull(), 1)).alias("n_valid"),
+            F.sum(F.when(F.col("v").isNotNull(), F.col("k"))).alias("sum_k"),
+        )
+    )
