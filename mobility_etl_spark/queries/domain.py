@@ -113,3 +113,62 @@ def gtfs_time_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         service_day_offset(secs).alias("rolls_over"),
         seconds_to_gtfs_time(wall_clock_seconds(secs)).alias("wall_time"),
     )
+
+
+@register(
+    "gap_fill_daily_user_values",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 50),
+    daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS day_value
+        FROM events WHERE user_id < 50
+        GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT u.user_id,
+           strftime(s.d, '%Y-%m-%d') AS dt,
+           LAST_VALUE(daily.day_value IGNORE NULLS) OVER (
+               PARTITION BY u.user_id ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS day_value,
+           daily.day_value IS NULL AS is_gap
+    FROM users u
+    CROSS JOIN spine s
+    LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = s.d
+    """,
+    tags=("E11", "E19", "R13"),
+)
+def gap_fill_daily_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.py): sparse
+    per-user daily totals resampled onto the full generated date
+    spine, gaps forward-filled per user with the last true value and
+    flagged is_gap (leading gaps stay NULL — nothing true to carry).
+    The regular-grid precondition for the rollup/window/training ops,
+    phrased as spine-join + ignorenulls window, never a UDF loop."""
+    from mobility_etl_spark.operators.timeseries import date_spine, gap_fill_forward
+
+    events = load_table(spark, sf_dir, "events")
+    from mobility_etl_spark.functions.compat import dsum
+
+    sub = events.filter(F.col("user_id") < 50)
+    daily = sub.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(dsum(F.col("value"), "day_value"))
+    spine = date_spine(events, "user_id", "ts").join(
+        sub.select("user_id").distinct(), "user_id", "left_semi"
+    )
+    filled = gap_fill_forward(daily, "user_id", "d", ["day_value"], spine)
+    return filled.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("dt"),
+        "day_value",
+        "is_gap",
+    )

@@ -425,3 +425,34 @@ def test_apply_cdc_last_writer_wins_and_delete(spark):
     )
     got = sorted(map(tuple, apply_cdc(target, changes, ["id"], "seq").collect()))
     assert got == [(1, "a"), (2, "b2"), (4, "d")]
+
+
+def test_gap_fill_forward_leading_and_interior_gaps(spark):
+    """operators/timeseries.py: interior gaps carry the last true
+    value and are flagged; leading gaps stay NULL; observed rows pass
+    through untouched."""
+    import datetime as dt
+
+    from mobility_etl_spark.operators.timeseries import gap_fill_forward
+
+    d = lambda day: dt.date(2024, 1, day)
+    spine = spark.createDataFrame(
+        [("a", d(1)), ("a", d(2)), ("a", d(3)), ("b", d(1)), ("b", d(2)), ("b", d(3))],
+        "k string, d date",
+    )
+    observed = spark.createDataFrame(
+        [("a", d(1), 1.0), ("a", d(3), 3.0), ("b", d(2), 2.0)],
+        "k string, d date, v double",
+    )
+    got = {
+        (r.k, r.d.day): (r.v, r.is_gap)
+        for r in gap_fill_forward(observed, "k", "d", ["v"], spine).collect()
+    }
+    assert got == {
+        ("a", 1): (1.0, False),
+        ("a", 2): (1.0, True),   # interior gap: carried forward
+        ("a", 3): (3.0, False),
+        ("b", 1): (None, True),  # leading gap: nothing true to carry
+        ("b", 2): (2.0, False),
+        ("b", 3): (2.0, True),
+    }
