@@ -20,7 +20,7 @@ rule, SURVEY.md §2.C).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -58,3 +58,24 @@ def check_constraints(
         .select(*key_cols, F.explode(names_arr).alias("constraint"))
     )
     return valid, violations
+
+
+def observe_constraints(
+    df: DataFrame, constraints: dict[str, Column]
+) -> tuple[DataFrame, Observation]:
+    """Piggyback per-constraint violation counts on whatever action
+    consumes ``df`` next (a write, a count) via ``Observation`` —
+    the metrics ride the SAME job as the data pass, so a bronze→silver
+    write reports its quality profile with zero extra scans. At 100 TB
+    a separate "count the violations" job is a second read of the
+    lake; this is free.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action ran. Metric names: ``viol_<constraint>`` + ``rows``.
+    """
+    obs = Observation("quality")
+    metrics = [F.count(F.lit(1)).alias("rows")] + [
+        F.sum(F.when(~c, 1).otherwise(0)).alias(f"viol_{name}")
+        for name, c in constraints.items()
+    ]
+    return df.observe(obs, *metrics), obs

@@ -456,3 +456,22 @@ def test_gap_fill_forward_leading_and_interior_gaps(spark):
         ("b", 2): (2.0, False),
         ("b", 3): (2.0, True),
     }
+
+
+def test_observe_constraints_free_metrics(spark, tmp_path):
+    """operators/quality.py:observe_constraints — violation counts
+    arrive from the SAME action that consumed the data (here a parquet
+    write), no second scan."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.operators.quality import observe_constraints
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, -1.0), (4, 0.0)], "id int, amount double"
+    )
+    observed, obs = observe_constraints(
+        df, {"amount_positive": F.col("amount") > 0}
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert obs.get == {"rows": 4, "viol_amount_positive": 3}
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 4
