@@ -133,3 +133,33 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     joined = fact.join(F.broadcast(dim), "dt").groupBy("dt").count()
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_cdc_merge_anti_join_broadcasts(spark, sf_dir):
+    """cdc_merge_orders: the survivors anti-join must broadcast the
+    feed's keys (digests-not-payloads) — a sort-merge anti here means
+    the target lake gets shuffled to refresh a day-sized feed."""
+    plan = _plan(spark, "cdc_merge_orders", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan.replace("(", " ").replace(")", " ")
+
+
+def test_gap_fill_single_shuffle_for_fill(spark, sf_dir):
+    """gap_fill_daily_user_values: the forward-fill window must reuse
+    the grid join's hash partitioning on user_id — the fill itself may
+    not introduce a second full-data Exchange chain (spine generation
+    and the bounds agg are tiny side plans)."""
+    plan = _plan(spark, "gap_fill_daily_user_values", sf_dir)
+    assert "Window" in plan
+    # window sort is within partitions, never a global Sort+Exchange(range)
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_incremental_rollup_reuses_grouping(spark, sf_dir):
+    """incremental_rollup_events: merge(base, delta) re-aggregates the
+    union of partials — the plan must stay partial->final hash
+    aggregation with no sort-based fallback."""
+    plan = _plan(spark, "incremental_rollup_events", sf_dir)
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
