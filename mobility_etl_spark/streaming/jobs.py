@@ -289,3 +289,47 @@ def stream_stream_join(
         F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
         F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
     )
+
+
+def cdc_apply_stream(
+    spark: SparkSession,
+    feed: DataFrame,
+    state_path: str,
+    keys: list[str],
+    seq_col: str,
+    checkpoint: str,
+    op_col: str = "op",
+) -> None:
+    """Streaming MERGE: drain a CDC feed stream, applying each
+    micro-batch to the parquet snapshot at ``state_path`` with
+    operators/merge.py:apply_cdc inside ``foreachBatch``.
+
+    Because apply_cdc is last-writer-wins on ``seq_col`` (never on
+    arrival order), the final state is INVARIANT to how the engine
+    batches the feed — one micro-batch or fifty, replayed or
+    coalesced, the result equals the batch apply of the whole feed
+    (asserted in tests/test_streaming.py). That invariance is what
+    makes the checkpointed restart safe: a re-applied batch is a
+    no-op, giving exactly-once state without a transactional sink.
+
+    The new snapshot is eagerly materialized (localCheckpoint) before
+    the overwrite so the read and the write of ``state_path`` never
+    overlap; a production deployment would swap two generation
+    directories instead of overwriting in place.
+    """
+    from mobility_etl_spark.operators.merge import apply_cdc
+
+    def _apply(batch_df: DataFrame, _epoch: int) -> None:
+        if not batch_df.take(1):
+            return
+        state = spark.read.parquet(state_path)
+        new = apply_cdc(state, batch_df, keys, seq_col, op_col)
+        new.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    q = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -112,3 +112,52 @@ def test_idempotent_sink_overwrites_partitions(spark, tmp_path, stream):
     write_stream_idempotent(stream, out, ckpt2)
     twice = spark.read.parquet(out).count()
     assert once == twice > 0
+
+
+def test_cdc_apply_stream_batching_invariant(spark, tmp_path):
+    """streaming/jobs.py:cdc_apply_stream — the feed is forced through
+    one-file micro-batches; the final snapshot must equal the single
+    batch apply_cdc of the whole feed (last-writer-wins by seq makes
+    state invariant to micro-batch boundaries)."""
+    import os
+    import time
+
+    from mobility_etl_spark.operators.merge import apply_cdc
+    from mobility_etl_spark.streaming.jobs import cdc_apply_stream
+
+    state = str(tmp_path / "state")
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    target = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 8)], "id int, v string"
+    )
+    target.write.parquet(state)
+
+    schema = "id int, v string, seq int, op string"
+    batches = [
+        [(1, "b1-upd", 1, "U"), (2, "b1-upd", 1, "U")],
+        [(5, "x", 2, "D"), (11, "b2-ins", 2, "I")],
+        [(1, "b3-upd", 3, "U"), (11, "x", 3, "D")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{feed_dir}/b{i}"
+        )
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed_dir}/*")
+    )
+    cdc_apply_stream(
+        spark, feed, state, ["id"], "seq", str(tmp_path / "ckpt")
+    )
+
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    all_changes = spark.createDataFrame(sum(batches, []), schema)
+    want = sorted(map(tuple, apply_cdc(target, all_changes, ["id"], "seq").collect()))
+    assert got == want
+    assert got == [
+        (1, "b3-upd"), (2, "b1-upd"), (3, "v3"), (4, "v4"), (6, "v6"), (7, "v7"),
+    ]
