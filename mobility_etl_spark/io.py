@@ -130,34 +130,92 @@ def read_incremental(
     return changed_objects(incoming, manifest)
 
 
+def _leaf_partitions(root: pathlib.Path) -> list[tuple[pathlib.Path, list[pathlib.Path], int]]:
+    """Enumerate leaf partition directories: (dir, parquet files, bytes).
+
+    Hidden/metadata entries (``.compaction_tmp``, ``_SUCCESS`` …) are
+    skipped, matching Spark's own path filtering.
+    """
+    leaves: dict[pathlib.Path, list[pathlib.Path]] = {}
+    for f in root.rglob("*.parquet"):
+        rel_parts = f.relative_to(root).parts
+        if any(p.startswith((".", "_")) for p in rel_parts):
+            continue
+        leaves.setdefault(f.parent, []).append(f)
+    return [
+        (d, sorted(fs), sum(f.stat().st_size for f in fs))
+        for d, fs in sorted(leaves.items())
+    ]
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
-    partition_cols: tuple[str, ...] = ("dt", "hour"),
 ) -> int:
     """Small-file compaction for an hourly-ingested lake table: rewrite
-    each partition's many small files into ~``target_file_bytes``
-    outputs (the reference's one-blob-per-hour layout accretes a file
+    ONLY the partitions that have more files than their byte size
+    warrants (the reference's one-blob-per-hour layout accretes a file
     per micro-batch/run; small files poison scan planning at 100 TB —
     footer reads and task scheduling dominate).
 
-    Rewrites in place with dynamic partition overwrite (idempotent;
-    re-running compacts nothing new). Returns the number of files
-    after compaction.
+    Scale/safety posture (this replaces a round-1 whole-table
+    ``repartition`` + same-path overwrite — a full shuffle and a
+    read-write-same-path corruption hazard):
+
+    * **Partition-scoped**: each selected partition is read and
+      ``coalesce``d independently — no Exchange anywhere, no touch of
+      healthy partitions. Cost is proportional to the small-file debt,
+      not the table.
+    * **Stage-then-swap**: new files are written to a hidden staging
+      dir (invisible to scans), then swapped in with directory renames
+      — the source partition is never overwritten by a job that is
+      concurrently reading it. The old files are moved aside before
+      deletion, so a crash mid-swap leaves data recoverable in
+      ``.compaction_trash`` rather than lost. (True reader-atomicity
+      needs a table format with a manifest commit — Delta/Iceberg; on a
+      rename-less object store, pair this with such a manifest.)
+
+    Idempotent: a second run finds every partition already at its
+    target file count and rewrites nothing. Returns the number of data
+    files after compaction.
     """
+    import math
+    import shutil
+    import uuid as _uuid
+
     ensure_session_defaults(spark)
-    df = spark.read.parquet(path)
-    total_bytes = sum(
-        f.stat().st_size
-        for f in pathlib.Path(path).rglob("*.parquet")
-    )
-    n_files = max(1, total_bytes // target_file_bytes)
-    (
-        df.repartition(int(n_files), *[F.col(c) for c in partition_cols])
-        .sortWithinPartitions(*partition_cols)
-        .write.partitionBy(*partition_cols)
-        .mode("overwrite")
-        .parquet(path)
-    )
-    return sum(1 for _ in pathlib.Path(path).rglob("*.parquet"))
+    root = pathlib.Path(path)
+    stage_root = root / ".compaction_tmp"
+    trash_root = root / ".compaction_trash"
+    for leaf, files, nbytes in _leaf_partitions(root):
+        n_target = max(1, math.ceil(nbytes / target_file_bytes))
+        if len(files) <= n_target:
+            continue  # partition already healthy — untouched, byte-stable
+        token = _uuid.uuid4().hex[:12]
+        if leaf == root:
+            # Unpartitioned table: file-granularity swap (add staged
+            # files under the root, then drop the listed originals).
+            stage = stage_root / token
+            spark.read.parquet(str(leaf)).coalesce(n_target).write.mode(
+                "overwrite"
+            ).parquet(str(stage))
+            for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
+                staged.rename(root / f"compacted-{token}-{i:05d}.parquet")
+            trash_root.mkdir(parents=True, exist_ok=True)
+            for old in files:
+                old.rename(trash_root / f"{token}-{old.name}")
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            rel = leaf.relative_to(root)
+            stage = stage_root / rel
+            spark.read.parquet(str(leaf)).coalesce(n_target).write.mode(
+                "overwrite"
+            ).parquet(str(stage))
+            aside = trash_root / rel / token
+            aside.parent.mkdir(parents=True, exist_ok=True)
+            leaf.rename(aside)
+            stage.rename(leaf)
+        shutil.rmtree(trash_root, ignore_errors=True)
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return sum(1 for _, fs, _ in _leaf_partitions(root) for _ in fs)

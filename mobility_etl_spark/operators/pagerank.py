@@ -58,6 +58,17 @@ def pagerank(
     edges = edges.join(outdeg, "src").repartition("src").cache()
     edges.count()
 
+    # The dangling-node SET is iteration-invariant (topology, not
+    # rank): materialize it once and reuse — per iteration only the
+    # scalar mass is re-aggregated (a semi-join against this cached
+    # set), not the anti-join recomputed.
+    dangling_nodes = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_anti")
+        .select("node")
+        .cache()
+    )
+    has_dangling = dangling_nodes.count() > 0
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):
         contrib = (
@@ -67,12 +78,14 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         # mass on nodes with no out-edges, redistributed uniformly
-        dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
+        dangling = 0.0
+        if has_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contrib, nodes["node"] == contrib["dst"], "left")

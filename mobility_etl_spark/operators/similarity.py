@@ -298,7 +298,7 @@ def ivf_topk(
     )
 
 
-def cosine_near_dup_pairs(
+def cosine_near_dup_pairs_exact(
     df: DataFrame,
     key_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -306,10 +306,11 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos ≥ threshold).
 
-    Exact all-pairs — the correctness baseline, O(n²) in candidates.
-    The scale path is the same computation after an LSH or IVF
-    prefilter (share a band bucket / a centroid cell), which turns the
-    cross join into a bucket equi-join; recall is gated in tests.
+    Exact all-pairs — the ORACLE BASELINE ONLY, O(n²) in candidates
+    (plans as a nested-loop theta join). Production callers use
+    ``near_dup_pairs`` (banded LSH prefilter + exact in-bucket
+    re-rank), whose recall is gated against this function in
+    tests/test_similarity.py.
     """
     a = df.select(F.col(key_col).alias("a_id"), F.col(vec_col).alias("__avec"))
     b = df.select(F.col(key_col).alias("b_id"), F.col(vec_col).alias("__bvec"))
@@ -324,5 +325,88 @@ def cosine_near_dup_pairs(
                 6,
             ).alias("cos_sim"),
         )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 160,
+    bands: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded LSH — the
+    default (100 TB) path; same output contract as
+    ``cosine_near_dup_pairs_exact`` minus the misses LSH allows.
+
+    Plan shape: signature map (no shuffle) → explode bands → self
+    equi-join on (band, bucket) → per-candidate exact cosine → groupBy
+    pair. The only shuffles are the bucket join and the pair dedup, and
+    the dedup shuffles (a_id, b_id, cos) triples, never vectors — a
+    pair that collides in several bands is re-scored map-side rather
+    than carried through a wide distinct (shuffle bytes dominate CPU at
+    scale).
+
+    Default geometry: 16 bands × 10 bits. For cos ≥ 0.9 the per-plane
+    agreement is p = 1 − arccos(0.9)/π ≈ 0.856, so a band matches with
+    p¹⁰ ≈ 0.21 and ≥1 of 16 bands with ≈ 0.978 — while uniform buckets
+    prune candidate pairs by ~2¹⁰/16 ≈ 64×. Banding CANNOT prune at low
+    thresholds (cos 0.2 ⇒ p ≈ 0.56: any geometry with usable recall
+    inspects ~all pairs) — loose-pair mining stays on the exact path
+    over a bounded slice.
+    """
+    bits_per_band = num_planes // bands
+    # Per-band bucket computed directly (not via one packed signature:
+    # 160 planes don't fit a BIGINT — each band's fold stays < 2^bits).
+    band_buckets = F.expr(
+        f"""
+        transform(sequence(0, {bands - 1}), b -> struct(b AS band,
+            aggregate(
+                transform(sequence(b * {bits_per_band},
+                                   b * {bits_per_band} + {bits_per_band - 1}),
+                          p ->
+                    CASE WHEN aggregate(
+                        zip_with({vec_col},
+                                 transform(sequence(0, size({vec_col}) - 1),
+                                           i -> (pmod(xxhash64(p, i), 10001)
+                                                 / 5000.0) - 1.0),
+                                 (x, h) -> CAST(x AS DOUBLE) * h),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+                    THEN 1L ELSE 0L END),
+                0L, (acc, bit) -> acc * 2 + bit) AS bucket))
+        """
+    )
+
+    def banded(side: str) -> DataFrame:
+        return df.select(
+            F.col(key_col).alias(f"{side}_id"),
+            F.col(vec_col).alias(f"__{side}vec"),
+            F.explode(band_buckets).alias("bb"),
+        ).select(
+            f"{side}_id",
+            f"__{side}vec",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+
+    candidates = (
+        banded("a")
+        .join(banded("b"), ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot_expr("__avec", "__bvec")
+                / F.sqrt(_sq_norm_expr("__avec") * _sq_norm_expr("__bvec")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return (
+        candidates.groupBy("a_id", "b_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

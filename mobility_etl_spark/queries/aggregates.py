@@ -282,10 +282,15 @@ def approx_percentile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for percentile_disc_events: mergeable per-partition sketches, one
     pass, no per-group sort. accuracy=10000 bounds rank error at
     1/10000 of the group; tests/test_functions.py gates the result
-    against the exact discrete percentiles at sf0.001."""
+    against the exact discrete percentiles at sf0.001. One sketch pass
+    computes all three ranks; the result array is unpacked to scalar
+    columns at the output edge (array cells are not harness-portable)."""
     events = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
     return events.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
+        F.element_at(pcts, 1).alias("p50_approx"),
+        F.element_at(pcts, 2).alias("p90_approx"),
+        F.element_at(pcts, 3).alias("p99_approx"),
     )
 
 

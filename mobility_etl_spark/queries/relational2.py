@@ -135,7 +135,8 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -231,7 +232,9 @@ def topk_per_group_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS all_bounded,
            list_max(embedding) AS v_max,
            list_min(embedding) AS v_min,
-           embedding[1:3] AS head3
+           CAST(embedding[1] AS DOUBLE) AS h1,
+           CAST(embedding[2] AS DOUBLE) AS h2,
+           CAST(embedding[3] AS DOUBLE) AS h3
     FROM embeddings
     WHERE vec_id < 200
     """,
@@ -239,9 +242,11 @@ def topk_per_group_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_higher_order_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions on the embedding column — filter/
-    exists/forall lambdas, array extrema, slice — all JVM codegen over
-    the array without exploding (the fan-out-free path for per-vector
-    feature checks at 100 TB)."""
+    exists/forall lambdas, array extrema, element access — all JVM
+    codegen over the array without exploding (the fan-out-free path for
+    per-vector feature checks at 100 TB). The head-of-vector slice is
+    emitted as three scalar columns (h1..h3) rather than an array —
+    array-typed output cells are not portable across result harnesses."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     e = F.col("embedding")
     return emb.select(
@@ -251,5 +256,7 @@ def array_higher_order_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         F.forall(e, lambda x: F.abs(x) < 1e6).alias("all_bounded"),
         F.array_max(e).alias("v_max"),
         F.array_min(e).alias("v_min"),
-        F.slice(e, 1, 3).alias("head3"),
+        F.element_at(e, 1).cast("double").alias("h1"),
+        F.element_at(e, 2).cast("double").alias("h2"),
+        F.element_at(e, 3).cast("double").alias("h3"),
     )

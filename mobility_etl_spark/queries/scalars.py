@@ -115,7 +115,8 @@ def hash_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
              / COUNT(json_extract_string(props, '$.k')) AS avg_k,
            MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
@@ -185,7 +186,7 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n_vecs,
-           list_sort(list(vec_id)) AS vec_ids
+           array_to_string(list_sort(list(vec_id)), ',') AS vec_ids
     FROM embeddings
     WHERE vec_id < 50
     GROUP BY label
@@ -194,14 +195,24 @@ def array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def collect_list_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregation: collect_list sorted for determinism — the
-    GTFS shape-point → polyline grouping (reference dags/warsaw-gtfs.py:35)."""
+    GTFS shape-point → polyline grouping (reference dags/warsaw-gtfs.py:35).
+    The list is rendered as a comma-joined string (sorted numerically
+    BEFORE the string cast) because array-typed output columns are not
+    portable across result harnesses — pandas sort_values can't order
+    ndarray cells."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.filter(F.col("vec_id") < 50)
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.array_sort(F.collect_list("vec_id")).alias("vec_ids"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("vec_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("vec_ids"),
         )
     )
 
@@ -218,9 +229,9 @@ def collect_list_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(CASE WHEN json_valid(s) THEN 1 END) AS n_valid,
-           SUM(CASE WHEN json_valid(s)
-                    THEN CAST(json_extract_string(s, '$.k') AS INTEGER)
-               END) AS sum_k
+           CAST(SUM(CASE WHEN json_valid(s)
+                         THEN CAST(json_extract_string(s, '$.k') AS INTEGER)
+                    END) AS BIGINT) AS sum_k
     FROM t GROUP BY event_type
     """,
     tags=("E28", "E3", "R8"),

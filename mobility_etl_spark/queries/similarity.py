@@ -138,12 +138,60 @@ _NDUP_MAX_ID = 300
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: all pairs (a < b)
     with cosine ≥ threshold over a bounded corpus slice, hash-checked
-    against the oracle's identical quantized arithmetic. The 100 TB
-    form runs the same scorer after an LSH/IVF bucket prefilter
-    (operators/similarity.py:cosine_near_dup_pairs docstring)."""
-    from mobility_etl_spark.operators.similarity import cosine_near_dup_pairs
+    against the oracle's identical quantized arithmetic. This exact
+    form is the ORACLE BASELINE; the production default is
+    ``near_dup_lsh_embeddings`` below (banded LSH prefilter), whose
+    recall is gated against this one in tests/test_similarity.py.
+    The loose threshold (0.2) exists to exercise the scorer on the
+    near-orthogonal synthetic corpus — banding cannot prune at such
+    low thresholds, which is exactly why the exact path stays bounded
+    to a small corpus slice."""
+    from mobility_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs_exact,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _NDUP_MAX_ID
     )
-    return cosine_near_dup_pairs(emb, threshold=_NDUP_THRESH)
+    return cosine_near_dup_pairs_exact(emb, threshold=_NDUP_THRESH)
+
+
+#: Deterministic per-component multiplicative jitter used to plant
+#: near-duplicates: delta in [-0.6, 0.6] from xxhash64(vec_id, i).
+_JITTER = (
+    "transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE) * "
+    "(1.0 + ((pmod(xxhash64(vec_id, i), 1001) / 500.0) - 1.0) * 0.6) "
+    "AS FLOAT))"
+)
+_DUP_OFFSET = 100_000
+
+
+def _with_planted_dups(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ jittered copy of itself (ids offset by 100k).
+
+    The synthetic embeddings are near-orthogonal (max pairwise cos
+    ≈ 0.48 at sf0.001), so a high-similarity near-dup query over raw
+    data is vacuously empty. Planting deterministic perturbed copies
+    (cos ≈ 0.94 against their source, still ≤ ~0.5 against everything
+    else) creates a ground-truth dup set that cleanly separates at
+    threshold 0.9 — the standard recall-evaluation construction."""
+    dup = emb.select(
+        (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
+        F.expr(_JITTER).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(dup)
+
+
+@register("near_dup_lsh_embeddings", oracle=None, tags=("N2", "N3"))
+def near_dup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default near-duplicate path: banded LSH prefilter (16 bands ×
+    10 bits) + exact in-bucket cosine re-rank at threshold 0.9, over
+    the corpus with planted perturbed copies. Rows-only driver check
+    (LSH output is recall-bounded, not exact); recall ≥ 0.95 vs the
+    all-pairs exact baseline is gated in tests/test_similarity.py.
+    At 100 TB this is the shape that replaces the O(n²) theta join:
+    shuffle = bucket equi-join + (a_id, b_id, cos) triples only."""
+    from mobility_etl_spark.operators.similarity import near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs(_with_planted_dups(emb), threshold=0.9)

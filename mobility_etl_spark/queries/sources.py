@@ -126,7 +126,7 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zip_member_expand",
     oracle="""
     SELECT lang || '.txt' AS member_name,
-           SUM(strlen(text)) + COUNT(*) - 1 AS member_bytes,
+           CAST(SUM(strlen(text)) + COUNT(*) - 1 AS BIGINT) AS member_bytes,
            COUNT(*) AS n_docs
     FROM documents
     WHERE doc_id < 100

@@ -126,7 +126,8 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS total_micro
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
+                AS BIGINT) AS total_micro
     FROM events
     GROUP BY user_id
     """,

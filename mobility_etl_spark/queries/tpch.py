@@ -119,8 +119,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_buckets",
     oracle="""
     SELECT o_orderpriority,
-           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'

@@ -350,3 +350,91 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum(F.expr(_REVENUE), "revenue"), F.count("*").alias("n_lines"))
     )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH sup_order AS (
+        SELECT l.l_orderkey,
+               l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    order_stats AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supp,
+               SUM(is_late) AS n_late
+        FROM sup_order
+        GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM sup_order so
+    JOIN order_stats os ON os.l_orderkey = so.l_orderkey
+    JOIN supplier s ON s.s_suppkey = so.l_suppkey
+    WHERE so.is_late = 1 AND os.n_supp > 1 AND os.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    tags=("E9", "E10", "E13", "E17"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: suppliers who kept a finished multi-supplier
+    order waiting — they shipped late while every co-supplier on the
+    order shipped on time. The driver schema has no commit/receipt
+    dates (TESTDATA.md), so "late" is re-keyed as l_shipdate more than
+    60 days after o_orderdate; the exists / not-exists double
+    self-join shape of the original is preserved.
+
+    Spark-first plan: instead of the literal EXISTS + NOT EXISTS
+    correlated self-joins (two extra passes over lineitem), the
+    per-order evidence is computed once — lineitem ⋈ orders shuffles
+    on orderkey, and that one partitioning is reused by BOTH the
+    (orderkey, suppkey) aggregate and the per-order window counts
+    (HashPartitioning(orderkey) satisfies both clustered
+    distributions, so no further Exchange until the final tiny s_name
+    aggregate). A supplier "waits" iff its order has >1 supplier and
+    exactly 1 late one: itself.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    lo = t["lineitem"].join(
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    sup_order = (
+        lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        sup_order.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -129,7 +129,8 @@ def _value_micro_udf():
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS sum_micro
+           CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT))
+                AS BIGINT) AS sum_micro
     FROM events
     GROUP BY event_type
     """,

@@ -64,13 +64,18 @@ def events_file_stream(
     reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    if "/" in path and not path.endswith("/"):
-        # The file source lists a *directory*; a single-file path is
-        # streamed as parent-dir + glob filter on the file name.
-        parent, _, leaf = path.rpartition("/")
-        if "." in leaf:
-            reader = reader.option("pathGlobFilter", leaf)
-            path = parent
+    # The file source lists a *directory*; a single-file path is
+    # streamed as parent-dir + glob filter on the file name. File vs
+    # directory is decided by an actual filesystem check — a dot in
+    # the last segment proves nothing (Spark writes directories named
+    # "out.parquet"; "sf0.01" is a directory), and the dot heuristic
+    # silently streamed zero files for those.
+    import os
+
+    if os.path.isfile(path):
+        parent, _, leaf = path.rstrip("/").rpartition("/")
+        reader = reader.option("pathGlobFilter", leaf)
+        path = parent or "."
     stream = getattr(reader, fmt)(path)
     return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 

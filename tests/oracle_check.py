@@ -56,14 +56,33 @@ def _canon_value(v):
     return v
 
 
-def canon_rows(df: pd.DataFrame) -> list[tuple]:
-    """Sort columns by name, canonicalize values, sort rows."""
+def canon_rows(df: pd.DataFrame) -> list[str]:
+    """Sort columns by name, canonicalize values, sort rows.
+
+    Returns ``repr`` strings, not tuples: the driver hashes canonical
+    *representations*, so ``99111`` (Spark int64) and ``99111.0``
+    (DuckDB HUGEINT→float64) must MISMATCH here exactly as they do
+    there. Tuple equality (int == float is True in Python) hid that
+    class of drift in round 1 — two json queries passed locally and
+    failed the driver hash."""
     cols = sorted(df.columns)
     out = []
     for row in df[cols].itertuples(index=False, name=None):
-        out.append(tuple(_canon_value(v) for v in row))
-    # NaN/None-safe total order via repr
-    return sorted(out, key=repr)
+        out.append(repr(tuple(_canon_value(v) for v in row)))
+    return sorted(out)
+
+
+def driver_sortable(df: pd.DataFrame) -> str | None:
+    """Replicate the driver's row canonicalizer: ``sort_values`` over
+    every output column. Array/ndarray cells crash it (unhashable in
+    pandas factorize) — three round-1 queries ERR'd this way while the
+    local gate canonicalized them fine. Returns the error string, or
+    None if the frame is driver-sortable."""
+    try:
+        df.sort_values(list(df.columns))
+    except Exception as exc:  # noqa: BLE001
+        return f"{type(exc).__name__}: {exc}"
+    return None
 
 
 @dataclass
@@ -84,6 +103,9 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def compare_one(spark, con, spec: QuerySpec, sf_dir: str) -> Result:
     sdf = spec.builder(spark, sf_dir).toPandas()
+    sort_err = driver_sortable(sdf)
+    if sort_err is not None:
+        return Result(spec.name, False, f"driver-canon crash: {sort_err}")
     if spec.oracle is None:
         return Result(spec.name, True, f"rows-only: {len(sdf)} rows")
     odf = con.execute(spec.oracle).df()

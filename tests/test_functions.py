@@ -180,8 +180,6 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     the sketch's rank error is <= n/10000 < 1 rank at sf0.001, so the
     approximate values must land within the immediate neighborhood of
     the exact ones (here: relative value error < 1%)."""
-    import pyspark.sql.functions as F
-
     from mobility_etl_spark.io import load_table
 
     events = load_table(spark, sf_dir, "events")
@@ -196,10 +194,12 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
                FROM __apx_events GROUP BY event_type"""
         ).collect()
     }
+    from mobility_etl_spark.registry import load_all
+
     approx = {
-        r.event_type: r.pcts
-        for r in events.groupBy("event_type")
-        .agg(F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts"))
+        r.event_type: (r.p50_approx, r.p90_approx, r.p99_approx)
+        for r in load_all()["approx_percentile_events"]
+        .builder(spark, sf_dir)
         .collect()
     }
     assert set(approx) == set(exact)

@@ -44,6 +44,32 @@ def test_pagerank_matches_numpy(spark, edges):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_dangling_set_hoisted(spark):
+    """The dangling-node set is computed once, outside the loop: on a
+    graph with NO dangling nodes, iterations run zero dangling-mass
+    jobs (job count stays flat vs iteration count), and on a dangling
+    graph only a scalar-agg job per iteration is added — never the
+    anti-join."""
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    tracker = spark.sparkContext.statusTracker()
+
+    def loop_jobs(iters):
+        # jobs launched by pagerank() itself (the lazy result DataFrame
+        # is NOT collected): exactly the driver-side control scalars.
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        pagerank(cycle, iters=iters, checkpoint_every=100)
+        return len(tracker.getJobIdsForGroup(None) or []) - before
+
+    # With no dangling nodes the loop runs ZERO per-iteration jobs:
+    # setup (node count, edge materialize, dangling-set count) is all
+    # there is, so 2 vs 6 iterations cost identical job counts. Before
+    # the hoist this grew by one anti-join job per iteration.
+    loop_jobs(1)  # warm the plan-keyed nodes/edges caches once
+    assert loop_jobs(6) == loop_jobs(2)
+
+
 def test_pagerank_bipartite_sf(spark, sf_dir):
     """The registered query's graph at sf0.001: ranks are a proper
     distribution, every node present, hub suppliers beat the floor."""

@@ -349,6 +349,67 @@ def test_compact_partitions_reduces_files(spark, tmp_path, sf_dir):
     assert spark.read.parquet(path).count() == n_rows  # lossless
 
 
+def test_compact_partitions_is_partition_scoped(spark, tmp_path, sf_dir):
+    """Compaction must touch ONLY partitions with small-file debt:
+    healthy partitions stay byte-identical (same file names, same
+    bytes), and the per-partition rewrite plans with no Exchange —
+    at 100 TB the cost is the debt, never a whole-table shuffle."""
+    import hashlib
+    import pathlib
+
+    from mobility_etl_spark.io import compact_partitions, load_table
+
+    path = str(tmp_path / "lake")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("dt", F.to_date("ts"))
+        .withColumn("hour", F.hour("ts"))
+    )
+    hours = [r.hour for r in ev.select("hour").distinct().collect()]
+    healthy_hour, fat_hour = sorted(hours)[0], sorted(hours)[1]
+    # healthy partition: one file; fat partition: 6 micro-batch files
+    ev.filter(F.col("hour") == healthy_hour).coalesce(1).write.partitionBy(
+        "dt", "hour"
+    ).mode("append").parquet(path)
+    for i in range(6):
+        ev.filter(
+            (F.col("hour") == fat_hour) & (F.col("event_id") % 6 == i)
+        ).write.partitionBy("dt", "hour").mode("append").parquet(path)
+
+    def snapshot(hour):
+        return {
+            str(f.relative_to(path)): hashlib.md5(f.read_bytes()).hexdigest()
+            for f in pathlib.Path(path).rglob("*.parquet")
+            if f"hour={hour}" in str(f)
+        }
+
+    healthy_before = snapshot(healthy_hour)
+    fat_before = snapshot(fat_hour)
+    n_rows = spark.read.parquet(path).count()
+    compact_partitions(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert snapshot(healthy_hour) == healthy_before  # byte-stable
+    fat_files = snapshot(fat_hour)
+    # every fat (dt, hour) leaf collapses from 6 small files to 1
+    assert len(fat_files) < len(fat_before)
+    leaves_after = {str(pathlib.Path(p).parent) for p in fat_files}
+    assert len(fat_files) == len(leaves_after)
+    assert spark.read.parquet(path).count() == n_rows  # lossless
+    # the per-partition rewrite shape: read one leaf + coalesce → no Exchange
+    leaf = next(
+        f.parent
+        for f in pathlib.Path(path).rglob("*.parquet")
+        if f"hour={fat_hour}" in str(f)
+    )
+    plan = (
+        spark.read.parquet(str(leaf))
+        .coalesce(1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_check_constraints_valid_plus_violations_partition(spark):
     """operators/quality.py: valid ∪ violating == input; a row failing
     two rules appears twice in the long-form violations."""

@@ -76,13 +76,43 @@ def test_ivf_recall_at_5(spark, emb):
 
 
 def test_cosine_near_dup_symmetric_and_thresholded(spark, emb):
-    from mobility_etl_spark.operators.similarity import cosine_near_dup_pairs
+    from mobility_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs_exact,
+    )
 
     sub = emb.filter(F.col("vec_id") < 100)
-    pairs = cosine_near_dup_pairs(sub, threshold=0.2)
+    pairs = cosine_near_dup_pairs_exact(sub, threshold=0.2)
     rows = pairs.collect()
     assert all(r.a_id < r.b_id for r in rows)
     assert all(r.cos_sim >= 0.2 for r in rows)
     # idempotent: running on the deduped survivor set finds the same pairs
-    again = cosine_near_dup_pairs(sub, threshold=0.2)
+    again = cosine_near_dup_pairs_exact(sub, threshold=0.2)
     assert again.count() == len(rows)
+
+
+def test_near_dup_lsh_recall_vs_exact(spark, emb):
+    """The default LSH near-dup path must recover ≥0.95 of the exact
+    all-pairs result on a corpus with planted perturbed duplicates,
+    and report the identical cosine for every pair it does return
+    (same exact re-rank arithmetic)."""
+    from mobility_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs_exact,
+        near_dup_pairs,
+    )
+    from mobility_etl_spark.queries.similarity import _with_planted_dups
+
+    corpus = _with_planted_dups(emb.filter(F.col("vec_id") < 200))
+    exact = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in cosine_near_dup_pairs_exact(corpus, threshold=0.9).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert len(exact) >= 150, "planting failed — too few ground-truth pairs"
+    recall = len(exact.keys() & approx.keys()) / len(exact)
+    assert recall >= 0.95, f"LSH near-dup recall {recall:.3f} < 0.95"
+    # no false positives, identical scores where both report a pair
+    assert set(approx) <= set(exact)
+    assert all(approx[p] == exact[p] for p in approx)
