@@ -130,6 +130,100 @@ def read_incremental(
     return changed_objects(incoming, manifest)
 
 
+def lake_url(
+    scheme: str,
+    container: str,
+    account: str,
+    path: str = "",
+) -> str:
+    """Build an object-store URL for the lake root.
+
+    The reference writes its blobs to Azure Blob Storage via the azure
+    SDK (reference dags/warsaw-gtfs.py:27,65,96); the Spark-native
+    equivalent is a Hadoop-filesystem URL that every reader/writer in
+    this module accepts wherever it accepts a local path:
+
+    * ``abfss`` → ``abfss://<container>@<account>.dfs.core.windows.net/p``
+      (ADLS Gen2, the modern replacement for the reference's wasb blobs)
+    * ``s3a``   → ``s3a://<container>/p`` (account unused)
+    * ``gs``    → ``gs://<container>/p`` (account unused)
+    * ``file``  → ``file:///p`` absolute local path (testing)
+    """
+    path = path.lstrip("/")
+    if scheme == "abfss":
+        return f"abfss://{container}@{account}.dfs.core.windows.net/{path}"
+    if scheme in ("s3a", "gs"):
+        return f"{scheme}://{container}/{path}"
+    if scheme == "file":
+        return f"file:///{path}"
+    raise ValueError(f"unsupported object-store scheme: {scheme!r}")
+
+
+def object_store_conf(
+    scheme: str,
+    account: str | None = None,
+    *,
+    access_key: str | None = None,
+    sas_token: str | None = None,
+) -> dict[str, str]:
+    """Hadoop configuration for an object-store scheme, as a plain dict.
+
+    Only public Hadoop connector keys (hadoop-azure / hadoop-aws docs).
+    Credentials come in as *values* (resolve them from your secret
+    manager first) — never embedded in URLs. With no credential given,
+    the conf selects the connector's ambient-identity path (Azure MSI /
+    AWS instance profile), the right default on a real cluster.
+
+    Config-only binding: this sandbox ships no cloud connector jars, so
+    the contract is exercised by unit tests over the produced keys; on
+    a cluster with hadoop-azure/hadoop-aws on the classpath the same
+    dict makes every ``load_table``/``write_partitioned`` call work
+    against ``lake_url(...)`` paths unchanged.
+    """
+    if scheme == "abfss":
+        if account is None:
+            raise ValueError("abfss requires the storage account name")
+        host = f"{account}.dfs.core.windows.net"
+        if access_key is not None:
+            return {
+                f"fs.azure.account.auth.type.{host}": "SharedKey",
+                f"fs.azure.account.key.{host}": access_key,
+            }
+        if sas_token is not None:
+            return {
+                f"fs.azure.account.auth.type.{host}": "SAS",
+                f"fs.azure.sas.token.provider.type.{host}": (
+                    "org.apache.hadoop.fs.azurebfs.sas.FixedSASTokenProvider"
+                ),
+                f"fs.azure.sas.fixed.token.{host}": sas_token,
+            }
+        return {f"fs.azure.account.auth.type.{host}": "OAuth"}
+    if scheme == "s3a":
+        if access_key is not None:
+            key_id, _, secret = access_key.partition(":")
+            return {
+                "fs.s3a.access.key": key_id,
+                "fs.s3a.secret.key": secret,
+            }
+        return {
+            "fs.s3a.aws.credentials.provider": (
+                "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+            )
+        }
+    raise ValueError(f"unsupported object-store scheme: {scheme!r}")
+
+
+def apply_object_store_conf(spark: SparkSession, conf: dict[str, str]) -> None:
+    """Apply an :func:`object_store_conf` dict to a live session.
+
+    Hadoop FS keys are read at filesystem-instantiation time, so they
+    can be set on the running session's Hadoop configuration (unlike
+    ``spark.*`` keys, which are mostly startup-frozen)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)
+
+
 def _leaf_partitions(root: pathlib.Path) -> list[tuple[pathlib.Path, list[pathlib.Path], int]]:
     """Enumerate leaf partition directories: (dir, parquet files, bytes).
 

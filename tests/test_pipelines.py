@@ -536,3 +536,43 @@ def test_observe_constraints_free_metrics(spark, tmp_path):
     observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
     assert obs.get == {"rows": 4, "viol_amount_positive": 3}
     assert spark.read.parquet(str(tmp_path / "out")).count() == 4
+
+
+def test_lake_url_schemes():
+    """Object-store URL fidelity: the reference's Azure blob layout
+    (dags/warsaw-gtfs.py:27,65,96) maps to abfss URLs; s3a/gs/file
+    cover the other lakes the same read/write API must accept."""
+    from mobility_etl_spark.io import lake_url
+
+    assert (
+        lake_url("abfss", "lake", "wawmob", "gtfs/dt=2024-01-01")
+        == "abfss://lake@wawmob.dfs.core.windows.net/gtfs/dt=2024-01-01"
+    )
+    assert lake_url("s3a", "lake", "ignored", "/gtfs") == "s3a://lake/gtfs"
+    assert lake_url("gs", "lake", "x") == "gs://lake/"
+    assert lake_url("file", "c", "a", "/tmp/x") == "file:///tmp/x"
+    with pytest.raises(ValueError):
+        lake_url("wasb", "lake", "acct")
+
+
+def test_object_store_conf_and_apply(spark):
+    """Config-only cloud binding: the produced keys are the public
+    hadoop-azure/hadoop-aws ones, credentials never land in URLs, and
+    apply_object_store_conf sets them on the LIVE session's Hadoop conf
+    (FS keys are instantiation-time, not startup-frozen)."""
+    from mobility_etl_spark.io import apply_object_store_conf, object_store_conf
+
+    host = "wawmob.dfs.core.windows.net"
+    keyed = object_store_conf("abfss", "wawmob", access_key="sekrit")
+    assert keyed[f"fs.azure.account.auth.type.{host}"] == "SharedKey"
+    assert keyed[f"fs.azure.account.key.{host}"] == "sekrit"
+    ambient = object_store_conf("abfss", "wawmob")
+    assert ambient == {f"fs.azure.account.auth.type.{host}": "OAuth"}
+    s3 = object_store_conf("s3a", access_key="AKID:wont-tell")
+    assert s3 == {"fs.s3a.access.key": "AKID", "fs.s3a.secret.key": "wont-tell"}
+    with pytest.raises(ValueError):
+        object_store_conf("abfss")  # account is mandatory
+
+    apply_object_store_conf(spark, keyed)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get(f"fs.azure.account.key.{host}") == "sekrit"
