@@ -1,0 +1,107 @@
+"""Frequent-items (heavy-hitters) sketching: mergeable Misra-Gries.
+
+The training-data use case is token/n-gram frequency over a corpus too
+large to afford a full ``explode → groupBy token`` shuffle (the token
+stream is ~10× the document bytes; at 100 TB that shuffle IS the job).
+Misra-Gries summaries invert the cost: each input partition is
+tokenized *inside* an Arrow-batched ``mapInPandas`` and reduced to at
+most ``k`` weighted counters, so the only shuffle is the final merge of
+``num_partitions × k`` tiny (token, weight) rows — O(parallelism), not
+O(corpus).
+
+Summaries are *mergeable* (Agarwal et al., "Mergeable Summaries", PODS
+2012): MG(k) ⊕ MG(k) = add counters, then subtract the (k+1)-th largest
+weight from every counter and drop the non-positive ones. The merged
+summary keeps the one-sided MG guarantee over the combined stream:
+
+    f(x) − N/(k+1)  ≤  est(x)  ≤  f(x)
+
+for every item x, with N = total token count. Hence every token with
+true frequency above N/(k+1) is guaranteed present, and estimates never
+overshoot. tests/test_sketch.py gates exactly these bounds against the
+exact counts.
+
+No reference counterpart (the reference defers all analytics,
+SURVEY.md §2.C); this is north-star training-pipeline surface alongside
+dedup (operators/dedup.py) and ANN (operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Lowercased alphanumeric runs — the same tokenizer the exact oracle
+#: query uses (regexp_extract_all in Spark and DuckDB).
+TOKEN_PATTERN = r"[a-z0-9]+"
+
+
+def _mg_add_and_compress(counters: dict[str, int], batch_counts, k: int) -> None:
+    """Merge a batch's exact counts into an MG(k) summary, in place.
+
+    Add, then subtract the (k+1)-th largest weight from every counter
+    and drop the non-positives — the mergeable-summaries merge step.
+    """
+    for tok, c in batch_counts.items():
+        counters[tok] = counters.get(tok, 0) + int(c)
+    if len(counters) <= k:
+        return
+    pivot = sorted(counters.values(), reverse=True)[k]
+    for tok in list(counters):
+        kept = counters[tok] - pivot
+        if kept <= 0:
+            del counters[tok]
+        else:
+            counters[tok] = kept
+
+
+def misra_gries_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+    pattern: str = TOKEN_PATTERN,
+) -> DataFrame:
+    """Heavy-hitter tokens of a document corpus as an MG(k) summary.
+
+    Returns ``(token, est_count)`` with at most ``k`` rows and the MG
+    error bound above. Plan shape: one narrow ``mapInPandas`` pass over
+    the corpus (tokenize + per-partition summary — ≤ k rows out per
+    partition), one tiny shuffle to merge summaries, and a single-task
+    window for the final compress (the merged set is ≤ partitions × k
+    rows by construction — the single partition is the point, not a
+    bottleneck).
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = (
+                pdf[text_col]
+                .str.lower()
+                .str.findall(pattern)
+                .explode()
+                .dropna()
+                .value_counts()
+            )
+            _mg_add_and_compress(counters, vc.to_dict(), k)
+        yield pd.DataFrame(
+            {"token": list(counters), "wt": [counters[t] for t in counters]}
+        )
+
+    partials = df.select(text_col).mapInPandas(summarize, "token string, wt long")
+    merged = partials.groupBy("token").agg(F.sum("wt").alias("wt"))
+    # Global compress to k: subtract the (k+1)-th largest merged weight.
+    w = Window.orderBy(F.col("wt").desc(), "token")
+    ranked = merged.withColumn("rn", F.row_number().over(w))
+    pivot = F.coalesce(
+        F.max(F.when(F.col("rn") == k + 1, F.col("wt"))).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+        F.lit(0),
+    )
+    return (
+        ranked.withColumn("est_count", F.col("wt") - pivot)
+        .filter(F.col("est_count") > 0)
+        .select("token", "est_count")
+    )

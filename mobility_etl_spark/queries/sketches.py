@@ -1,0 +1,70 @@
+"""Frequent-items queries over ``documents`` (north-star N-surface:
+corpus token statistics for training-data curation).
+
+``token_heavy_hitters`` is the exact two-pass baseline (explode +
+groupBy — the shape whose shuffle cost motivates the sketch) and is
+hash-checked against DuckDB. ``token_heavy_hitters_mg`` is the
+single-pass mergeable Misra-Gries summary (operators/sketch.py) —
+rows-only at the driver (summary contents are merge-order dependent);
+its frequency guarantees are gated in tests/test_sketch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.sketch import misra_gries_tokens
+from mobility_etl_spark.registry import register
+
+#: A token is a heavy hitter when it carries more than 1/200 of all
+#: token occurrences — SF-relative, so the query is scale-free.
+HH_DENOM = 200
+
+
+@register(
+    "token_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM tok, tot
+    GROUP BY token, total
+    HAVING COUNT(*) * {HH_DENOM} >= total
+    """,
+    tags=("N5", "E13", "E23"),
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: tokens carrying ≥ 1/200 of all token
+    occurrences. The explode → groupBy(token) shuffle is the exact
+    baseline the MG sketch replaces at scale; the relative threshold
+    rides along as a broadcast scalar, not a driver round-trip."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+    total = tok.agg(F.count("*").alias("total"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * HH_DENOM >= F.col("total"))
+        .select("token", "n_occurrences")
+    )
+
+
+@register("token_heavy_hitters_mg", oracle=None, tags=("N5", "E39"))
+def token_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass Misra-Gries heavy hitters (k=64): tokenization and
+    summarization fused into one mapInPandas scan, shuffling only
+    partitions × k counter rows. Rows-only driver check; the MG bounds
+    (no overestimate, presence above N/(k+1), underestimate ≤ N/(k+1))
+    are gated against the exact counts in tests/test_sketch.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return misra_gries_tokens(docs, "text", k=64)

@@ -53,6 +53,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.tpch3",
     "mobility_etl_spark.queries.subqueries",
     "mobility_etl_spark.queries.sampling",
+    "mobility_etl_spark.queries.sketches",
     "mobility_etl_spark.queries.udfs",
 )
 

@@ -1,0 +1,88 @@
+"""Misra-Gries heavy-hitter gates (operators/sketch.py).
+
+The sketch is approximate by design (no DuckDB oracle), so its formal
+guarantees are gated here against exact token counts:
+
+* est(x) ≤ f(x) — MG never overestimates;
+* f(x) − est(x) ≤ N/(k+1) — bounded underestimate;
+* every token with f(x) > N/(k+1) is present in the summary;
+* the guarantees hold regardless of partitioning (mergeability).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.sketch import misra_gries_tokens
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def exact(spark, docs):
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+    counts = {
+        r.token: r.n
+        for r in tok.groupBy("token").agg(F.count("*").alias("n")).collect()
+    }
+    return counts, sum(counts.values())
+
+
+@pytest.mark.parametrize("n_parts", [3, 7])
+def test_mg_bounds_hold_under_any_partitioning(docs, exact, n_parts):
+    counts, n_total = exact
+    k = 64
+    est = {
+        r.token: r.est_count
+        for r in misra_gries_tokens(docs.repartition(n_parts), k=k).collect()
+    }
+    assert 0 < len(est) <= k
+    err = n_total / (k + 1)
+    for tok, e in est.items():
+        assert tok in counts, f"sketch invented token {tok!r}"
+        assert e <= counts[tok], f"MG overestimated {tok!r}"
+        assert counts[tok] - e <= err, f"{tok!r} underestimated beyond N/(k+1)"
+    for tok, f_x in counts.items():
+        if f_x > err:
+            assert tok in est, f"guaranteed heavy hitter {tok!r} missing"
+
+
+def test_mg_shuffles_summaries_not_tokens(docs):
+    """The only wide stage merges per-partition summaries: the plan
+    contains no exploded-token Exchange — mapInPandas emits ≤ k rows
+    per partition, so shuffle volume is O(partitions × k)."""
+    plan = (
+        misra_gries_tokens(docs, k=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # no explode anywhere in the sketch path
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_exact_query_matches_mg_on_top_tokens(spark, sf_dir, docs, exact):
+    """The registered exact heavy-hitter query and the sketch agree on
+    the identity of the very frequent tokens (those above the exact
+    query's 1/200 threshold AND the MG guarantee line)."""
+    from mobility_etl_spark.registry import load_all
+
+    counts, n_total = exact
+    hh = {
+        r.token
+        for r in load_all()["token_heavy_hitters"].builder(spark, sf_dir).collect()
+    }
+    assert hh == {t for t, c in counts.items() if c * 200 >= n_total}
+    est = {r.token for r in misra_gries_tokens(docs, k=64).collect()}
+    guaranteed = {t for t, c in counts.items() if c > n_total / 65}
+    assert guaranteed <= est
+    assert guaranteed <= hh or not guaranteed
