@@ -77,3 +77,74 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return left.join(right, [*on, "__salt"], how).drop("__salt")
+
+
+#: Bits per dimension in the z-value (256 quantile buckets/dim).
+_Z_BITS = 8
+
+
+def _zvalue_expr(bucket_cols: list, bits: int = _Z_BITS):
+    """Interleave the bits of per-dimension bucket ids into one z-value
+    (Morton code): bit i of dimension d lands at position
+    ``i * ndims + d``. Pure shiftleft/bitwise-OR tree — whole-stage
+    codegen, no UDF."""
+    ndims = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for d, b in enumerate(bucket_cols):
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * ndims + d))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    zorder_cols: tuple[str, ...],
+    n_files: int = 32,
+    rel_err: float = 0.01,
+) -> None:
+    """Write ``df`` as parquet clustered on a Morton (z-order)
+    space-filling curve over ``zorder_cols`` — multi-dimensional data
+    skipping for the columns a single sort key can't serve.
+
+    A sort by (a, b) gives perfect min/max pruning on ``a`` and none on
+    ``b``; z-ordering makes every file a small hyper-rectangle in
+    (a, b) space, so parquet footer min/max stats prune scans filtered
+    on EITHER column (or both). At 100 TB this is the difference
+    between "fast for the leading key only" and "fast for every
+    clustered dimension".
+
+    Mechanics (all JVM-side after one sketch pass):
+
+    1. ``approxQuantile`` collects 256 rank cutpoints per column — a
+       driver-side *control* scalar pass (skew-proof: ranks, not value
+       ranges, so a heavy-tailed column still fills buckets evenly).
+    2. Each row maps to per-dimension bucket ids via a broadcast
+       cutpoint array (``size(filter(cuts, c -> c <= v))`` — codegen,
+       no UDF), whose bits interleave into one z-value.
+    3. ``repartitionByRange`` on the z-value + in-partition sort, then
+       write — each file covers one contiguous z-range.
+
+    tests/test_scale.py asserts per-file min/max spans shrink for ALL
+    z-ordered dimensions vs a linear sort, which is exactly the stat
+    parquet row-group pruning consumes.
+    """
+    buckets = []
+    for c in zorder_cols:
+        probs = [i / 2**_Z_BITS for i in range(1, 2**_Z_BITS)]
+        cuts = df.approxQuantile(c, probs, rel_err)
+        arr = F.array(*[F.lit(float(x)) for x in cuts])
+        buckets.append(
+            F.size(
+                F.filter(arr, lambda cut: cut <= F.col(c).cast("double"))
+            ).cast("long")
+        )
+    zdf = df.withColumn("__z", _zvalue_expr(buckets))
+    (
+        zdf.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -497,3 +497,46 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_cdc(target, changes, keys=["o_orderkey"], seq_col="seq")
+
+
+@register("zorder_layout_metrics", oracle=None, tags=("E5", "E20"))
+def zorder_layout_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering as a measurable layout property:
+    write events z-ordered on (user_id, value), then report the mean
+    per-file min/max span of each dimension as a fraction of its global
+    span — the statistic parquet row-group pruning consumes. Rows-only
+    driver check (file boundaries are range-sampling dependent);
+    tests/test_scale.py gates the spans against a linear sort."""
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from mobility_etl_spark.operators.scale import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    out = tempfile.mkdtemp(prefix="mes_zorder_")
+    zorder_write(ev, out, ("user_id", "value"), n_files=16)
+
+    def spans(col: str) -> float:
+        per_file, lo, hi = [], [], []
+        for f in pathlib.Path(out).rglob("*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            stats = [
+                md.row_group(g).column(idx).statistics
+                for g in range(md.num_row_groups)
+            ]
+            fmin, fmax = min(s.min for s in stats), max(s.max for s in stats)
+            per_file.append(fmax - fmin)
+            lo.append(fmin)
+            hi.append(fmax)
+        return (sum(per_file) / len(per_file)) / (max(hi) - min(lo))
+
+    return spark.createDataFrame(
+        [(len(list(pathlib.Path(out).rglob("*.parquet"))),
+          float(spans("user_id")), float(spans("value")))],
+        "n_files int, user_id_span double, value_span double",
+    )

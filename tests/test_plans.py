@@ -163,3 +163,53 @@ def test_incremental_rollup_reuses_grouping(spark, sf_dir):
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan
     assert "ObjectHashAggregate" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: a selective dimension filter on the
+    build side must inject a bloom-filter semi-filter into the fact
+    scan (might_contain over the join key) when the join can't
+    broadcast — at 100 TB this drops most of the probe side's shuffle
+    bytes before the Exchange. The conf knobs are thresholds, not
+    switches: production sizes cross them naturally; the test lowers
+    them to make local[32]-sized data qualify."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.io import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # parity: the filtered join returns exactly the unfiltered count
+        n_bloom = joined.count()
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved[
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+            ],
+        )
+        assert (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+            == n_bloom
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -85,3 +85,57 @@ def test_salted_join_left_outer(spark, sf_dir, no_broadcast):
         .count()
     )
     assert plain == salted > 0
+
+
+def test_zorder_write_tightens_file_stats(spark, sf_dir, tmp_path):
+    """Z-ordered files must be small hyper-rectangles in BOTH clustered
+    dimensions: per-file (max-min) spans — the stat parquet row-group
+    pruning consumes — shrink far below the global span for user_id AND
+    value, while a linear sort on user_id leaves value spans at ~100%."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from mobility_etl_spark.operators.scale import zorder_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def mean_span(path, col):
+        spans, lo, hi = [], [], []
+        for f in pathlib.Path(path).rglob("*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append(fmax - fmin)
+            lo.append(fmin)
+            hi.append(fmax)
+        return (sum(spans) / len(spans)) / (max(hi) - min(lo))
+
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    zorder_write(ev, zpath, ("user_id", "value"), n_files=16)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    assert spark.read.parquet(zpath).count() == ev.count()  # lossless
+    # linear layout: leading key prunes perfectly, second dim barely
+    assert mean_span(lpath, "user_id") < 0.1
+    # z-order: BOTH dimensions prune — the second dimension's spans
+    # must shrink well below the linear layout's, the first must stay
+    # a fraction of the global span (coarser than a pure sort, by
+    # design — that's the trade for pruning on every dimension).
+    assert mean_span(zpath, "value") < 0.6 * mean_span(lpath, "value")
+    assert mean_span(zpath, "user_id") < 0.65
+    assert mean_span(zpath, "value") < 0.5
