@@ -347,3 +347,27 @@ def regression_slope_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x"))
         ).alias("slope"),
     )
+
+
+@register("hll_rollup_users", oracle=None, tags=("E14", "E13"))
+def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-(event_type, day) HLL
+    sketches (Datasketches `hll_sketch_agg`) union-merged upward to
+    per-event_type distinct users — the incremental-pipeline form of
+    COUNT(DISTINCT): daily sketch partials persist once and re-merge in
+    O(sketch bytes) forever, where exact distinct would re-shuffle all
+    history per refresh. Rows-only driver check (the estimate is
+    sketch-defined, not SQL-reproducible); tests/test_functions.py
+    gates the merged estimate within HLL error of exact and asserts
+    merge-order invariance."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("dt")
+    ).agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+    )

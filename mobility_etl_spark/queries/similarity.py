@@ -195,3 +195,65 @@ def near_dup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return near_dup_pairs(_with_planted_dups(emb), threshold=0.9)
+
+
+#: Bound the Gram-matrix corpus so the exact explode-based oracle stays
+#: ~d² × bound rows at any SF (the BLAS path needs no bound).
+_GRAM_SCOPE = 2000
+_GRAM_DIM = 64
+
+
+@register(
+    "vector_gram_matrix",
+    oracle=f"""
+    WITH e AS (
+        SELECT embedding FROM embeddings WHERE vec_id < {_GRAM_SCOPE}
+    ),
+    idx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS i)
+    SELECT a.i, b.i AS j,
+           CAST(SUM(CAST(CAST(embedding[a.i] AS DOUBLE)
+                         * CAST(embedding[b.i] AS DOUBLE)
+                         AS DECIMAL(30,12))) AS DOUBLE) AS s
+    FROM e, idx a, idx b
+    WHERE a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    tags=("N3", "E27", "E13"),
+)
+def vector_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact upper-triangle Gram matrix (Xᵀ X) of the embedding corpus —
+    the correctness baseline for distributed covariance/PCA: per-row
+    double products (single IEEE multiply, bit-identical cross-engine)
+    summed as DECIMAL so aggregation order can't move a bit. The
+    explode fan-out (d² rows per vector) is what makes this the
+    BASELINE ONLY: the scale path is ``vector_gram_blas`` below."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _GRAM_SCOPE
+    )
+    e1 = emb.select(F.posexplode("embedding").alias("pi", "xi"), "embedding")
+    e2 = e1.select(
+        "pi", "xi", F.posexplode("embedding").alias("pj", "xj")
+    ).filter(F.col("pi") <= F.col("pj"))
+    prod = F.col("xi").cast("double") * F.col("xj").cast("double")
+    return (
+        e2.groupBy(
+            (F.col("pi") + 1).alias("i"), (F.col("pj") + 1).alias("j")
+        )
+        .agg(F.sum(prod.cast("decimal(30,12)")).cast("double").alias("s"))
+    )
+
+
+@register("vector_gram_blas", oracle=None, tags=("N3", "E39"))
+def vector_gram_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path Gram matrix: partition-local numpy XᵀX over Arrow
+    batches, merged as d(d+1)/2 scalars per partition — shuffle volume
+    independent of corpus size (operators/linalg.py). Rows-only driver
+    check (float64 partial merge order wobbles last bits);
+    tests/test_linalg.py gates it against vector_gram_matrix at 1e-9
+    relative error."""
+    from mobility_etl_spark.operators.linalg import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _GRAM_SCOPE
+    )
+    return gram_matrix(emb, "embedding", _GRAM_DIM)

@@ -206,3 +206,35 @@ def test_approx_percentile_within_rank_error(spark, sf_dir):
     for et, (p50, p90, p99) in exact.items():
         for got, want in zip(approx[et], (p50, p90, p99)):
             assert abs(got - want) <= 0.01 * abs(want) + 1e-9, (et, got, want)
+
+
+def test_hll_rollup_matches_exact_within_error(spark, sf_dir):
+    """Union-merged daily HLL sketches must land within standard HLL
+    error (lgK=14 → ~1%, generous 5% gate) of exact distinct counts,
+    and the estimate must be invariant to partitioning/merge order
+    (register-max is commutative)."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.io import load_table
+    from mobility_etl_spark.registry import load_all
+
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    spec = load_all()["hll_rollup_users"]
+    est1 = {
+        r.event_type: r.approx_users
+        for r in spec.builder(spark, sf_dir).collect()
+    }
+    assert set(est1) == set(exact)
+    for k, n in exact.items():
+        assert abs(est1[k] - n) <= max(2, 0.05 * n), (k, est1[k], n)
+    est2 = {
+        r.event_type: r.approx_users
+        for r in spec.builder(spark, sf_dir).repartition(13).collect()
+    }
+    assert est1 == est2

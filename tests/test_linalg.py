@@ -1,0 +1,77 @@
+"""Distributed Gram matrix gates (operators/linalg.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.linalg import gram_matrix
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _dense(rows, dim):
+    g = np.zeros((dim, dim))
+    n = None
+    for r in rows:
+        if r.i == -1:
+            n = r.s
+        else:
+            g[r.i - 1, r.j - 1] = r.s
+            g[r.j - 1, r.i - 1] = r.s
+    return g, n
+
+
+def test_gram_blas_matches_numpy_and_exact(spark, sf_dir, emb):
+    """The BLAS path equals a single-machine numpy XᵀX to float64
+    round-off, under different partitionings (mergeable partials), and
+    carries the exact row count."""
+    x = np.stack(
+        [r.embedding for r in emb.select("embedding").collect()]
+    ).astype(np.float64)
+    ref = x.T @ x
+    for n_parts in (3, 7):
+        got, n = _dense(
+            gram_matrix(emb.repartition(n_parts), "embedding", 64).collect(),
+            64,
+        )
+        assert n == x.shape[0]
+        assert np.max(np.abs(got - ref)) <= 1e-9 * max(1.0, np.abs(ref).max())
+
+
+def test_gram_registered_queries_agree(spark, sf_dir):
+    """vector_gram_blas (scale path) vs vector_gram_matrix (decimal-
+    exact oracle baseline): same upper triangle to 1e-9 relative."""
+    from mobility_etl_spark.registry import load_all
+
+    specs = load_all()
+    exact = {
+        (r.i, r.j): r.s
+        for r in specs["vector_gram_matrix"].builder(spark, sf_dir).collect()
+    }
+    blas = {
+        (r.i, r.j): r.s
+        for r in specs["vector_gram_blas"].builder(spark, sf_dir).collect()
+        if r.i != -1
+    }
+    assert set(exact) == set(blas)
+    scale = max(abs(v) for v in exact.values())
+    for k, v in exact.items():
+        assert abs(blas[k] - v) <= 1e-8 * max(1.0, scale)
+
+
+def test_gram_blas_plan_has_no_explode(spark, sf_dir, emb):
+    """The scale path must not fan out vectors: no Generate (explode)
+    in the plan — its shuffle is the d²-scalar partial merge only."""
+    plan = (
+        gram_matrix(emb, "embedding", 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan
