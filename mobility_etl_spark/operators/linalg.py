@@ -59,6 +59,95 @@ def gram_matrix_partials(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     return df.select(vec_col).mapInPandas(partials, "i int, j int, s double")
 
 
+def pca_fit(
+    df: DataFrame, vec_col: str, dim: int, k: int
+) -> tuple["object", "object"]:
+    """Fit a k-component PCA from one distributed pass + an O(d³)
+    driver-side eigendecomposition.
+
+    The distributed part ships only the Gram partials (plus per-index
+    sums for centering) — d(d+1)/2 + d + 1 scalars per partition; the
+    d×d eigenproblem is a *control* computation like k-means centroids
+    (operators/similarity.py:ivf), never data-scale. Eigenvector sign
+    is fixed (largest-|component| coordinate made positive) so the fit
+    is deterministic. Returns (components [k×d], explained_var [k]).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        g = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g += x.T @ x
+            s += x.sum(axis=0)
+            n += x.shape[0]
+        if n == 0:
+            return
+        ii, jj = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii + 1, np.zeros(dim, int), [-1]]),
+                "j": np.concatenate([jj + 1, np.arange(1, dim + 1), [-1]]),
+                "s": np.concatenate([g[ii, jj], s, [float(n)]]),
+            }
+        )
+
+    merged = (
+        df.select(vec_col)
+        .mapInPandas(partials, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    g = np.zeros((dim, dim))
+    mu_sum = np.zeros(dim)
+    n = 0.0
+    for r in merged:
+        if r.i == -1:
+            n = r.s
+        elif r.i == 0:
+            mu_sum[r.j - 1] = r.s
+        else:
+            g[r.i - 1, r.j - 1] = r.s
+            g[r.j - 1, r.i - 1] = r.s
+    mu = mu_sum / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1.0)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    # Deterministic sign: the max-|x| coordinate of each component > 0.
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return comps, evals[order]
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, components, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Project vectors onto fitted components, JVM-side: each component
+    is a broadcast array literal and the dot product is
+    ``aggregate(zip_with(...))`` inside whole-stage codegen — no Python
+    in the per-row path, no shuffle at all (narrow map)."""
+    out = df.select(*key_cols)
+    proj_cols = []
+    for ci, comp in enumerate(components):
+        arr = F.array(*[F.lit(float(c)) for c in comp])
+        proj_cols.append(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), arr, lambda x, c: x.cast("double") * c
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"pc{ci + 1}")
+        )
+    return df.select(*key_cols, *proj_cols)
+
+
 def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Merged upper-triangle Gram matrix: (i, j, s) with 1 ≤ i ≤ j ≤ d,
     plus the row count at (-1, -1). Shuffle volume is O(partitions·d²),

@@ -257,3 +257,21 @@ def vector_gram_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") < _GRAM_SCOPE
     )
     return gram_matrix(emb, "embedding", _GRAM_DIM)
+
+
+@register("vector_pca_project", oracle=None, tags=("N3", "E39", "E27"))
+def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction of the embedding corpus: fit from
+    one distributed Gram/sum pass (d×d eigenproblem solved driver-side
+    as a control computation, operators/linalg.py:pca_fit), then
+    project every vector onto the top-4 components entirely in
+    whole-stage codegen (broadcast component literals, zip_with +
+    aggregate dot products — no Python per row, no shuffle). Rows-only
+    driver check (float partial merge wobbles last bits);
+    tests/test_linalg.py gates orthonormality, variance ordering, and
+    parity with single-machine numpy PCA."""
+    from mobility_etl_spark.operators.linalg import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, _ = pca_fit(emb, "embedding", _GRAM_DIM, k=4)
+    return pca_project(emb, "embedding", comps, ("vec_id", "label"))

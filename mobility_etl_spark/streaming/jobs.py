@@ -338,3 +338,62 @@ def cdc_apply_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def tws_user_totals(stream: DataFrame) -> DataFrame:
+    """E36 on the Spark-4 ``transformWithStateInPandas`` API: the same
+    running per-user totals as :func:`stateful_user_totals`, expressed
+    as a ``StatefulProcessor`` with typed ValueState. The new API is
+    the forward path for custom stateful operators (multiple state
+    variables, timers, TTL, RocksDB-backed state); keeping both forms
+    proves the engine's stateful surface isn't tied to the legacy
+    GroupState flavor. Same int64 micro-unit accumulation → the final
+    state is hash-comparable with a batch GROUP BY.
+
+    Environment note: the transformWithState state-server protocol
+    needs the ``protobuf`` package at runtime (a standard pyspark
+    extra, absent from this container) — tests/test_streaming.py
+    gates the parity test behind ``pytest.importorskip``; the legacy
+    applyInPandasWithState path (protobuf-free) remains the
+    container-verified E36 surface.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += int(
+                    sum(
+                        int(math.floor(v * 1_000_000.0))
+                        for v in pdf["value"]
+                    )
+                )
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_micro": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_micro long",
+        outputMode="Update",
+        timeMode="None",
+    )

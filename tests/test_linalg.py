@@ -75,3 +75,50 @@ def test_gram_blas_plan_has_no_explode(spark, sf_dir, emb):
         .toString()
     )
     assert "Generate" not in plan
+
+
+def test_pca_fit_matches_numpy(spark, sf_dir, emb):
+    """Distributed PCA fit ≡ single-machine numpy PCA: same explained
+    variances, same components up to the fixed sign convention; the
+    projection matches X_centered @ V computed locally."""
+    from mobility_etl_spark.operators.linalg import pca_fit, pca_project
+
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.stack([r.embedding for r in rows]).astype(np.float64)
+    comps, evar = pca_fit(emb, "embedding", 64, k=4)
+    cov = np.cov(x, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    assert np.allclose(evar, evals[order], rtol=1e-8)
+    ref = evecs[:, order].T.copy()
+    for c in ref:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    assert np.allclose(comps, ref, atol=1e-8)
+    # orthonormal components
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    # distributed projection == x @ V (per vec_id, uncentered projection)
+    got = {
+        r.vec_id: (r.pc1, r.pc2, r.pc3, r.pc4)
+        for r in pca_project(
+            emb, "embedding", comps, ("vec_id",)
+        ).collect()
+    }
+    proj = x @ comps.T
+    ids = [r.vec_id for r in rows]
+    for idx, vid in enumerate(ids):
+        assert np.allclose(got[vid], proj[idx], atol=1e-9)
+
+
+def test_pca_projection_plan_stays_jvm(spark, sf_dir, emb):
+    from mobility_etl_spark.operators.linalg import pca_fit, pca_project
+
+    comps, _ = pca_fit(emb, "embedding", 64, k=2)
+    plan = (
+        pca_project(emb, "embedding", comps, ("vec_id",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # narrow map only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -161,3 +161,48 @@ def test_cdc_apply_stream_batching_invariant(spark, tmp_path):
     assert got == [
         (1, "b3-upd"), (2, "b1-upd"), (3, "v3"), (4, "v4"), (6, "v6"), (7, "v7"),
     ]
+
+
+def test_tws_user_totals_matches_batch(spark, sf_dir, tmp_path):
+    """Spark-4 transformWithStateInPandas running totals ≡ batch GROUP
+    BY. Requires the protobuf state-server protocol dependency — the
+    test skips (honestly, not silently passing) where it's absent."""
+    pytest.importorskip("google.protobuf")
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.io import load_table
+    from mobility_etl_spark.streaming.jobs import (
+        events_file_stream,
+        run_available_now,
+        tws_user_totals,
+    )
+
+    stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
+    result = tws_user_totals(stream)
+    run_available_now(
+        result, "tws_parity", str(tmp_path / "ckpt"), output_mode="update"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = {
+        (r.user_id, r.n_events, r.total_micro)
+        for r in spark.table("tws_parity")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .collect()
+    }
+    batch = {
+        (r.user_id, r.n_events, r.total_micro)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "total_micro"
+            ),
+        )
+        .collect()
+    }
+    assert final == batch
