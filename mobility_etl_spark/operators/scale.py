@@ -79,6 +79,63 @@ def salted_join(
     return left.join(right, [*on, "__salt"], how).drop("__salt")
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    skew_factor: float = 8.0,
+    k: int = 256,
+) -> list[tuple]:
+    """Find join keys hot enough to need salting, WITHOUT a full
+    groupBy over the key space: one pass of mergeable frequency
+    summaries (the Misra-Gries machinery, operators/sketch.py applied
+    to key tuples) — shuffle O(partitions × k) counter rows, so the
+    diagnosis costs a scan, not a shuffle of the table.
+
+    Returns keys whose (under-)estimated frequency still exceeds
+    ``skew_factor ×`` the uniform share — MG never overestimates, so
+    every returned key is genuinely hot; with k counters a key can
+    evade detection only below N/(k+1), far under any harmful skew.
+    Feed the result to :func:`salted_join` (or trust AQE for moderate
+    cases). Driver receives ≤ k control rows.
+    """
+    import pandas as pd
+
+    key_struct = F.struct(*[F.col(c) for c in key_cols])
+
+    def summarize(batches):
+        from mobility_etl_spark.operators.sketch import _mg_add_and_compress
+
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["__key"].value_counts()
+            n += len(pdf)
+            _mg_add_and_compress(counters, vc.to_dict(), k)
+        yield pd.DataFrame(
+            {
+                "key": [str(t) for t in counters],
+                "wt": list(counters.values()),
+                "n": [n] * len(counters),
+            }
+        )
+
+    raw = (
+        df.select(key_struct.cast("string").alias("__key"))
+        .mapInPandas(summarize, "key string, wt long, n long")
+        .groupBy("key")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    stats = df.agg(
+        F.count("*").alias("total"),
+        F.approx_count_distinct(key_struct).alias("n_keys"),
+    ).first()
+    uniform = stats.total / max(stats.n_keys, 1)
+    return [
+        (r.key, r.wt)
+        for r in raw.filter(F.col("wt") >= skew_factor * uniform).collect()
+    ]
+
+
 #: Bits per dimension in the z-value (256 quantile buckets/dim).
 _Z_BITS = 8
 

@@ -540,3 +540,42 @@ def zorder_layout_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
           float(spans("user_id")), float(spans("value")))],
         "n_files int, user_id_span double, value_span double",
     )
+
+
+@register(
+    "xml_roundtrip_nation",
+    oracle="""
+    SELECT n.n_regionkey,
+           COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation,
+           CAST(SUM(strlen(n.n_name)) AS BIGINT) AS name_bytes
+    FROM nation n
+    GROUP BY n.n_regionkey
+    """,
+    tags=("E3", "R1", "R14"),
+)
+def xml_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark-4 built-in XML source): nation rows are
+    serialized to XML documents and re-read with an explicit schema via
+    ``spark.read.format("xml")``, then aggregated — hash-checked
+    against the original table. Covers the feed format the engine's
+    HTTP-source family (R1) would meet for GTFS-RT-like XML payloads;
+    fidelity through markup (escaping, typed re-parse) is the point.
+    """
+    out = _tmpdir()
+    nation = load_table(spark, sf_dir, "nation")
+    (
+        nation.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    back = spark.read.format("xml").option("rowTag", "nation").schema(
+        "n_nationkey bigint, n_name string, n_regionkey bigint"
+    ).load(out)
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"),
+        F.min("n_name").alias("first_nation"),
+        F.sum(F.length("n_name")).cast("bigint").alias("name_bytes"),
+    )

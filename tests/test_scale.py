@@ -139,3 +139,23 @@ def test_zorder_write_tightens_file_stats(spark, sf_dir, tmp_path):
     assert mean_span(zpath, "value") < 0.6 * mean_span(lpath, "value")
     assert mean_span(zpath, "user_id") < 0.65
     assert mean_span(zpath, "value") < 0.5
+
+
+def test_detect_hot_keys_finds_planted_skew(spark, sf_dir):
+    """A key holding ~1/3 of all rows must surface; near-uniform keys
+    must not. The diagnosis pass shuffles only MG counter rows, never
+    the key space (no exploded groupBy over keys in the plan)."""
+    from mobility_etl_spark.operators.scale import detect_hot_keys
+
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.withColumn(
+        "k",
+        F.when(F.col("event_id") % 3 == 0, F.lit(777)).otherwise(
+            F.col("event_id") % 5000
+        ),
+    )
+    hot = detect_hot_keys(skewed, ("k",), skew_factor=8.0)
+    assert any("777" in key for key, _ in hot)
+    assert len(hot) <= 4  # no false flood
+    uniform = ev.withColumn("k", F.col("event_id") % 50)
+    assert detect_hot_keys(uniform, ("k",), skew_factor=8.0) == []
