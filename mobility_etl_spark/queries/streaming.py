@@ -277,3 +277,60 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
         run_available_now(enriched, name, ckpt, output_mode="append")
     return spark.table(name)
+
+
+@register(
+    "streaming_pyds_weather",
+    oracle="""
+    SELECT CAST(i AS INTEGER) AS station_id,
+           COUNT(*) AS n_obs,
+           CAST(SUM(CAST(((i * 7 + h * 3) % 350) / 10.0 - 5.0
+                         AS DECIMAL(20,6))) AS DOUBLE) AS sum_temp
+    FROM generate_series(0, 39) s(i)
+    CROSS JOIN generate_series(0, 23) t(h)
+    GROUP BY i
+    """,
+    tags=("R1", "E30"),
+)
+def streaming_pyds_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python data source consumed as a STREAM (Spark-4
+    SimpleDataSourceStreamReader): hour-watermark offsets, 4 forced
+    micro-batches (6-hour pages), deterministic replay between offsets
+    — then aggregated and hash-checked against the oracle's closed-form
+    regeneration of the same feed. Proves engine-native feed ingestion
+    is batch/stream symmetric (same source class, both faces)."""
+    from mobility_etl_spark.sources.pydatasource import (
+        WEATHER_SOURCE_NAME,
+        FakeWeatherDataSource,
+    )
+
+    try:
+        spark.dataSource.register(FakeWeatherDataSource)
+    except Exception:
+        pass  # already registered in this session
+    name = f"spw_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.format(WEATHER_SOURCE_NAME)
+        .option("hours_per_batch", "6")
+        .load()
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("station_id")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.col("temp_c").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("sum_temp"),
+        )
+    )

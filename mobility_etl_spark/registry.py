@@ -54,6 +54,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.subqueries",
     "mobility_etl_spark.queries.sampling",
     "mobility_etl_spark.queries.sketches",
+    "mobility_etl_spark.queries.curation",
     "mobility_etl_spark.queries.udfs",
 )
 

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -90,6 +95,47 @@ class FakeWeatherReader(DataSourceReader):
                 yield synth_observation(i, h)
 
 
+class FakeWeatherStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same feed (R1 as a *continuous* source):
+    offsets are hour watermarks, each micro-batch covers
+    ``hours_per_batch`` hour-slots, and the feed reports caught-up
+    (same offset back) past the ``hours`` horizon — so
+    ``processAllAvailable``/availableNow drain it exactly once.
+    ``readBetweenOffsets`` replays any committed range
+    deterministically, which is what makes the source exactly-once
+    under checkpoint recovery (same synthetic rows for the same
+    offsets — the property a real paginated HTTP feed provides via
+    page cursors)."""
+
+    def __init__(self, options: dict):
+        self.n_stations = int(options.get("n_stations", 40))
+        self.hours = int(options.get("hours", 24))
+        self.hours_per_batch = int(options.get("hours_per_batch", 6))
+
+    def initialOffset(self) -> dict:
+        return {"hour": 0}
+
+    def read(self, start: dict):
+        h0 = int(start["hour"])
+        if h0 >= self.hours:
+            return iter(()), start
+        h1 = min(h0 + self.hours_per_batch, self.hours)
+        return iter(self._rows(h0, h1)), {"hour": h1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["hour"]), int(end["hour"])))
+
+    def _rows(self, h0: int, h1: int) -> list[tuple]:
+        # A concrete list (wrapped in ``iter``) — the simple-reader
+        # prefetch cache pickles/copies the batch iterator, which a
+        # generator cannot survive.
+        return [
+            synth_observation(i, h)
+            for i in range(self.n_stations)
+            for h in range(h0, h1)
+        ]
+
+
 class FakeWeatherDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -100,3 +146,6 @@ class FakeWeatherDataSource(DataSource):
 
     def reader(self, schema: StructType) -> FakeWeatherReader:
         return FakeWeatherReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> FakeWeatherStreamReader:
+        return FakeWeatherStreamReader(self.options)

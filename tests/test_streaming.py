@@ -206,3 +206,40 @@ def test_tws_user_totals_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert final == batch
+
+
+def test_pyds_stream_batches_and_exactly_once(spark, tmp_path):
+    """The Python streaming source must advance by its page size
+    (4 micro-batches for 24 hours at 6/page), deliver every
+    observation exactly once, and agree row-for-row with the batch
+    face of the same source."""
+    from mobility_etl_spark.sources.pydatasource import (
+        WEATHER_SOURCE_NAME,
+        FakeWeatherDataSource,
+    )
+
+    try:
+        spark.dataSource.register(FakeWeatherDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format(WEATHER_SOURCE_NAME)
+        .option("hours_per_batch", "6")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pyds_stream_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    streamed = spark.table("pyds_stream_parity")
+    batch = spark.read.format(WEATHER_SOURCE_NAME).load()
+    assert streamed.count() == batch.count() == 960
+    assert n_batches >= 4  # 24 hours / 6-hour pages (+ catch-up empties)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
