@@ -168,3 +168,94 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_filter("type_counts", lambda k, v: v > 5)
         ).cast("long").alias("heavy_types"),
     )
+
+
+@register(
+    "try_arithmetic_events",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN (event_id % 7) <> 0
+                THEN CAST(FLOOR(CAST(FLOOR(value * 1000000) AS DOUBLE)
+                                / (event_id % 7)) AS BIGINT) END AS safe_div,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN event_type
+                         ELSE CAST(event_id AS VARCHAR) END
+                    AS BIGINT) AS maybe_num,
+           CAST(CASE WHEN event_id % 5 = 0 THEN NULL
+                ELSE event_id * 1000000 END AS BIGINT) AS guarded_mul
+    FROM events
+    WHERE event_id < 3000
+    """,
+    tags=("E25", "E8"),
+)
+def try_arithmetic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: ``try_divide`` (NULL on zero
+    denominator, not a job-killing error), ``try_cast`` over mixed
+    parseable/garbage strings, ``try_multiply`` under a NULL guard —
+    the poisoned-feed posture (R8) applied to expressions: a bad row
+    yields NULL and flows on instead of killing the 100 TB job. The
+    oracle states identical semantics with ANSI CASE guards; the
+    quotient goes through a single double divide + FLOOR so it is
+    integer-exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    denom = F.col("event_id") % 7
+    micro = F.floor(F.col("value") * 1_000_000).cast("double")
+    mixed = F.when(
+        F.col("event_id") % 3 == 0, F.col("event_type")
+    ).otherwise(F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.floor(F.try_divide(micro, denom)).cast("bigint").alias("safe_div"),
+        mixed.try_cast("bigint").alias("maybe_num"),
+        F.try_multiply(
+            F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long")).otherwise(
+                F.col("event_id")
+            ),
+            F.lit(1_000_000).cast("long"),
+        ).alias("guarded_mul"),
+    )
+
+
+@register(
+    "string_collation_docs",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END
+                   AS tag,
+               source
+        FROM documents
+        WHERE doc_id < 400
+    )
+    SELECT lower(tag) AS lang_ci,
+           COUNT(*) AS n_docs,
+           MIN(source) AS first_source
+    FROM t
+    GROUP BY lower(tag)
+    """,
+    tags=("E23", "E13"),
+)
+def string_collation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark-4 collations): a mixed-case tag
+    column grouped under UTF8_LCASE merges case variants WITHOUT
+    rewriting values — the collation is type-level, so comparisons,
+    joins, and aggregations all honor it (vs the lower()-everywhere
+    workaround the oracle states). The projected key is normalized
+    with lower() only to pin a deterministic output representative."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    tag = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("lang")
+    ).otherwise(F.col("lang"))
+    return (
+        docs.select(
+            F.collate(tag, "UTF8_LCASE").alias("tag"), "source"
+        )
+        .groupBy("tag")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("source").alias("first_source"),
+        )
+        .select(
+            F.lower(F.col("tag").cast("string")).alias("lang_ci"),
+            "n_docs",
+            "first_source",
+        )
+    )

@@ -211,9 +211,10 @@ _GRAM_DIM = 64
     ),
     idx AS (SELECT unnest(generate_series(1, {_GRAM_DIM})) AS i)
     SELECT a.i, b.i AS j,
-           CAST(SUM(CAST(CAST(embedding[a.i] AS DOUBLE)
-                         * CAST(embedding[b.i] AS DOUBLE)
-                         AS DECIMAL(30,12))) AS DOUBLE) AS s
+           CAST(SUM(CAST(FLOOR(CAST(embedding[a.i] AS DOUBLE)
+                               * CAST(embedding[b.i] AS DOUBLE)
+                               * 1000000000.0) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 AS s
     FROM e, idx a, idx b
     WHERE a.i <= b.i
     GROUP BY a.i, b.i
@@ -226,7 +227,12 @@ def vector_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     double products (single IEEE multiply, bit-identical cross-engine)
     summed as DECIMAL so aggregation order can't move a bit. The
     explode fan-out (d² rows per vector) is what makes this the
-    BASELINE ONLY: the scale path is ``vector_gram_blas`` below."""
+    BASELINE ONLY: the scale path is ``vector_gram_blas`` below.
+    Entries are 1e-9 fixed-point (floor-quantized per-row products
+    summed as BIGINT): integer sums are order-free and FLOOR has no
+    tie-breaking rule to disagree on — a DECIMAL cast hit a half-tie
+    at the 12th digit at sf0.1 (Spark HALF_UP vs DuckDB round-half-
+    even) exactly once in 2080 entries."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _GRAM_SCOPE
     )
@@ -239,7 +245,12 @@ def vector_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         e2.groupBy(
             (F.col("pi") + 1).alias("i"), (F.col("pj") + 1).alias("j")
         )
-        .agg(F.sum(prod.cast("decimal(30,12)")).cast("double").alias("s"))
+        .agg(
+            (
+                F.sum(F.floor(prod * 1e9).cast("long")).cast("double")
+                / F.lit(1e9)
+            ).alias("s")
+        )
     )
 
 

@@ -60,9 +60,11 @@ def test_gram_registered_queries_agree(spark, sf_dir):
         if r.i != -1
     }
     assert set(exact) == set(blas)
-    scale = max(abs(v) for v in exact.values())
+    # the exact query is 1e-9 fixed-point (floor-quantized per row):
+    # allow the accumulated downward quantization bias, n_rows × 1e-9
+    n_rows = 2000
     for k, v in exact.items():
-        assert abs(blas[k] - v) <= 1e-8 * max(1.0, scale)
+        assert abs(blas[k] - v) <= n_rows * 1e-9 + 1e-9
 
 
 def test_gram_blas_plan_has_no_explode(spark, sf_dir, emb):
