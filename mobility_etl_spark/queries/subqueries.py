@@ -244,3 +244,56 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+@register(
+    "recursive_tree_rollup",
+    oracle="""
+    WITH RECURSIVE tree(node, root, depth) AS (
+        SELECT doc_id, doc_id, 0
+        FROM documents WHERE doc_id >= 1 AND doc_id < 4
+        UNION ALL
+        SELECT d.doc_id, t.root, t.depth + 1
+        FROM documents d
+        JOIN tree t ON d.doc_id // 4 = t.node
+        WHERE d.doc_id >= 4 AND d.doc_id < 256
+    )
+    SELECT root,
+           COUNT(*) AS n_nodes,
+           MAX(depth) AS max_depth,
+           CAST(SUM(node) AS BIGINT) AS sum_ids
+    FROM tree
+    GROUP BY root
+    """,
+    tags=("E13", "E22"),
+)
+def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark-4 WITH RECURSIVE) walking a synthetic
+    doc-id quad-tree (parent = id div 4) from its 3 roots and rolling
+    up per-root subtree stats — the declarative fixpoint form. Spark
+    supports UNION ALL recursion (terminating here because the
+    hierarchy is a tree); cyclic closures (dedup clusters) stay on the
+    iterative DataFrame fixpoint with lineage truncation
+    (operators/components.py), which is also the 100 TB-preferred
+    shape: each round is an explicit join the optimizer and AQE can
+    re-plan, with checkpointing under engine control."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    view = "rc_docs_tree"
+    docs.select("doc_id").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH RECURSIVE tree(node, root, depth) AS (
+            SELECT doc_id, doc_id, 0
+            FROM {view} WHERE doc_id >= 1 AND doc_id < 4
+            UNION ALL
+            SELECT d.doc_id, t.root, t.depth + 1
+            FROM {view} d
+            JOIN tree t ON d.doc_id DIV 4 = t.node
+            WHERE d.doc_id >= 4 AND d.doc_id < 256
+        )
+        SELECT root,
+               COUNT(*) AS n_nodes,
+               MAX(depth) AS max_depth,
+               CAST(SUM(node) AS BIGINT) AS sum_ids
+        FROM tree
+        GROUP BY root
+    """)
