@@ -205,3 +205,24 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def auto_salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    skew_factor: float = 8.0,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Join that diagnoses its own skew: run :func:`detect_hot_keys`
+    on the probe side and salt ONLY when a pathologically hot key
+    exists — otherwise return the plain join and let AQE handle
+    moderate skew. The diagnosis is one sketch scan (O(partitions × k)
+    shuffle); salting replicates ``other`` ``n_salts``×, so paying it
+    only on diagnosed skew is the right default at 100 TB.
+    """
+    hot = detect_hot_keys(skewed, tuple(on), skew_factor=skew_factor)
+    if not hot:
+        return skewed.join(other, on, how)
+    return salted_join(skewed, other, on, n_salts=n_salts, how=how)

@@ -159,3 +159,24 @@ def test_detect_hot_keys_finds_planted_skew(spark, sf_dir):
     assert len(hot) <= 4  # no false flood
     uniform = ev.withColumn("k", F.col("event_id") % 50)
     assert detect_hot_keys(uniform, ("k",), skew_factor=8.0) == []
+
+
+def test_auto_salted_join_routes_by_diagnosis(spark, sf_dir, no_broadcast):
+    """Skewed input → salted plan (salt column visible in the plan);
+    uniform input → plain join; both row-identical to the plain join."""
+    from mobility_etl_spark.operators.scale import auto_salted_join
+
+    dim = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("hit"))
+    skewed = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.when(F.col("event_id") % 3 != 0, F.lit(7)).otherwise(
+            F.col("event_id") % 100
+        )
+    )
+    uniform = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.col("event_id") % 100
+    )
+    for df, expect_salt in ((skewed, True), (uniform, False)):
+        joined = auto_salted_join(df, dim, ["k"])
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert ("__salt" in plan) == expect_salt
+        assert joined.count() == df.join(dim, ["k"]).count()
