@@ -309,3 +309,84 @@ def join_null_safe_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.join(F.broadcast(right), F.col("pri").eqNullSafe(F.col("rpri")))
         .select("o_orderkey", "pri", "n")
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_state
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type AS state, ts, event_id
+        FROM o
+        WHERE prev_state IS NULL OR event_type <> prev_state
+    ),
+    scd AS (
+        SELECT user_id, state, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM changes
+    ),
+    dim AS (
+        SELECT * FROM scd
+        WHERE valid_to IS NULL OR valid_from <> valid_to
+    ),
+    probes AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_id % 97 = 0
+    )
+    SELECT p.event_id, p.user_id, p.ts, d.state AS state_at_ts
+    FROM probes p
+    JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+    tags=("E12", "E18", "R7"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each probe row is enriched with
+    the SCD2 dimension state valid AT its event time — the lookup every
+    feature-store / training-label pipeline needs to avoid leakage.
+
+    Spark-first plan: NOT the interval theta join the oracle states
+    (which would plan as a range explosion) — the SCD2 intervals
+    partition each key's timeline, so "interval containing ts" ≡
+    "latest valid_from ≤ ts", and the single-shuffle union-tag as-of
+    machinery (operators/asof.py) answers it with one Exchange of
+    |probes|+|dim| rows. Zero-length intervals (two state changes at
+    one timestamp) are dropped so the dimension is deterministic; the
+    oracle's containment join returns the identical row set."""
+    from mobility_etl_spark.operators.asof import asof_join
+    from mobility_etl_spark.operators.scd import scd2_from_observations
+
+    events = load_table(spark, sf_dir, "events")
+    dim = scd2_from_observations(
+        events.select("user_id", "event_type", "ts", "event_id"),
+        key_col="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak_col="event_id",
+    ).filter(
+        F.col("valid_to").isNull() | (F.col("valid_from") != F.col("valid_to"))
+    )
+    probes = events.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        probes,
+        dim.select("user_id", F.col("valid_from").alias("vts"), "state"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="vts",
+        payload_cols=["state"],
+    )
+    return joined.filter(F.col("state_asof").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("state_asof").alias("state_at_ts"),
+    )
