@@ -390,3 +390,46 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.col("state_asof").alias("state_at_ts"),
     )
+
+
+@register(
+    "fuzzy_match_sources",
+    oracle="""
+    WITH s AS (SELECT DISTINCT source FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           levenshtein(a.source, b.source) AS edit_dist
+    FROM s a JOIN s b
+      ON a.source < b.source
+     AND abs(strlen(a.source) - strlen(b.source)) <= 1
+     AND levenshtein(a.source, b.source) <= 1
+    """,
+    tags=("E10", "E23"),
+)
+def fuzzy_match_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join (entity-resolution shape): source
+    names within Levenshtein 1 of each other. The cheap length-band
+    predicate is stated BEFORE the edit distance so the quadratic
+    candidate space is pruned by a sargable condition first — at scale
+    the length band (or a q-gram/LSH prefilter, operators/dedup.py)
+    bounds candidates and levenshtein only scores survivors; the
+    distinct-source set itself is dimension-sized (broadcastable)."""
+    src = (
+        load_table(spark, sf_dir, "documents").select("source").distinct()
+    )
+    a = src.select(F.col("source").alias("source_a"))
+    b = src.select(F.col("source").alias("source_b"))
+    return (
+        a.join(
+            b,
+            (F.col("source_a") < F.col("source_b"))
+            & (
+                F.abs(
+                    F.length("source_a") - F.length("source_b")
+                ) <= 1
+            ),
+        )
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("source_a"), F.col("source_b"))
+        )
+        .filter(F.col("edit_dist") <= 1)
+    )

@@ -260,3 +260,36 @@ def array_higher_order_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         F.element_at(e, 2).cast("double").alias("h2"),
         F.element_at(e, 3).cast("double").alias("h3"),
     )
+
+
+@register(
+    "pipe_syntax_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS sum_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("E6", "E7", "E13"),
+)
+def pipe_syntax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark-4 ``|>`` operators): the same logical
+    plan as the classic SELECT, written as a linear dataflow — the form
+    that reads like the DataFrame chain it compiles to. Hash-checked
+    against the classic formulation in the oracle, proving the two
+    surfaces are one engine."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "pipe_orders_v"
+    )
+    return spark.sql("""
+        FROM pipe_orders_v
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+                         AS sum_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, sum_price
+    """)

@@ -213,3 +213,36 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints(spark, sf_dir):
+    """Join-strategy hints are honored: SHUFFLE_HASH plans a
+    ShuffledHashJoin (skips both sides' sorts — the medium⋈huge win
+    when the build side's partitions fit executor memory), MERGE plans
+    SortMergeJoin; results are row-identical. Hints matter at 100 TB
+    because the optimizer's size estimates can be stale post-filter —
+    this is the escape hatch."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.io import load_table
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+
+        def joined(hint):
+            return li.join(
+                orders.hint(hint),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+
+        shj_plan = joined("shuffle_hash")._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in shj_plan
+        assert "SortMergeJoin" not in shj_plan
+        smj_plan = joined("merge")._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in smj_plan
+        assert joined("shuffle_hash").count() == joined("merge").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
