@@ -371,3 +371,32 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
         )
     )
+
+
+@register(
+    "percentile_cont_events",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50c,
+           quantile_cont(value, 0.9) AS p90c,
+           quantile_cont(value, 0.99) AS p99c
+    FROM events GROUP BY event_type
+    """,
+    tags=("E13",),
+)
+def percentile_cont_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) percentiles — the companion to
+    percentile_disc_events: the p-th quantile interpolates linearly
+    between the two straddling order statistics. Safe to hash-check:
+    the interpolation is lo + (hi−lo)·frac, a fixed three-op IEEE
+    sequence both engines evaluate identically on the same two data
+    values (and frac is exact for these group sizes)."""
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("__pctc_events")
+    return spark.sql(
+        """SELECT event_type,
+                  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50c,
+                  percentile_cont(0.9) WITHIN GROUP (ORDER BY value) AS p90c,
+                  percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS p99c
+           FROM __pctc_events GROUP BY event_type"""
+    )

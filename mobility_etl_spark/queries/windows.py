@@ -203,3 +203,49 @@ def window_range_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("hour_sum"),
         F.count("*").over(w).alias("hour_n"),
     )
+
+
+@register(
+    "window_ignore_nulls_events",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_id % 3 = 0 THEN value END AS v
+        FROM events WHERE event_id < 5000
+    )
+    SELECT event_id, user_id, v,
+           lag(v IGNORE NULLS) OVER w AS prev_obs,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried
+    FROM t
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("E18", "E19"),
+)
+def window_ignore_nulls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: lag to the previous NON-NULL
+    observation and a running last-observation-carried-forward — the
+    sparse-sensor shape (two of three readings missing) that plain
+    lag/last_value cannot express without a second pass. Total
+    ordering via the event_id tiebreak keeps both engines exact."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 5000
+    )
+    t = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.expr("lag(v) IGNORE NULLS").over(w).alias("prev_obs"),
+        F.last("v", ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("carried"),
+    )
