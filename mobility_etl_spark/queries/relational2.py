@@ -293,3 +293,53 @@ def pipe_syntax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         |> SELECT o_orderpriority, n_orders, sum_price
     """)
+
+
+@register(
+    "nested_struct_array_lineitem",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           MIN(l_linenumber) AS first_line,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty
+    FROM lineitem
+    WHERE l_orderkey < 2000
+    GROUP BY l_orderkey
+    """,
+    tags=("E27", "E29", "E13"),
+)
+def nested_struct_array_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested data model: each order's lineitems are collected into a
+    sorted array<struct> (the document form an order-events table would
+    land as), then every output is computed by NAVIGATING the nested
+    value — element_at for the head, transform + array_max for the
+    extremum, a sequential fold for the total — and hash-checked
+    against the oracle computing the same facts FLAT. Proves nested
+    construction/navigation loses nothing vs relational aggregation;
+    all lambda work is JVM codegen, no explode round-trip."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 2000
+    )
+    items = F.array_sort(
+        F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+        )
+    )
+    nested = li.groupBy("l_orderkey").agg(items.alias("items"))
+    return nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.element_at("items", 1)["l_linenumber"].alias("first_line"),
+        F.array_max(
+            F.transform("items", lambda s: s["l_extendedprice"])
+        ).alias("max_price"),
+        F.aggregate(
+            F.transform(
+                "items", lambda s: F.floor(s["l_quantity"]).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("total_qty"),
+    )
