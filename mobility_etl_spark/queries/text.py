@@ -334,3 +334,149 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 3)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM tok),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(ln(v.cnt / CAST(tot.n AS DOUBLE)) * 1000000000.0)
+                    AS BIGINT) AS lp_fx
+        FROM tok t JOIN vocab v ON v.token = t.token CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lp_fx) AS BIGINT) AS sum_logprob_fx
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("N5", "E13", "E23"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the perplexity proxy
+    used for corpus filtering: each document's summed log p(token)
+    under the corpus's own unigram distribution (rare-token-heavy ⇒
+    very negative ⇒ junk/OCR noise candidates). Per-token ln is a
+    single IEEE op on an identical quotient, and the per-doc sum is
+    1e-9 fixed-point BIGINT (order-free, tie-free), so the whole
+    scorer hash-matches the oracle. Scale shape: the vocab aggregate
+    is the token shuffle once; the scoring join is vocab-sized
+    (broadcastable — at web scale, the Misra-Gries top-k +
+    tail-smoothing variant replaces the exact vocab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = tok.agg(F.count("*").alias("n"))
+    lp_fx = F.floor(
+        F.log(F.col("cnt") / F.col("n").cast("double")) * 1e9
+    ).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lp_fx).cast("bigint").alias("sum_logprob_fx"),
+        )
+    )
+
+
+@register(
+    "text_contamination_check",
+    oracle=f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN ((doc_id % 1000003) * 2654435761) % 1000000007
+                         % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, split, string_split(text, ' ') AS t FROM split
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, split,
+               md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4]) AS g
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - 4, 1))) AS s(i)
+        WHERE len(t) >= 5
+    ),
+    test_grams AS (
+        SELECT DISTINCT g FROM grams WHERE split = 'test'
+    ),
+    overlap AS (
+        SELECT tr.doc_id,
+               COUNT(DISTINCT tr.g) AS n_grams,
+               COUNT(DISTINCT te.g) AS n_contaminated
+        FROM grams tr LEFT JOIN test_grams te ON te.g = tr.g
+        WHERE tr.split = 'train'
+        GROUP BY tr.doc_id
+    )
+    SELECT doc_id, n_grams, n_contaminated
+    FROM overlap
+    WHERE n_contaminated > 0
+    """,
+    tags=("N2", "N5", "N7"),
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection — the eval-hygiene pass every
+    training corpus needs: 5-gram fingerprints of TRAIN documents that
+    also appear in any TEST document (split = the reproducible hash
+    split, so the check is stable across runs). Ships md5 digests of
+    grams, never gram text; the digest set is the join key, so at
+    100 TB this is a digest⋈digest equi-join after two dedups —
+    exactly the exact-dedup shape (N1) applied across splits."""
+    from mobility_etl_spark.operators.sampling import hash_split
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "split", F.split("text", " ").alias("t")
+    ).filter(F.size("t") >= 5)
+    grams = toks.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 5),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                        F.element_at(F.col("t"), i + 3),
+                        F.element_at(F.col("t"), i + 4),
+                        F.element_at(F.col("t"), i + 5),
+                    )
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    test_grams = grams.filter(F.col("split") == "test").select("g").distinct()
+    train = grams.filter(F.col("split") == "train")
+    return (
+        train.join(test_grams.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_grams"),
+            F.countDistinct(F.when(F.col("hit") == 1, F.col("g"))).alias(
+                "n_contaminated"
+            ),
+        )
+        .filter(F.col("n_contaminated") > 0)
+    )
