@@ -148,6 +148,111 @@ def pca_project(
     return df.select(*key_cols, *proj_cols)
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 5,
+    key_col: str = "vec_id",
+):
+    """Lloyd's k-means, factored for scale like every iterative
+    operator here (pagerank, connected components): the k×d centroid
+    set is *control state* that lives driver-side and broadcasts into
+    each pass; the data never shuffles at all. Per iteration, one
+    mapInPandas pass assigns each vector to its nearest centroid and
+    emits per-partition (cluster, dim, partial_sum) rows — k·(d+1)
+    scalars per partition — whose merge is a tiny groupBy; the driver
+    recomputes means (an O(k·d) update) and loops. Seeding is
+    deterministic and layout-invariant: the k rows with the smallest
+    ``xxhash64(key)``.
+
+    Returns (centroids ndarray [k×d], counts ndarray [k]). Empty
+    clusters keep their previous centroid. tests/test_linalg.py gates
+    parity with single-machine numpy Lloyd's and monotone inertia.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seeds = (
+        df.select(key_col, vec_col)
+        .withColumn("__h", F.xxhash64(key_col))
+        .orderBy("__h", key_col)
+        .limit(k)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
+    counts = np.zeros(k)
+    for _ in range(iters):
+        c_b = cents.copy()
+
+        def partials(batches, c_b=c_b):
+            sums = np.zeros((k, dim))
+            cnt = np.zeros(k)
+            for pdf in batches:
+                x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = ((x[:, None, :] - c_b[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                np.add.at(sums, a, x)
+                cnt += np.bincount(a, minlength=k)
+            cc, dd = np.nonzero(np.ones((k, dim)))
+            yield pd.DataFrame(
+                {
+                    "cid": np.concatenate([cc, np.arange(k)]),
+                    "j": np.concatenate([dd, np.full(k, -1)]),
+                    "s": np.concatenate([sums[cc, dd], cnt]),
+                }
+            )
+
+        merged = (
+            df.select(vec_col)
+            .mapInPandas(partials, "cid int, j int, s double")
+            .groupBy("cid", "j")
+            .agg(F.sum("s").alias("s"))
+            .collect()
+        )
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in merged:
+            if r.j == -1:
+                counts[r.cid] = r.s
+            else:
+                sums[r.cid, r.j] = r.s
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return cents, counts
+
+
+def kmeans_assign(
+    df: DataFrame, vec_col: str, centroids, key_cols: tuple[str, ...]
+) -> DataFrame:
+    """Tag each vector with its nearest fitted centroid — pure codegen:
+    the k distances are broadcast-literal zip_with folds and the argmin
+    is array_position of the array minimum; narrow map, no shuffle, no
+    Python."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(c)) for c in cent]),
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for cent in centroids
+        ]
+    )
+    return df.select(
+        *key_cols,
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(
+            "cluster_id"
+        ),
+    )
+
+
 def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     """Merged upper-triangle Gram matrix: (i, j, s) with 1 ≤ i ≤ j ≤ d,
     plus the row count at (-1, -1). Shuffle volume is O(partitions·d²),

@@ -286,3 +286,22 @@ def vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     comps, _ = pca_fit(emb, "embedding", _GRAM_DIM, k=4)
     return pca_project(emb, "embedding", comps, ("vec_id", "label"))
+
+
+@register("vector_kmeans_clusters", oracle=None, tags=("N3", "E39"))
+def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus
+    (operators/linalg.py:kmeans_fit): centroids are driver-side control
+    state broadcast into one mapInPandas pass per iteration (data never
+    shuffles; the merge is k·(d+1) scalars per partition), assignment
+    is pure codegen. Returns per-cluster sizes. Rows-only driver check
+    (float partial merge order wobbles means in the last bits); numpy
+    parity + monotone-inertia gates in tests/test_linalg.py."""
+    from mobility_etl_spark.operators.linalg import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb, "embedding", _GRAM_DIM, k=8, iters=4)
+    assigned = kmeans_assign(emb, "embedding", cents, ("vec_id",))
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )

@@ -1,0 +1,27 @@
+"""The driver contract adapter (__spark_entry__.py) must stay wired:
+every registered query exposed, every oracle a non-empty SQL string,
+and the flagship entry() smoke-runnable with a stable schema."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from mobility_etl_spark.registry import load_all
+
+
+def test_queries_and_oracles_mirror_registry():
+    specs = load_all()
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(q) == set(specs)
+    assert set(o) <= set(q)
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
+    # every oracle-less query is an intentional rows-only registration
+    rows_only = set(q) - set(o)
+    assert rows_only == {n for n, s in specs.items() if s.oracle is None}
+
+
+def test_entry_flagship_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["hour_ts", "event_type", "n_events", "avg_value", "hour_total"]

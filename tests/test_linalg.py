@@ -124,3 +124,50 @@ def test_pca_projection_plan_stays_jvm(spark, sf_dir, emb):
     )
     assert "Exchange" not in plan  # narrow map only
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir, emb):
+    """Distributed Lloyd's ≡ single-machine numpy Lloyd's from the same
+    deterministic seeds: centroids allclose after each of 4 iterations,
+    and inertia is monotone non-increasing."""
+    import pyspark.sql.functions as F
+
+    from mobility_etl_spark.operators.linalg import kmeans_assign, kmeans_fit
+
+    k, dim, iters = 8, 64, 4
+    rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("__h", F.xxhash64("vec_id"))
+        .orderBy("__h", "vec_id")
+        .collect()
+    )
+    x = np.stack([r.embedding for r in rows]).astype(np.float64)
+    ref = x[:k].copy()  # same seeds: k smallest hashes
+
+    inertias = []
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        inertias.append(d2[np.arange(len(x)), a].sum())
+        for c in range(k):
+            if (a == c).any():
+                ref[c] = x[a == c].mean(axis=0)
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:]))
+
+    cents, counts = kmeans_fit(
+        emb.repartition(5), "embedding", dim, k=k, iters=iters
+    )
+    assert np.allclose(cents, ref, atol=1e-8)
+    assert int(counts.sum()) == len(x)
+
+    assigned = kmeans_assign(emb, "embedding", cents, ("vec_id",))
+    got = {r.vec_id: r.cluster_id for r in assigned.collect()}
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    order = {r.vec_id: i for i, r in enumerate(rows)}
+    expect = d2.argmin(axis=1)
+    mismatches = sum(
+        1 for vid, cid in got.items() if cid != expect[order[vid]]
+    )
+    assert mismatches == 0
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "ArrowEvalPython" not in plan
