@@ -105,3 +105,79 @@ def misra_gries_tokens(
         .filter(F.col("est_count") > 0)
         .select("token", "est_count")
     )
+
+
+def bloom_positions(
+    df: DataFrame, key_col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Expand each key into its ``k_hashes`` Bloom bit coordinates —
+    ``(word_idx, bitmask)`` pairs addressing a conceptual bitset of
+    ``m_bits`` bits stored as 64-bit words. Hash i is
+    ``xxhash64(key, i) mod m`` — deterministic, seedless state, nothing
+    to broadcast. Pure codegen: explode + shift arithmetic, no Python.
+    """
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+                for i in range(k_hashes)
+            ]
+        )
+    ).alias("pos")
+    return df.select(F.col(key_col), pos).select(
+        key_col,
+        F.shiftright("pos", 6).alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bitmask"),
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 1 << 17, k_hashes: int = 5
+) -> DataFrame:
+    """Distributed Bloom-filter build as a relational plan: explode
+    keys to bit coordinates, OR-merge per word with the ``bit_or``
+    aggregate. Output is the *sparse* filter — ≤ ``m_bits/64`` rows of
+    ``(word_idx, bits)`` — i.e. a mergeable sketch that is itself a
+    DataFrame: union two builds and re-``bit_or`` to merge filters.
+
+    Scale shape: the only shuffle moves ≤ partitions × m/64 partial
+    words (map-side ``bit_or`` combine), never the corpus. At 100 TB
+    the filter for a billion-document seen-corpus at 1% FPR is ~1.2 GB
+    — kept distributed here; ``bloom_probe`` joins it broadcast when it
+    fits, hash otherwise (Spark picks by size).
+    """
+    return (
+        bloom_positions(df, key_col, m_bits, k_hashes)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(bitmask)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 17,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Membership test against a built filter: a key is *maybe seen*
+    iff every one of its ``k_hashes`` bit positions is set (no false
+    negatives; false-positive rate ≈ (1 − e^{−kn/m})^k, gated in
+    tests/test_sketch.py). Probe = broadcast join of the sparse filter
+    on ``word_idx`` + one bitwise AND — still zero Python, and the
+    corpus-side shuffle is only the per-key ``min`` reduce.
+
+    Returns the input keys with a boolean ``maybe_seen``.
+    """
+    probed = (
+        bloom_positions(df, key_col, m_bits, k_hashes)
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            key_col,
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bitmask"))
+                != 0
+            ).alias("hit"),
+        )
+    )
+    return probed.groupBy(key_col).agg(F.min("hit").alias("maybe_seen"))

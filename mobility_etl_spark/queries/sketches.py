@@ -68,3 +68,37 @@ def token_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     are gated against the exact counts in tests/test_sketch.py."""
     docs = load_table(spark, sf_dir, "documents")
     return misra_gries_tokens(docs, "text", k=64)
+
+
+#: Bloom sizing: ~6 bits per seen key with 4 hashes → theoretical FPR
+#: ≈ (1 − e^{−4/6})^4 ≈ 5.6%, scale-free because m grows with n.
+BLOOM_BITS_PER_KEY = 6
+BLOOM_K = 4
+
+
+@register("sketch_bloom_filter_dedup", oracle=None, tags=("N1", "E26"))
+def sketch_bloom_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup via a distributed Bloom filter
+    (operators/sketch.py:bloom_build/bloom_probe): the already-ingested
+    corpus (docs with ``doc_id % 3 != 0``) is folded into a sparse
+    bitset DataFrame with a ``bit_or`` aggregate — the only shuffle is
+    ≤ partitions × m/64 partial words — and the incoming batch (all
+    docs) probes it with a broadcast join + bitwise AND. No false
+    negatives by construction; FPR is sized scale-free at ~6 bits/key
+    (gated in tests/test_sketch.py). Rows-only driver check: the
+    false-positive count is hash-dependent by design."""
+    from mobility_etl_spark.operators.sketch import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 != 0)
+    n_seen = seen.count()  # control scalar: sizes the filter, like
+    # the convergence sums in operators/components.py
+    m_bits = 1 << max(8, (n_seen * BLOOM_BITS_PER_KEY).bit_length())
+    bloom = bloom_build(seen, "doc_id", m_bits, BLOOM_K)
+    probed = bloom_probe(docs, bloom, "doc_id", m_bits, BLOOM_K)
+    return (
+        probed.withColumn("truly_seen", F.col("doc_id") % 3 != 0)
+        .groupBy("truly_seen", "maybe_seen")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("truly_seen", "maybe_seen")
+    )

@@ -86,3 +86,54 @@ def test_exact_query_matches_mg_on_top_tokens(spark, sf_dir, docs, exact):
     guaranteed = {t for t, c in counts.items() if c > n_total / 65}
     assert guaranteed <= est
     assert guaranteed <= hh or not guaranteed
+
+
+class TestBloom:
+    """Bloom-filter gates: zero false negatives (structural), FPR
+    within 5× of the sized theoretical rate, exact mergeability
+    (build(A) ⊕ build(B) ≡ build(A ∪ B)), and an all-JVM probe plan."""
+
+    M_BITS, K = 1 << 11, 4
+
+    def _filter(self, docs):
+        from mobility_etl_spark.operators.sketch import bloom_build
+
+        seen = docs.filter(F.col("doc_id") % 3 != 0)
+        return seen, bloom_build(seen, "doc_id", self.M_BITS, self.K)
+
+    def test_no_false_negatives_and_bounded_fpr(self, docs):
+        from mobility_etl_spark.operators.sketch import bloom_probe
+
+        seen, bloom = self._filter(docs)
+        probed = bloom_probe(docs, bloom, "doc_id", self.M_BITS, self.K)
+        rows = {r.doc_id: r.maybe_seen for r in probed.collect()}
+        n_seen = seen.count()
+        assert all(rows[i] for i in rows if i % 3 != 0)  # never misses
+        unseen = [i for i in rows if i % 3 == 0]
+        fps = sum(1 for i in unseen if rows[i])
+        fill = 1 - 2.718281828 ** (-self.K * n_seen / self.M_BITS)
+        theoretical = fill**self.K
+        assert fps / len(unseen) <= max(5 * theoretical, 0.02)
+
+    def test_merge_of_partial_builds_is_exact(self, docs):
+        from mobility_etl_spark.operators.sketch import bloom_build
+
+        seen, whole = self._filter(docs)
+        a = bloom_build(seen.filter("doc_id % 2 = 0"), "doc_id", self.M_BITS, self.K)
+        b = bloom_build(seen.filter("doc_id % 2 = 1"), "doc_id", self.M_BITS, self.K)
+        merged = (
+            a.unionByName(b)
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+        )
+        assert merged.exceptAll(whole).count() == 0
+        assert whole.exceptAll(merged).count() == 0
+
+    def test_probe_plan_is_jvm_broadcast(self, docs):
+        from mobility_etl_spark.operators.sketch import bloom_probe
+
+        _, bloom = self._filter(docs)
+        probed = bloom_probe(docs, bloom, "doc_id", self.M_BITS, self.K)
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
