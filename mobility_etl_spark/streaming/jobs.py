@@ -29,9 +29,11 @@ from pyspark.sql.types import (
 from mobility_etl_spark.functions.compat import DEC
 from mobility_etl_spark.session import ensure_session_defaults
 
-#: File schema of the driver's events parquet (ts = int64 nanos, see
-#: io.load_table): streaming reads REQUIRE an explicit schema — which
-#: is also the engine rule (§1.3: no inferSchema in production paths).
+#: Historical file schema of the driver's events parquet when ``ts``
+#: was stored as int64 nanos. Kept as documentation/fallback only —
+#: the live schema is ALWAYS probed from the actual file footer (see
+#: :func:`events_file_stream`), because the driver has regenerated the
+#: testdata with a different ``ts`` encoding between rounds before.
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -52,16 +54,29 @@ def events_file_stream(
 ) -> DataFrame:
     """E30: file-arrival stream over an events directory/file.
 
-    ts arrives as int64 nanoseconds and is truncated to µs with the
-    same integer arithmetic as the batch loader — but kept as plain
-    TIMESTAMP (not NTZ) because event-time watermarks require it
-    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session tz is pinned
-    to UTC (session.py), so TIMESTAMP here has the identical wall
-    clock as the batch loader's TIMESTAMP_NTZ; output edges cast back
-    to NTZ for oracle comparability.
+    Streaming reads REQUIRE an explicit schema (the engine rule, §1.3:
+    no inferSchema in production paths) — but *hardcoding* one is how
+    round 2 broke: the driver re-encoded ``events.ts`` from int64
+    nanoseconds to parquet TIMESTAMP(µs) and the pinned LongType schema
+    silently read raw µs as ns, collapsing 30 days into ~43 minutes.
+    So the schema is now derived from ONE batch footer probe of the
+    input (exactly the dtype branch the batch loader already had,
+    io.py:57-61), and the ns→µs arithmetic is applied only when the
+    file really stores int64:
+
+    * ``ts: bigint``        → ``timestamp_micros(ts div 1000)`` (ns → µs,
+      integer truncation, bit-for-bit what DuckDB does on ns parquet)
+    * ``ts: timestamp_ntz`` → cast to TIMESTAMP (watermarks reject NTZ:
+      EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the session tz is pinned to
+      UTC (session.py), so the wall clock is unchanged
+    * ``ts: timestamp``     → used as-is
+
+    Output edges cast back to NTZ for oracle comparability. The probe
+    is a footer-only read (no data scan) per stream construction.
     """
     ensure_session_defaults(spark)
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    observed = getattr(spark.read, fmt)(path).schema
+    reader = spark.readStream.schema(observed)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     # The file source lists a *directory*; a single-file path is
@@ -77,7 +92,12 @@ def events_file_stream(
         reader = reader.option("pathGlobFilter", leaf)
         path = parent or "."
     stream = getattr(reader, fmt)(path)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = {f.name: f.dataType.simpleString() for f in observed.fields}.get("ts")
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def tumbling_hourly_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
