@@ -329,38 +329,16 @@ def cosine_near_dup_pairs_exact(
     )
 
 
-def near_dup_pairs(
-    df: DataFrame,
-    key_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.9,
-    num_planes: int = 160,
-    bands: int = 16,
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via banded LSH — the
-    default (100 TB) path; same output contract as
-    ``cosine_near_dup_pairs_exact`` minus the misses LSH allows.
+def _band_buckets_expr(vec_col: str, num_planes: int, bands: int) -> F.Column:
+    """array<struct<band,bucket>> of banded sign-LSH buckets for a vector.
 
-    Plan shape: signature map (no shuffle) → explode bands → self
-    equi-join on (band, bucket) → per-candidate exact cosine → groupBy
-    pair. The only shuffles are the bucket join and the pair dedup, and
-    the dedup shuffles (a_id, b_id, cos) triples, never vectors — a
-    pair that collides in several bands is re-scored map-side rather
-    than carried through a wide distinct (shuffle bytes dominate CPU at
-    scale).
-
-    Default geometry: 16 bands × 10 bits. For cos ≥ 0.9 the per-plane
-    agreement is p = 1 − arccos(0.9)/π ≈ 0.856, so a band matches with
-    p¹⁰ ≈ 0.21 and ≥1 of 16 bands with ≈ 0.978 — while uniform buckets
-    prune candidate pairs by ~2¹⁰/16 ≈ 64×. Banding CANNOT prune at low
-    thresholds (cos 0.2 ⇒ p ≈ 0.56: any geometry with usable recall
-    inspects ~all pairs) — loose-pair mining stays on the exact path
-    over a bounded slice.
+    Per-band bucket computed directly (not via one packed signature:
+    160 planes don't fit a BIGINT — each band's fold stays < 2^bits).
+    Hyperplanes are deterministic xxhash64-seeded pseudo-gaussians, so
+    every caller (and every cluster) derives identical buckets.
     """
     bits_per_band = num_planes // bands
-    # Per-band bucket computed directly (not via one packed signature:
-    # 160 planes don't fit a BIGINT — each band's fold stays < 2^bits).
-    band_buckets = F.expr(
+    return F.expr(
         f"""
         transform(sequence(0, {bands - 1}), b -> struct(b AS band,
             aggregate(
@@ -378,6 +356,41 @@ def near_dup_pairs(
                 0L, (acc, bit) -> acc * 2 + bit) AS bucket))
         """
     )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 160,
+    bands: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded LSH — the
+    default (100 TB) path; same output contract as
+    ``cosine_near_dup_pairs_exact`` minus the misses LSH allows.
+
+    Plan shape: signature map (no shuffle) → explode bands → self
+    equi-join on (band, bucket) → per-candidate exact cosine → groupBy
+    pair. Two shuffles: the bucket join and the pair dedup. The bucket
+    join DOES carry the exploded vectors — `bands`× vector bytes per
+    side — because the in-bucket re-rank needs both vectors colocated;
+    what stays narrow is the dedup, which shuffles (a_id, b_id, cos)
+    triples only (a pair colliding in several bands is re-scored
+    map-side rather than carried through a wide distinct). For vectors
+    wide enough that bands×dim dominates the shuffle (≳1k dims), use
+    :func:`near_dup_pairs_idonly`, which buckets ids only and fetches
+    vectors once per surviving pair.
+
+    Default geometry: 16 bands × 10 bits. For cos ≥ 0.9 the per-plane
+    agreement is p = 1 − arccos(0.9)/π ≈ 0.856, so a band matches with
+    p¹⁰ ≈ 0.21 and ≥1 of 16 bands with ≈ 0.978 — while uniform buckets
+    prune candidate pairs by ~2¹⁰/16 ≈ 64×. Banding CANNOT prune at low
+    thresholds (cos 0.2 ⇒ p ≈ 0.56: any geometry with usable recall
+    inspects ~all pairs) — loose-pair mining stays on the exact path
+    over a bounded slice.
+    """
+    band_buckets = _band_buckets_expr(vec_col, num_planes, bands)
 
     def banded(side: str) -> DataFrame:
         return df.select(
@@ -408,5 +421,62 @@ def near_dup_pairs(
     return (
         candidates.groupBy("a_id", "b_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def near_dup_pairs_idonly(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 160,
+    bands: int = 16,
+) -> DataFrame:
+    """:func:`near_dup_pairs` for WIDE vectors: the bucket join carries
+    only (id, band, bucket) triples — never embeddings — then each
+    surviving candidate pair fetches its two vectors exactly once for
+    the exact re-rank.
+
+    Identical output to ``near_dup_pairs`` (same hyperplanes, same
+    candidate set, same scoring; asserted in tests/test_similarity.py).
+    The tradeoff is shuffle SHAPE, not result:
+
+    * ``near_dup_pairs``:   1 bucket join shuffling bands×dim floats
+      per row + a scalar dedup — fewest stages, best when dim is small
+      (bands×dim ≈ 16×64 floats here is nothing).
+    * this variant: bucket join shuffles 24-byte triples, then a
+      distinct on id pairs, then two hash joins against the vector
+      table to fetch embeddings. Three shuffles, but the big one is
+      scalar — at dim ≳1k (16 bands × 4 KB/vector = 64 KB/row exploded)
+      this is the only shape that survives; candidate pairs after LSH
+      pruning are ≪ rows×bands, so the fetch joins move less data than
+      the exploded bucket join would.
+    """
+    band_buckets = _band_buckets_expr(vec_col, num_planes, bands)
+    ids = df.select(
+        F.col(key_col).alias("__id"), F.explode(band_buckets).alias("bb")
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    cand = (
+        ids.select(F.col("__id").alias("a_id"), "band", "bucket")
+        .join(ids.select(F.col("__id").alias("b_id"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    vecs = df.select(F.col(key_col).alias("__vid"), F.col(vec_col).alias("__vec"))
+    return (
+        cand.join(vecs.select(F.col("__vid").alias("a_id"), F.col("__vec").alias("__avec")), "a_id")
+        .join(vecs.select(F.col("__vid").alias("b_id"), F.col("__vec").alias("__bvec")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                _dot_expr("__avec", "__bvec")
+                / F.sqrt(_sq_norm_expr("__avec") * _sq_norm_expr("__bvec")),
+                6,
+            ).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -106,7 +106,11 @@ def hash_funcs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5("text").alias("content_md5"),
         F.sha2(F.col("text"), 256).alias("content_sha256"),
-        (F.md5("text") == F.md5("text")).alias("self_consistent"),
+        # expr, not Column == Column: comparing a Column expression to
+        # itself makes pyspark log a "trivially true equals predicate"
+        # analyzer warning on every run; the SQL form is silent and
+        # identical (it exists to assert md5 determinism vs the oracle)
+        F.expr("md5(text) = md5(text)").alias("self_consistent"),
     )
 
 

@@ -190,11 +190,30 @@ def near_dup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (LSH output is recall-bounded, not exact); recall ≥ 0.95 vs the
     all-pairs exact baseline is gated in tests/test_similarity.py.
     At 100 TB this is the shape that replaces the O(n²) theta join:
-    shuffle = bucket equi-join + (a_id, b_id, cos) triples only."""
+    the bucket equi-join (which carries bands× exploded vectors — fine
+    at dim 64) + a scalar (a_id, b_id, cos) dedup; see
+    ``near_dup_lsh_idonly`` for the wide-vector shape."""
     from mobility_etl_spark.operators.similarity import near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     return near_dup_pairs(_with_planted_dups(emb), threshold=0.9)
+
+
+@register("near_dup_lsh_idonly", oracle=None, tags=("N2", "N3"))
+def near_dup_lsh_idonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-vector near-dup variant: the SAME banded LSH + exact
+    re-rank as ``near_dup_lsh_embeddings``, but the bucket self-join
+    shuffles only (id, band, bucket) triples; embeddings are fetched
+    once per surviving candidate pair by two hash joins. Output is
+    identical to the vector-carrying variant (asserted in
+    tests/test_similarity.py) — the variant exists because at ≳1k dims
+    the exploded-vector bucket join shuffles bands×dim floats per row
+    and this shape's three scalar-dominated shuffles are cheaper.
+    Rows-only driver check, same as the sibling."""
+    from mobility_etl_spark.operators.similarity import near_dup_pairs_idonly
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return near_dup_pairs_idonly(_with_planted_dups(emb), threshold=0.9)
 
 
 #: Bound the Gram-matrix corpus so the exact explode-based oracle stays

@@ -116,3 +116,27 @@ def test_near_dup_lsh_recall_vs_exact(spark, emb):
     # no false positives, identical scores where both report a pair
     assert set(approx) <= set(exact)
     assert all(approx[p] == exact[p] for p in approx)
+
+
+def test_near_dup_idonly_matches_vector_carrying(spark, emb):
+    """The id-only bucket-join variant (wide-vector shuffle shape) must
+    produce EXACTLY the vector-carrying variant's output: same
+    hyperplanes → same candidate set, same re-rank arithmetic → same
+    scores. Only the shuffle shape differs."""
+    from mobility_etl_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_idonly,
+    )
+    from mobility_etl_spark.queries.similarity import _with_planted_dups
+
+    corpus = _with_planted_dups(emb.filter(F.col("vec_id") < 200))
+    carrying = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    idonly = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in near_dup_pairs_idonly(corpus, threshold=0.9).collect()
+    }
+    assert len(carrying) >= 150
+    assert idonly == carrying
