@@ -31,6 +31,47 @@ HEADLINE: tuple[str, ...] = (
 )
 
 
+def plan_signature(df) -> dict:
+    """Compact, diffable physical-plan signature (VERDICT r02 #8).
+
+    The operator tree (names in tree order) plus counts of the
+    load-bearing operators — enough to spot a broadcast join decaying
+    into a SortMergeJoin or an extra Exchange appearing between
+    rounds, without shipping full formatted plans in BENCH_r*.json.
+    """
+    je = df._jdf.queryExecution()
+    plan = je.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n", 1)[0]
+    # a tree line reads like "   +- * BroadcastHashJoin Inner BuildRight (11)":
+    # strip the drawing prefix, take the first identifier, require the
+    # trailing "(id)" so detail sections never match
+    ops = [
+        m.group(1)
+        for line in tree.splitlines()
+        if line.rstrip().endswith(")")
+        and (m := re.match(r"^[\s+\-:*]*([A-Za-z][A-Za-z0-9]*)", line))
+        and re.search(r"\(\d+\)\s*$", line)
+    ]
+    counted = (
+        "Exchange",
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "Sort",
+        "TakeOrderedAndProject",
+    )
+    return {
+        "ops": ops,
+        "counts": {k: ops.count(k) for k in counted if ops.count(k)},
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +104,7 @@ def main() -> None:
         ).save()
 
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
     total = 0.0
     for name in names:
         start = time.perf_counter()
@@ -71,6 +113,7 @@ def main() -> None:
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
+        plans[name] = plan_signature(specs[name].builder(spark, sf_dir))
 
     print(
         json.dumps(
@@ -80,6 +123,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "plans": plans,
             }
         )
     )
