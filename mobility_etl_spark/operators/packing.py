@@ -1,92 +1,109 @@
-"""Sequence packing: assemble variable-length documents into
-fixed-token-budget training bins.
+"""Sequence packing: bin documents into fixed token-budget training
+sequences (SURVEY.md §2.C north-star; the step between a curated
+corpus and a dataloader — every LLM pretraining pipeline packs
+variable-length documents into fixed context windows to avoid padding
+waste).
 
-LLM pre-training consumes fixed-length sequences; feeding one short
-document per sequence wastes the context window, so pipelines *pack*
-documents back-to-back up to a token budget (padding only the tail of
-each bin). Optimal bin packing is NP-hard and inherently sequential —
-the wrong shape for a cluster — so the standard distributed compromise
-is **greedy next-fit within independent buckets**: documents are
-hash/mod-bucketed, each bucket is packed sequentially in deterministic
-key order, and bucket-local bin ids compose into globally unique bin
-ids. Buckets are embarrassingly parallel; with thousands of buckets the
-per-bucket greedy pass is a few thousand rows — driver-free, skew-free,
-and the packing efficiency loss vs a global first-fit-decreasing is
-bounded by one partially-filled bin per bucket.
+100 TB design: packing is inherently sequential (bin state), so the
+corpus is first salted into ``num_groups`` independent packing groups
+by a deterministic hash of the key — each group packs in isolation
+inside one ``applyInPandas`` call (Arrow-batched, no driver loop, no
+global sort). Group-local first-fit-decreasing (FFD) gives ≥ (1 −
+capacity/group_tokens) of global packing efficiency while scaling
+linearly with executors; the fill loss from sharding is at most one
+partially-filled bin per group, negligible when groups carry ≫
+capacity tokens. FFD itself is the classic 11/9·OPT + 6/9 guarantee.
 
-The recurrence is exactly::
+Oversized documents (size > capacity) are NOT dropped silently: each
+becomes its own single-doc bin with ``overflow = true`` so a
+downstream chunker (see ``text_chunk_windows``) can split them —
+the no-silent-caps rule.
 
-    first doc in bucket:            bin = 0,       fill = w
-    fill + w >  budget:             bin = bin + 1, fill = w
-    fill + w <= budget:             bin stays,     fill += w
-
-(an oversized doc — w > budget — always gets a bin of its own). Because
-the recurrence is pure integer arithmetic over a deterministic order,
-the WHOLE operator is value-level oracle-checkable: DuckDB replays the
-same recurrence as a recursive CTE (see queries/curation.py —
-``pack_sequences_greedy``), which is the rare case of an inherently
-sequential operator with an exact cross-engine oracle.
-
-No reference counterpart (the reference defers all analytics,
-SURVEY.md §2.C); north-star training-pipeline surface alongside
-dedup and sampling.
+Determinism: group assignment is xxhash64(key) % groups; within a
+group docs sort by (size desc, key); first-fit scans bins in creation
+order — so the packing is a pure function of the input set, stable
+across runs, partitionings, and clusters.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: bin_id = group * _BIN_STRIDE + bin_index — globally unique, stable.
+_BIN_STRIDE = 1_000_000
 
-def pack_greedy(
+
+def pack_sequences(
     df: DataFrame,
     key_col: str,
-    weight_col: str,
-    budget: int,
-    n_buckets: int = 16,
+    size_col: str,
+    capacity: int,
+    num_groups: int = 32,
 ) -> DataFrame:
-    """Pack rows into bins of ≤ ``budget`` total weight, greedily in
-    ``key_col`` order within ``key mod n_buckets`` buckets.
+    """Assign each row to a packed bin: returns the input keys plus
+    ``(pack_group, bin_id, bin_fill ignored)`` → columns
+    (key, size, pack_group, bin_id, overflow).
 
-    One shuffle (groupBy bucket); the per-bucket sequential scan runs
-    as an Arrow-batched ``applyInPandas`` (numpy ints, no per-row
-    Python objects crossing the boundary). At scale, set ``n_buckets``
-    ≈ a few × cores so every task packs ~corpus/n_buckets rows.
-
-    Returns (bucket, key, weight, bin_local, bin_fill) — ``bin_local``
-    is the bucket-local bin ordinal; (bucket, bin_local) is the global
-    bin identity.
+    One shuffle (the groupBy on the salt); packing state never leaves
+    the executor; output is one row per input row.
     """
     import pandas as pd
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(key_col).reset_index(drop=True)
-        ws = pdf[weight_col].to_numpy()
-        bins = []
-        b, fill = 0, 0
-        for i, w in enumerate(ws):
-            w = int(w)
-            if i == 0:
-                fill = w
-            elif fill + w > budget:
-                b, fill = b + 1, w
-            else:
-                fill += w
-            bins.append(b)
-        out = pdf[["bucket", key_col, weight_col]].copy()
-        out["bin_local"] = pd.Series(bins, dtype="int64")
-        return out
+    schema = (
+        f"{key_col} long, {size_col} long, pack_group int, "
+        "bin_id long, overflow boolean"
+    )
 
-    bucketed = df.select(
-        (F.col(key_col) % n_buckets).cast("long").alias("bucket"),
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        group = int(pdf["__grp"].iloc[0])
+        rows = pdf[[key_col, size_col]].sort_values(
+            [size_col, key_col], ascending=[False, True]
+        )
+        bins: list[int] = []  # remaining capacity per bin, creation order
+        out_bin: list[int] = []
+        out_over: list[bool] = []
+        for _, r in rows.iterrows():
+            size = int(r[size_col])
+            if size > capacity:
+                bins.append(-1)  # full forever: oversized solo bin
+                out_bin.append(len(bins) - 1)
+                out_over.append(True)
+                continue
+            for i, rem in enumerate(bins):
+                if rem >= size:
+                    bins[i] = rem - size
+                    out_bin.append(i)
+                    break
+            else:
+                bins.append(capacity - size)
+                out_bin.append(len(bins) - 1)
+            out_over.append(False)
+        return pd.DataFrame(
+            {
+                key_col: rows[key_col].values,
+                size_col: rows[size_col].values,
+                "pack_group": group,
+                "bin_id": [group * _BIN_STRIDE + b for b in out_bin],
+                "overflow": out_over,
+            }
+        )
+
+    salted = df.select(
         F.col(key_col),
-        F.col(weight_col).cast("long"),
+        F.col(size_col).cast("long"),
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_groups))
+        .cast("int")
+        .alias("__grp"),
     )
-    packed = bucketed.groupBy("bucket").applyInPandas(
-        pack,
-        f"bucket long, {key_col} long, {weight_col} long, bin_local long",
-    )
-    return packed.withColumn(
-        "bin_fill",
-        F.sum(weight_col).over(Window.partitionBy("bucket", "bin_local")),
+    return salted.groupBy("__grp").applyInPandas(pack_group, schema)
+
+
+def bin_stats(packed: DataFrame, size_col: str, capacity: int) -> DataFrame:
+    """Per-bin audit: doc count, fill, utilization, overflow flag."""
+    return packed.groupBy("pack_group", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).alias("fill_tokens"),
+        (F.sum(size_col) / F.lit(float(capacity))).alias("utilization"),
+        F.max("overflow").alias("has_overflow"),
     )

@@ -57,6 +57,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.curation",
     "mobility_etl_spark.queries.udfs",
     "mobility_etl_spark.queries.warsaw_queries",
+    "mobility_etl_spark.queries.corpus_prep",
 )
 
 
