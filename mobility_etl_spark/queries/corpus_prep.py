@@ -213,6 +213,193 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target language mixture for resampling (weights sum to 1).
+_MIX = (("en", 0.4), ("fr", 0.2), ("es", 0.2), ("de", 0.1), ("zh", 0.1))
+_MIX_SQL = ", ".join(f"('{l}', {w})" for l, w in _MIX)
+
+
+@register(
+    "resample_lang_mixture",
+    oracle=f"""
+    WITH w(lang, p) AS (VALUES {_MIX_SQL}),
+    counts AS (
+        SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang
+    ),
+    capacity AS (
+        SELECT MIN(n_orig / p) AS t FROM counts JOIN w USING (lang)
+    ),
+    rates AS (
+        SELECT c.lang, c.n_orig,
+               CAST(FLOOR(1000.0 * t * p / c.n_orig) AS BIGINT)
+                 AS keep_permille
+        FROM counts c JOIN w USING (lang) CROSS JOIN capacity
+    )
+    SELECT r.lang, r.n_orig, r.keep_permille,
+           COUNT(d.doc_id) AS n_sampled
+    FROM rates r
+    LEFT JOIN documents d
+      ON d.lang = r.lang
+     AND ((d.doc_id % 1000003) * 2654435761) % 1000000007 % 1000
+         < r.keep_permille
+    GROUP BY r.lang, r.n_orig, r.keep_permille
+    """,
+    tags=("N5", "N7"),
+)
+def resample_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture resampling: hit a target per-language mixture
+    (en .4 / fr .2 / es .2 / de .1 / zh .1) while keeping the maximum
+    possible corpus — the data-mixing step of every pretraining run.
+    The binding class sets total capacity T = min(n_l / p_l); each
+    class keeps a deterministic hash sample of ⌊1000·T·p_l/n_l⌋‰ of
+    its rows (operators/sampling.py portable hash, so membership is a
+    pure function of the key — stable across runs, partitionings and
+    engines, which is what makes it oracle-checkable). Aggregates are
+    one tiny groupBy (|langs| rows) broadcast back over the corpus:
+    no extra shuffle of the fact side at any scale."""
+    from mobility_etl_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(list(_MIX), "lang string, p double")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_orig"))
+    ratios = counts.join(F.broadcast(weights), "lang")
+    capacity = ratios.agg(F.min(F.col("n_orig") / F.col("p")).alias("t"))
+    rates = ratios.crossJoin(F.broadcast(capacity)).select(
+        "lang",
+        "n_orig",
+        F.floor(1000.0 * F.col("t") * F.col("p") / F.col("n_orig"))
+        .cast("bigint")
+        .alias("keep_permille"),
+    )
+    sampled = docs.join(F.broadcast(rates), "lang").filter(
+        hash_bucket("doc_id", 1000) < F.col("keep_permille")
+    )
+    return (
+        sampled.groupBy("lang", "n_orig", "keep_permille")
+        .agg(F.count("*").alias("n_sampled"))
+        .select("lang", "n_orig", "keep_permille", "n_sampled")
+    )
+
+
+_BM25_TERMS = ("scan", "join", "merge")
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(len(toks)) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM t
+    ),
+    terms AS (SELECT unnest(['{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                             '{_BM25_TERMS[2]}']) AS term),
+    df AS (
+        SELECT term, COUNT(*) AS df_t
+        FROM terms, t
+        WHERE list_contains(toks, term)
+        GROUP BY term
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(FLOOR(
+                 ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                 * (tf * ({_K1} + 1.0))
+                 / (tf + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_fx
+        FROM (
+            SELECT t.doc_id, len(t.toks) AS dl,
+                   CAST(len(list_filter(t.toks, x -> x = df.term)) AS DOUBLE)
+                     AS tf,
+                   df.term, df.df_t
+            FROM t CROSS JOIN df
+        ) x CROSS JOIN stats
+        WHERE tf > 0
+        GROUP BY doc_id
+    )
+    SELECT doc_id, score_fx,
+           ROW_NUMBER() OVER (ORDER BY score_fx DESC, doc_id) AS rank
+    FROM scored
+    QUALIFY rank <= 50
+    """,
+    tags=("N5", "N6"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (k1={_K1}, b={_B}) for a fixed 3-term
+    query, top-50 docs: per-term document frequencies and the average
+    doc length are |terms|-row / scalar aggregates broadcast back over
+    the corpus (no shuffle of the fact side); per-doc term frequencies
+    are higher-order array expressions; the global top-k plans as
+    TakeOrderedAndProject-shaped work, never a full sort of the
+    corpus. Scores are 1e-9 fixed-point BIGINTs (floor of the
+    bit-identical IEEE contribution, then integer sum — order-free and
+    immune to cross-engine decimal-cast differences), so the top-k
+    hash-matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    stats = t.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    terms = spark.createDataFrame(
+        [(x,) for x in _BM25_TERMS], "term string"
+    )
+    tf_rows = t.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(
+            F.filter("toks", lambda x: x == F.col("term"))
+        ).cast("double").alias("tf"),
+    )
+    df_t = (
+        tf_rows.filter(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("df_t"))
+    )
+    scored = (
+        tf_rows.filter(F.col("tf") > 0)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            )
+            * (F.col("tf") * (_K1 + 1.0))
+            / (
+                F.col("tf")
+                + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        # 1e-9 fixed-point sum (the text_unigram_logprob technique):
+        # FLOOR of the bit-identical contribution double avoids every
+        # cross-engine decimal-cast/rounding path, and the BIGINT sum
+        # is order-free — a raw double SUM mismatched in the last ulp
+        # from add order alone
+        .agg(
+            F.sum(F.floor(F.col("contrib") * 1e9).cast("long"))
+            .cast("bigint")
+            .alias("score_fx")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score_fx").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "score_fx", "rank")
+    )
+
+
 @register("pack_sequences_docs", oracle=None, tags=("N5", "E39"))
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training (operators/packing.py): documents
