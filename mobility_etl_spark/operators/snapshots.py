@@ -1,0 +1,209 @@
+"""Minimal manifest-commit snapshot layer (N11 companion): the
+table-format primitive that gives the lake reader-atomicity and time
+travel without Delta/Iceberg on the classpath.
+
+VERDICT r02 noted that directory-swap compaction (io.compact_partitions)
+is only crash-safe, not reader-atomic — a scan that lists files while
+the swap happens can see both generations. The fix every table format
+uses is the same: scans never list directories; they read a MANIFEST
+(an immutable, atomically-committed list of data files), and a commit
+is one rename of a manifest file. This module is that protocol, kept
+deliberately small:
+
+* ``<table>/_snapshots/v{N}.manifest.json`` — immutable file list +
+  row-count/bytes summary for snapshot N (relative paths, so the table
+  directory is relocatable).
+* ``commit_snapshot`` writes the manifest to a hidden temp name and
+  ``os.rename``s it into place — atomic on POSIX and HDFS; on a
+  rename-less object store this single small file is the only thing
+  that needs a conditional-put.
+* ``read_snapshot`` loads exactly the files of a given (or the
+  latest) snapshot — concurrent compaction/appends are invisible
+  until their own commit, and old snapshots stay readable (time
+  travel) until vacuumed.
+* ``vacuum`` deletes data files referenced by NO retained snapshot —
+  the only deletion path, and it never touches the current manifest.
+
+Scale notes: a manifest is O(files) JSON read once by the driver at
+plan time (exactly what Spark's own file index does with a directory
+listing, minus the eventual-consistency hazard); data files are opened
+by executors as usual via an explicit path list. At 100 TB the
+manifest would be chunked + summarized (Iceberg's manifest list); the
+commit protocol — the part that matters for correctness — is
+identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SNAPDIR = "_snapshots"
+
+
+def _snap_dir(table_path: str) -> pathlib.Path:
+    return pathlib.Path(table_path) / _SNAPDIR
+
+
+def _list_versions(table_path: str) -> list[int]:
+    d = _snap_dir(table_path)
+    if not d.is_dir():
+        return []
+    return sorted(
+        int(p.name.split(".", 1)[0][1:])
+        for p in d.glob("v*.manifest.json")
+    )
+
+
+def _data_files(table_path: str) -> list[str]:
+    """Current parquet data files, relative to the table root; hidden
+    dirs (_snapshots, .compaction_tmp …) excluded — same filter as
+    Spark's path listing."""
+    root = pathlib.Path(table_path)
+    out = []
+    for f in root.rglob("*.parquet"):
+        rel = f.relative_to(root)
+        if any(p.startswith((".", "_")) for p in rel.parts):
+            continue
+        out.append(str(rel))
+    return sorted(out)
+
+
+def commit_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    note: str = "",
+    files: list[str] | None = None,
+) -> int:
+    """Commit a snapshot: the table's current data files, or an
+    explicit ``files`` list (relative paths) for operations like
+    compaction that must publish only their own output.
+
+    Returns the new version number. The write is staged then renamed —
+    a reader either sees the complete new manifest or the old one,
+    never a partial file.
+    """
+    root = pathlib.Path(table_path)
+    if files is None:
+        files = _data_files(table_path)
+    version = (_list_versions(table_path) or [0])[-1] + 1
+    manifest = {
+        "version": version,
+        "note": note,
+        "files": files,
+        "n_files": len(files),
+        "bytes": sum((root / f).stat().st_size for f in files),
+    }
+    d = _snap_dir(table_path)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".tmp-{uuid.uuid4().hex[:12]}"
+    tmp.write_text(json.dumps(manifest, indent=1))
+    os.rename(tmp, d / f"v{version}.manifest.json")
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF a snapshot (latest when version is None).
+
+    The scan is planned over the manifest's explicit file list: files
+    added, rewritten, or compacted after this snapshot's commit are
+    invisible, which is what makes concurrent compaction safe and old
+    versions reproducible.
+    """
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots committed at {table_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(f"snapshot v{v} not found (have {versions})")
+    manifest = json.loads(
+        (_snap_dir(table_path) / f"v{v}.manifest.json").read_text()
+    )
+    root = pathlib.Path(table_path)
+    paths = [str(root / f) for f in manifest["files"]]
+    if not paths:
+        raise ValueError(f"snapshot v{v} is empty")
+    return spark.read.parquet(*paths)
+
+
+def snapshot_log(table_path: str) -> list[dict]:
+    """The commit log: one summary dict per retained snapshot."""
+    out = []
+    for v in _list_versions(table_path):
+        m = json.loads(
+            (_snap_dir(table_path) / f"v{v}.manifest.json").read_text()
+        )
+        out.append(
+            {k: m[k] for k in ("version", "note", "n_files", "bytes")}
+        )
+    return out
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    note: str = "compaction",
+) -> int:
+    """Table-format-style compaction: rewrite the LATEST snapshot's
+    data into right-sized files and commit them as a new snapshot —
+    the reader-atomic answer to io.compact_partitions' directory swap.
+
+    Old data files are NOT touched: earlier snapshots keep reading
+    them (time travel) until :func:`vacuum` reclaims them, so a
+    concurrent reader planned against any committed manifest is never
+    broken mid-scan. Returns the new version number.
+    """
+    import math
+    import shutil
+
+    root = pathlib.Path(table_path)
+    versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots committed at {table_path}")
+    manifest = json.loads(
+        (_snap_dir(table_path) / f"v{versions[-1]}.manifest.json").read_text()
+    )
+    n_target = max(1, math.ceil(manifest["bytes"] / target_file_bytes))
+    token = uuid.uuid4().hex[:12]
+    stage = root / f".compact-stage-{token}"
+    read_snapshot(spark, table_path).coalesce(n_target).write.mode(
+        "overwrite"
+    ).parquet(str(stage))
+    new_files = []
+    for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
+        name = f"compacted-{token}-{i:05d}.parquet"
+        os.rename(staged, root / name)
+        new_files.append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+    return commit_snapshot(spark, table_path, note=note, files=new_files)
+
+
+def vacuum(table_path: str, keep_last: int = 2) -> int:
+    """Drop manifests older than the last ``keep_last`` snapshots and
+    delete data files no retained snapshot references. Returns the
+    number of data files deleted. The current manifest is never
+    touched, so readers of retained snapshots are unaffected."""
+    versions = _list_versions(table_path)
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    root = pathlib.Path(table_path)
+    referenced: set[str] = set()
+    for v in keep:
+        m = json.loads(
+            (_snap_dir(table_path) / f"v{v}.manifest.json").read_text()
+        )
+        referenced.update(m["files"])
+    deleted = 0
+    for f in _data_files(table_path):
+        if f not in referenced:
+            (root / f).unlink()
+            deleted += 1
+    for v in drop:
+        (_snap_dir(table_path) / f"v{v}.manifest.json").unlink()
+    return deleted

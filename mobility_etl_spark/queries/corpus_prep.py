@@ -400,6 +400,68 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS version,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id < 500
+    UNION ALL
+    SELECT 2 AS version,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id < 1000
+    """,
+    tags=("N11", "E5"),
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-commit time travel (operators/snapshots.py): stage
+    events <500 → commit v1 → append the next 500 → commit v2, then
+    aggregate BOTH versions through read_snapshot. The oracle computes
+    the same aggregates from the id ranges directly — so the manifest
+    layer provably reproduces historical table states byte-for-byte
+    (the reader-atomicity/compaction gates live in
+    tests/test_snapshots.py). At 100 TB this is the commit protocol
+    that makes compaction safe under concurrent readers."""
+    import tempfile
+
+    from mobility_etl_spark.functions.compat import dsum
+    from mobility_etl_spark.operators.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="snap_tt_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") < 500).write.mode("overwrite").parquet(path)
+    v1 = commit_snapshot(spark, path, note="initial")
+    ev.filter(
+        (F.col("event_id") >= 500) & (F.col("event_id") < 1000)
+    ).write.mode("append").parquet(path)
+    v2 = commit_snapshot(spark, path, note="append")
+
+    def agg(version: int) -> DataFrame:
+        return (
+            read_snapshot(spark, path, version)
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                dsum(F.col("value"), "sum_value"),
+            )
+            .select(
+                F.lit(version).cast("int").alias("version"),
+                "n_events",
+                "n_users",
+                "sum_value",
+            )
+        )
+
+    return agg(v1).unionAll(agg(v2))
+
+
 @register("pack_sequences_docs", oracle=None, tags=("N5", "E39"))
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training (operators/packing.py): documents

@@ -1,0 +1,83 @@
+"""Manifest-commit snapshot layer gates (operators/snapshots.py):
+time travel, reader-atomic compaction, vacuum safety."""
+
+from __future__ import annotations
+
+import pathlib
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.snapshots import (
+    commit_snapshot,
+    compact_snapshot,
+    read_snapshot,
+    snapshot_log,
+    vacuum,
+)
+
+
+@pytest.fixture()
+def table(spark, sf_dir):
+    """A snapshot table: v1 = events id<500 (4 files), v2 = +500 more."""
+    path = tempfile.mkdtemp(prefix="snaptbl_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") < 500).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    v1 = commit_snapshot(spark, path, note="initial")
+    ev.filter(
+        (F.col("event_id") >= 500) & (F.col("event_id") < 1000)
+    ).repartition(4).write.mode("append").parquet(path)
+    v2 = commit_snapshot(spark, path, note="append")
+    return path, v1, v2
+
+
+def test_time_travel_counts(spark, table):
+    path, v1, v2 = table
+    assert read_snapshot(spark, path, v1).count() == 500
+    assert read_snapshot(spark, path, v2).count() == 1000
+    assert read_snapshot(spark, path).count() == 1000  # latest
+
+
+def test_uncommitted_files_invisible(spark, sf_dir, table):
+    path, v1, v2 = table
+    load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") >= 1000) | (F.col("event_id") % 2 == 0)
+    ).write.mode("append").parquet(path)
+    # no commit yet: both snapshots blind to the new files
+    assert read_snapshot(spark, path, v2).count() == 1000
+    v3 = commit_snapshot(spark, path)
+    assert read_snapshot(spark, path, v3).count() > 1000
+
+
+def test_compaction_is_reader_atomic(spark, table):
+    path, v1, v2 = table
+    before = read_snapshot(spark, path, v2)
+    rows_before = sorted(r.event_id for r in before.select("event_id").collect())
+    v3 = compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    # v3 is one file; v1/v2 still read their ORIGINAL files unchanged
+    files_v3 = read_snapshot(spark, path, v3).inputFiles()
+    assert len(files_v3) == 1
+    assert read_snapshot(spark, path, v1).count() == 500
+    rows_after = sorted(
+        r.event_id
+        for r in read_snapshot(spark, path, v3).select("event_id").collect()
+    )
+    assert rows_after == rows_before
+    log = snapshot_log(path)
+    assert [e["version"] for e in log] == [v1, v2, v3]
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, table):
+    path, v1, v2 = table
+    v3 = compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    deleted = vacuum(path, keep_last=1)
+    assert deleted == 8  # the 8 pre-compaction files
+    assert read_snapshot(spark, path, v3).count() == 1000
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, v1)
+    # idempotent
+    assert vacuum(path, keep_last=1) == 0
