@@ -579,3 +579,49 @@ def xml_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_name").alias("first_nation"),
         F.sum(F.length("n_name")).cast("bigint").alias("name_bytes"),
     )
+
+
+@register(
+    "schema_evolution_merge",
+    oracle="""
+    WITH u AS (
+        SELECT event_type, CAST(NULL AS VARCHAR) AS props
+        FROM events WHERE event_id < 500
+        UNION ALL
+        SELECT event_type, props
+        FROM events WHERE event_id >= 500 AND event_id < 1000
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(props) AS n_with_props,
+           COUNT(*) - COUNT(props) AS n_nulls
+    FROM u
+    GROUP BY event_type
+    """,
+    tags=("E2", "E5"),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (E2 depth): an old batch written
+    WITHOUT the ``props`` column and a new batch with it live in the
+    same table directory; ``mergeSchema=true`` reconciles the footers
+    and null-fills the missing column for old files — the add-a-column
+    migration every long-lived lake table goes through, with no
+    rewrite of historical data. The oracle models old rows as NULL
+    props explicitly. (Schema merging is a footer-only planning cost:
+    at 100 TB you pin the merged schema in a catalog instead of
+    re-inferring per scan — this query is the semantics gate.)"""
+    out = _tmpdir()
+    ev = load_table(spark, sf_dir, "events")
+    old_cols = [c for c in ev.columns if c != "props"]
+    ev.filter(F.col("event_id") < 500).select(*old_cols).write.mode(
+        "overwrite"
+    ).parquet(out)
+    ev.filter(
+        (F.col("event_id") >= 500) & (F.col("event_id") < 1000)
+    ).write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("props").alias("n_with_props"),
+        (F.count("*") - F.count("props")).alias("n_nulls"),
+    )
