@@ -392,11 +392,14 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
+    # no global sort of the corpus, plan-gated in tests/test_plans.py);
+    # the rank window then runs over k=50 rows, where its single
+    # partition is free
+    topk = scored.orderBy(F.col("score_fx").desc(), "doc_id").limit(50)
     w = Window.orderBy(F.col("score_fx").desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("doc_id", "score_fx", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score_fx", "rank"
     )
 
 

@@ -246,3 +246,28 @@ def test_join_strategy_hints(spark, sf_dir):
         assert joined("shuffle_hash").count() == joined("merge").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_bm25_topk_plans_as_take_ordered(spark, sf_dir):
+    """BM25's global top-50 must plan as TakeOrderedAndProject (never a
+    full sort of the scored corpus) and its df/avgdl lookups must all
+    broadcast."""
+    plan = _plan(spark, "text_bm25_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_resample_fact_side_broadcast_only(spark, sf_dir):
+    """The mixture resampler's per-class rates must reach the corpus as
+    a broadcast: the only Exchanges allowed are for the tiny aggregates
+    themselves, never a repartition of the document side."""
+    plan = _plan(spark, "resample_lang_mixture", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """Document chunking must not shuffle: scan → generate → project."""
+    plan = _plan(spark, "text_chunk_windows", sf_dir, mode="simple")
+    assert "Exchange" not in plan
