@@ -8,11 +8,11 @@ waste).
 corpus is first salted into ``num_groups`` independent packing groups
 by a deterministic hash of the key — each group packs in isolation
 inside one ``applyInPandas`` call (Arrow-batched, no driver loop, no
-global sort). Group-local first-fit-decreasing (FFD) gives ≥ (1 −
+global sort). Group-local best-fit-decreasing (BFD) gives ≥ (1 −
 capacity/group_tokens) of global packing efficiency while scaling
 linearly with executors; the fill loss from sharding is at most one
 partially-filled bin per group, negligible when groups carry ≫
-capacity tokens. FFD itself is the classic 11/9·OPT + 6/9 guarantee.
+capacity tokens. BFD carries the classic 11/9·OPT + 6/9 guarantee.
 
 Oversized documents (size > capacity) are NOT dropped silently: each
 becomes its own single-doc bin with ``overflow = true`` so a
@@ -20,8 +20,8 @@ downstream chunker (see ``text_chunk_windows``) can split them —
 the no-silent-caps rule.
 
 Determinism: group assignment is xxhash64(key) % groups; within a
-group docs sort by (size desc, key); first-fit scans bins in creation
-order — so the packing is a pure function of the input set, stable
+group docs sort by (size desc, key); best-fit takes the tightest
+bin that fits (bisect on sorted remainders) — so the packing is a pure function of the input set, stable
 across runs, partitionings, and clusters.
 """
 
@@ -56,28 +56,41 @@ def pack_sequences(
     )
 
     def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Best-fit-decreasing with a bisect-maintained sorted remainder
+        # list: O(n log n) searches instead of first-fit's O(n·bins)
+        # linear scans — the difference between 100k docs/group packing
+        # in milliseconds vs minutes. Same 11/9·OPT + 6/9 guarantee as
+        # FFD, and still a pure function of the input set (sorted
+        # order + tightest-fit choice are both deterministic).
+        import bisect
+
         group = int(pdf["__grp"].iloc[0])
         rows = pdf[[key_col, size_col]].sort_values(
             [size_col, key_col], ascending=[False, True]
         )
-        bins: list[int] = []  # remaining capacity per bin, creation order
+        sizes = rows[size_col].to_numpy()
+        rem: list[int] = []  # sorted remaining capacities
+        rem_bin: list[int] = []  # bin index aligned with rem
+        n_bins = 0
         out_bin: list[int] = []
         out_over: list[bool] = []
-        for _, r in rows.iterrows():
-            size = int(r[size_col])
+        for size in sizes:
+            size = int(size)
             if size > capacity:
-                bins.append(-1)  # full forever: oversized solo bin
-                out_bin.append(len(bins) - 1)
+                out_bin.append(n_bins)  # oversized solo bin, never reused
                 out_over.append(True)
+                n_bins += 1
                 continue
-            for i, rem in enumerate(bins):
-                if rem >= size:
-                    bins[i] = rem - size
-                    out_bin.append(i)
-                    break
+            i = bisect.bisect_left(rem, size)  # tightest bin that fits
+            if i < len(rem):
+                b, new_rem = rem_bin.pop(i), rem.pop(i) - size
             else:
-                bins.append(capacity - size)
-                out_bin.append(len(bins) - 1)
+                b, new_rem = n_bins, capacity - size
+                n_bins += 1
+            j = bisect.bisect_left(rem, new_rem)
+            rem.insert(j, new_rem)
+            rem_bin.insert(j, b)
+            out_bin.append(b)
             out_over.append(False)
         return pd.DataFrame(
             {

@@ -469,7 +469,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training (operators/packing.py): documents
     binned into 512-token context windows by group-local
-    first-fit-decreasing inside applyInPandas — 8 independent packing
+    best-fit-decreasing inside applyInPandas — 8 independent packing
     groups (one shuffle on the salt), oversized docs kept as flagged
     solo bins, fully deterministic. Rows-only driver check (bin
     assignment is an algorithmic artifact, not SQL-reproducible);

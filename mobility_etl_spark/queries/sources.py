@@ -625,3 +625,62 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("props").alias("n_with_props"),
         (F.count("*") - F.count("props")).alias("n_nulls"),
     )
+
+
+@register(
+    "source_csv_badrecords",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows
+    FROM orders WHERE o_orderkey < 500
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT '__corrupt' AS o_orderstatus, 7 AS n_rows
+    """,
+    tags=("E1", "E3"),
+)
+def source_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisoned-CSV drill (the feed-quality counterpart of
+    json_corrupt_records_events): a CSV landing with 7 planted
+    malformed lines is read in PERMISSIVE mode with an explicit schema
+    + ``columnNameOfCorruptRecord`` — bad lines become NULL-typed rows
+    carrying their raw text in the corrupt column instead of failing
+    the scan (a single bad feed line must never kill an hourly load,
+    reference R16's scraped-text reality). Valid rows aggregate
+    normally; the corrupt count lands in its own bucket. The oracle
+    models both populations exactly."""
+    import pathlib
+
+    out = _tmpdir()
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 500
+    )
+    orders.select("o_orderkey", "o_orderstatus", "o_totalprice").coalesce(
+        1
+    ).write.mode("overwrite").option("header", True).csv(out)
+    # header=True consumes the FIRST line of EVERY file as a header,
+    # so the bad file leads with a sacrificial pseudo-header line
+    bad = "\n".join(
+        ["o_orderkey,o_orderstatus,o_totalprice"]
+        + [f"not-a-key-{i},garbage" for i in range(7)]
+    )
+    (pathlib.Path(out) / "zz_bad_lines.csv").write_text(bad + "\n")
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+            "_corrupt string"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    back = back.cache()
+    valid = (
+        back.filter(F.col("_corrupt").isNull())
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    corrupt = back.filter(F.col("_corrupt").isNotNull()).agg(
+        F.count("*").alias("n_rows")
+    ).select(F.lit("__corrupt").alias("o_orderstatus"), "n_rows")
+    return valid.unionAll(corrupt)

@@ -49,8 +49,8 @@ def test_bins_respect_capacity_except_flagged_overflow(packed):
 
 
 def test_bin_count_near_lower_bound(docs, packed):
-    """FFD per group must stay close to the global lower bound
-    ceil(total_tokens / capacity): allow the theoretical FFD slack
+    """BFD per group must stay close to the global lower bound
+    ceil(total_tokens / capacity): allow the theoretical BFD slack
     plus one partial bin per packing group."""
     total = docs.filter(F.col("n_tokens") <= CAPACITY).agg(
         F.sum("n_tokens")
