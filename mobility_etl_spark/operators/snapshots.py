@@ -207,3 +207,52 @@ def vacuum(table_path: str, keep_last: int = 2) -> int:
     for v in drop:
         (_snap_dir(table_path) / f"v{v}.manifest.json").unlink()
     return deleted
+
+
+def streaming_snapshot_sink(
+    result, table_path: str, checkpoint_dir: str
+) -> None:
+    """Exactly-once streaming sink ON TOP OF the manifest layer — the
+    transactional upgrade of streaming/jobs.py:write_stream_idempotent
+    (whose dynamic-partition overwrite is idempotent only per
+    partition): each micro-batch stages its files, moves them to
+    DETERMINISTIC names (``batch-<id>-<i>.parquet``), and commits one
+    manifest noting the batch id.
+
+    Replay safety, case by case:
+    * batch replayed after its commit → the note is in the log, skip;
+    * crash between file-move and commit → the replay re-stages and
+      ``os.replace``s the SAME file names (no duplicates), then
+      commits;
+    * reader concurrency → readers only ever see committed manifests,
+      so a half-written batch is invisible (the property the
+      append-then-hope file sink lacks).
+    """
+    import shutil
+
+    def _apply(batch_df, batch_id: int) -> None:
+        note = f"batch-{batch_id}"
+        root = pathlib.Path(table_path)
+        root.mkdir(parents=True, exist_ok=True)
+        if any(e["note"] == note for e in snapshot_log(table_path)):
+            return  # exactly-once: this batch already committed
+        stage = root / f".stage-{note}"
+        shutil.rmtree(stage, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(str(stage))
+        # drop leftovers of a crashed earlier attempt FIRST — a replay
+        # that repartitions into fewer files must not leave stale
+        # batch-N-000xx files behind to ride the commit
+        for stale in root.glob(f"{note}-*.parquet"):
+            stale.unlink()
+        for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
+            os.replace(staged, root / f"{note}-{i:05d}.parquet")
+        shutil.rmtree(stage, ignore_errors=True)
+        commit_snapshot(batch_df.sparkSession, table_path, note=note)
+
+    q = (
+        result.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -465,6 +465,178 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(v1).unionAll(agg(v2))
 
 
+@register(
+    "pipeline_pretraining_prep",
+    oracle=f"""
+    WITH scrubbed AS (
+        SELECT doc_id, lang,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g'),
+                   '{_IP_RE}', '<IP>', 'g') AS clean
+        FROM documents
+    ),
+    quality AS (
+        SELECT doc_id, lang, clean,
+               string_split(clean, ' ') AS toks
+        FROM scrubbed
+    ),
+    kept AS (
+        SELECT doc_id, lang, clean, len(toks) AS n_tokens
+        FROM quality
+        WHERE len(toks) BETWEEN 50 AND 2000
+          AND 1.0 - len(list_distinct(list_transform(
+                  generate_series(1, greatest(len(toks) - 2, 1)),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+              / CAST(greatest(len(toks) - 2, 1) AS DOUBLE) <= 0.5
+    ),
+    reps AS (
+        SELECT md5(clean) AS digest, MIN(doc_id) AS doc_id
+        FROM kept GROUP BY md5(clean)
+    ),
+    deduped AS (
+        SELECT k.doc_id, k.lang, k.n_tokens
+        FROM kept k JOIN reps r ON r.doc_id = k.doc_id
+    ),
+    chunks AS (
+        SELECT d.doc_id, d.lang,
+               least({CHUNK}, d.n_tokens - i + 1) AS chunk_tokens
+        FROM deduped d,
+             UNNEST(generate_series(1, d.n_tokens, {STRIDE})) AS g(i)
+    )
+    SELECT lang,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+    FROM chunks
+    GROUP BY lang
+    """,
+    tags=("N1", "N5", "N12"),
+)
+def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data pipeline, end to end in one
+    oracle-checked chain: PII scrub → quality gate (50–2000 tokens,
+    duplicate-3-gram ratio ≤ 0.5) → exact content dedup (digest
+    groupBy, min-doc_id representative) → sliding-window chunking →
+    per-language chunk statistics. Companion to
+    ``pipeline_corpus_curation`` (which covers quality→dedup→near-dup→
+    split); this one covers the scrub→filter→dedup→CHUNK path that
+    feeds ``pack_sequences_docs``. Every stage is the already-gated
+    operator, so the oracle proves their composition, not just each
+    piece."""
+    from mobility_etl_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    scrubbed = docs.select("doc_id", "lang", clean.alias("clean"))
+    toks = F.split(F.col("clean"), " ")
+    n_grams = F.greatest(F.size(toks) - 2, F.lit(1))
+    grams = F.expr(
+        """
+        transform(
+            sequence(1, greatest(size(split(clean, ' ')) - 2, 1)),
+            i -> concat_ws(' ', slice(split(clean, ' '), i, 3))
+        )
+        """
+    )
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams.cast(
+        "double"
+    )
+    kept = (
+        scrubbed.withColumn("n_tokens", F.size(toks))
+        .filter(F.col("n_tokens").between(50, 2000))
+        .filter(dup_ratio <= 0.5)
+    )
+    deduped = exact_dedup(kept, "clean", "doc_id").select(
+        "doc_id", "lang", "n_tokens"
+    )
+    chunks = deduped.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_tokens"), F.lit(STRIDE))
+        ).alias("start"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.least(F.lit(CHUNK), F.col("n_tokens") - F.col("start") + 1).alias(
+            "chunk_tokens"
+        ),
+    )
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tokens").cast("bigint").alias("sum_chunk_tokens"),
+    )
+
+
+@register(
+    "streaming_snapshot_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_id < 1000
+    GROUP BY event_type
+    """,
+    tags=("E37", "N11", "E30"),
+)
+def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink through the manifest layer
+    (operators/snapshots.py:streaming_snapshot_sink): 4 forced
+    micro-batches land as deterministic batch-<id> files, one manifest
+    commit per batch, and the aggregate over the LATEST SNAPSHOT must
+    equal the batch answer — proving no batch was lost or doubled.
+    Replay-crash cases are gated in tests/test_snapshots.py. This is
+    the transactional upgrade of the dynamic-partition-overwrite sink
+    (E37): commits are atomic renames, so a reader never sees a
+    half-written micro-batch at any scale."""
+    import tempfile
+
+    from mobility_etl_spark.functions.compat import DEC
+    from mobility_etl_spark.operators.snapshots import (
+        read_snapshot,
+        streaming_snapshot_sink as sink,
+    )
+    from mobility_etl_spark.streaming.jobs import events_file_stream
+
+    landing = tempfile.mkdtemp(prefix="mes_snapland_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 1000
+    ).repartition(4).write.mode("overwrite").parquet(landing)
+
+    table = tempfile.mkdtemp(prefix="mes_snaptbl_")
+    stream = events_file_stream(
+        spark, landing, options={"maxFilesPerTrigger": "1"}
+    )
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        sink(stream, table, ckpt)
+    return (
+        read_snapshot(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 @register("pack_sequences_docs", oracle=None, tags=("N5", "E39"))
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training (operators/packing.py): documents

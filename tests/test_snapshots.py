@@ -81,3 +81,42 @@ def test_vacuum_reclaims_only_unreferenced(spark, table):
         read_snapshot(spark, path, v1)
     # idempotent
     assert vacuum(path, keep_last=1) == 0
+
+
+def test_streaming_sink_exactly_once_under_replay(spark, sf_dir):
+    """Crash/replay simulation for the exactly-once streaming sink:
+    re-running the whole availableNow stream against the SAME table
+    (fresh checkpoint = full replay of every batch) must not change
+    the table's content — every batch id is recognized as committed
+    and skipped."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mobility_etl_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_log,
+        streaming_snapshot_sink,
+    )
+    from mobility_etl_spark.streaming.jobs import events_file_stream
+
+    landing = tempfile.mkdtemp(prefix="sinkland_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 500
+    ).repartition(3).write.mode("overwrite").parquet(landing)
+    table = tempfile.mkdtemp(prefix="sinktbl_")
+
+    def run():
+        stream = events_file_stream(
+            spark, landing, options={"maxFilesPerTrigger": "1"}
+        )
+        with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+            streaming_snapshot_sink(stream, table, ckpt)
+
+    run()
+    first = read_snapshot(spark, table).count()
+    log_first = snapshot_log(table)
+    assert first == 500
+    run()  # full replay with a fresh checkpoint: all batch ids known
+    assert read_snapshot(spark, table).count() == 500
+    assert snapshot_log(table) == log_first  # not even a new commit
