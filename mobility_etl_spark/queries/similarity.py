@@ -324,3 +324,85 @@ def vector_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(
         F.count("*").alias("n_members")
     )
+
+
+@register(
+    "vector_quantize_int8",
+    oracle="""
+    WITH stats AS (
+        SELECT vec_id,
+               list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 AS lo,
+               list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 AS hi,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 500
+    ),
+    q AS (
+        SELECT vec_id, lo, hi,
+               (hi - lo) / 255.0 AS scale,
+               list_transform(v, x ->
+                   CAST(FLOOR((x - lo) / ((hi - lo) / 255.0) + 0.5)
+                        AS BIGINT)) AS codes,
+               v
+        FROM stats
+    )
+    SELECT vec_id,
+           CAST(FLOOR(lo * 1000000000.0) AS BIGINT) AS lo_fx,
+           CAST(FLOOR(hi * 1000000000.0) AS BIGINT) AS hi_fx,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           CAST(list_sum(list_transform(
+               list_zip(v, codes),
+               p -> CAST(FLOOR(abs(p[1] - (lo + p[2] * ((hi - lo) / 255.0)))
+                               * 1000000000.0) AS BIGINT)))
+             AS BIGINT) AS abs_err_fx
+    FROM q
+    """,
+    tags=("N3", "N9"),
+)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 (0..255) min-max quantization of embeddings —
+    the 4× storage/bandwidth cut every vector index applies before ANN
+    at 100 TB — plus exact reconstruction-error accounting, entirely in
+    higher-order array expressions (no UDF, map-only). Rounding is
+    floor(x + 0.5) (identical on both engines, unlike round()'s
+    half-even/half-up split); codes stay in [0, 255] by construction;
+    min/max/Σ|error| are emitted 1e-9 fixed-point so the hash matches
+    bit-for-bit. The dequantized form plugs straight into the ANN
+    re-rank (codes·scale+lo), trading ≤ scale/2 per-component error
+    for 4× less shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = (hi - lo) / 255.0
+    withq = emb.select(
+        "vec_id",
+        v.alias("v"),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        scale.alias("scale"),
+    ).withColumn(
+        "codes",
+        F.expr(
+            "transform(v, x -> CAST(FLOOR((x - lo) / scale + 0.5) AS BIGINT))"
+        ),
+    )
+    abs_err = F.expr(
+        """
+        aggregate(
+            zip_with(v, codes, (x, c) ->
+                CAST(FLOOR(abs(x - (lo + c * scale)) * 1000000000.0)
+                     AS BIGINT)),
+            CAST(0 AS BIGINT), (acc, e) -> acc + e)
+        """
+    )
+    return withq.select(
+        "vec_id",
+        F.floor(F.col("lo") * 1e9).cast("long").alias("lo_fx"),
+        F.floor(F.col("hi") * 1e9).cast("long").alias("hi_fx"),
+        F.array_min("codes").cast("long").alias("code_min"),
+        F.array_max("codes").cast("long").alias("code_max"),
+        abs_err.cast("long").alias("abs_err_fx"),
+    )
