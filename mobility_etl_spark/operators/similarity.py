@@ -16,11 +16,17 @@ Two paths over ``embeddings.embedding: array<float>``:
   (SURVEY.md §7 hard-part 6: approx ops get recall gates, not
   hash-equality).
 
-All built-in expressions; no pyspark.ml, no UDFs.
+All scoring/re-rank math is built-in expressions (no pyspark.ml). The
+one Python touchpoint is the banded-LSH signature pass, which defaults
+to a vectorized Arrow pandas UDF (one BLAS matmul per batch) because
+interpreted higher-order lambdas cost ~100× more CPU for the same
+buckets — the pure-expression form survives as `signature="expr"` and
+is parity-gated against the Arrow form in tests/test_similarity.py.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -358,6 +364,102 @@ def _band_buckets_expr(vec_col: str, num_planes: int, bands: int) -> F.Column:
     )
 
 
+#: Hyperplane matrices, cached per (num_planes, dim) for the session.
+_HPLANES: dict = {}
+
+
+def _hyperplanes(spark, num_planes: int, dim: int):
+    """The EXACT hyperplane values `_band_buckets_expr` derives per
+    row — (pmod(xxhash64(p, i), 10001) / 5000) − 1 — computed ONCE as
+    a (num_planes × dim) numpy matrix via a control-plane Spark query
+    (10k scalar rows, not data), so the vectorized signature path
+    below produces bit-identical buckets to the expression path
+    (parity-gated in tests/test_similarity.py)."""
+    import numpy as np
+
+    key = (num_planes, dim)
+    if key not in _HPLANES:
+        rows = (
+            spark.range(num_planes * dim)
+            .selectExpr(
+                f"CAST(id div {dim} AS INT) AS p",
+                f"CAST(id % {dim} AS INT) AS i",
+                f"(pmod(xxhash64(CAST(id div {dim} AS INT),"
+                f" CAST(id % {dim} AS INT)), 10001) / 5000.0) - 1.0 AS h",
+            )
+            .collect()
+        )
+        H = np.zeros((num_planes, dim))
+        for r in rows:
+            H[r.p, r.i] = r.h
+        _HPLANES[key] = H
+    return _HPLANES[key]
+
+
+def band_buckets_arrow(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    num_planes: int,
+    bands: int,
+) -> DataFrame:
+    """(key, band, bucket) rows via a vectorized Arrow signature pass.
+
+    The expression path (`_band_buckets_expr`) re-derives every
+    hyperplane component PER ROW inside interpreted higher-order
+    lambdas — ~num_planes×dim xxhash64 evaluations per vector, which
+    measured ~5 ms/row at 160×64. Here the hyperplane matrix is built
+    once (same values, see `_hyperplanes`) and each Arrow batch does
+    ONE BLAS matmul (n×dim @ dim×planes) + bit-packing — same buckets,
+    ~100× less signature CPU, still embarrassingly parallel and
+    shuffle-free. A sign can only differ between the two paths if
+    |dot| is within float-summation ulp of zero (never observed;
+    parity-tested on the real corpus).
+    """
+    return df.select(
+        F.col(key_col),
+        F.posexplode(
+            _sig_col(df, vec_col, num_planes, bands, "arrow")
+        ).alias("band", "bucket"),
+    )
+
+
+def _sig_col(
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int,
+    bands: int,
+    signature: str,
+) -> F.Column:
+    """Per-band bucket array (length = bands, index = band id) as a
+    scalar column — 'arrow' (vectorized pandas UDF, the default) or
+    'expr' (pure built-in expressions, zero Python; ~100× more
+    signature CPU, kept as the no-Python fallback and parity
+    baseline)."""
+    if signature == "expr":
+        return F.transform(
+            _band_buckets_expr(vec_col, num_planes, bands),
+            lambda s: s["bucket"],
+        )
+    import numpy as np
+
+    bits_per_band = num_planes // bands
+    dim = len(df.select(vec_col).first()[0])
+    H = _hyperplanes(df.sparkSession, num_planes, dim).T
+
+    @F.pandas_udf("array<long>")
+    def buckets(col: pd.Series) -> pd.Series:
+        V = np.vstack(col.to_numpy())
+        bits = (V.astype(np.float64) @ H) >= 0
+        out = np.zeros((len(V), bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(bits_per_band):
+                out[:, b] = out[:, b] * 2 + bits[:, b * bits_per_band + j]
+        return pd.Series(list(out))
+
+    return buckets(F.col(vec_col))
+
+
 def near_dup_pairs(
     df: DataFrame,
     key_col: str = "vec_id",
@@ -365,14 +467,17 @@ def near_dup_pairs(
     threshold: float = 0.9,
     num_planes: int = 160,
     bands: int = 16,
+    signature: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded LSH — the
     default (100 TB) path; same output contract as
     ``cosine_near_dup_pairs_exact`` minus the misses LSH allows.
 
-    Plan shape: signature map (no shuffle) → explode bands → self
-    equi-join on (band, bucket) → per-candidate exact cosine → groupBy
-    pair. Two shuffles: the bucket join and the pair dedup. The bucket
+    Plan shape: signature map (no shuffle; vectorized Arrow by
+    default, see :func:`_sig_col` — the pure-expression fallback costs
+    ~100× more signature CPU) → explode bands → self equi-join on
+    (band, bucket) → per-candidate exact cosine → groupBy pair. Two
+    shuffles: the bucket join and the pair dedup. The bucket
     join DOES carry the exploded vectors — `bands`× vector bytes per
     side — because the in-bucket re-rank needs both vectors colocated;
     what stays narrow is the dedup, which shuffles (a_id, b_id, cos)
@@ -390,18 +495,13 @@ def near_dup_pairs(
     inspects ~all pairs) — loose-pair mining stays on the exact path
     over a bounded slice.
     """
-    band_buckets = _band_buckets_expr(vec_col, num_planes, bands)
+    sig = _sig_col(df, vec_col, num_planes, bands, signature)
 
     def banded(side: str) -> DataFrame:
         return df.select(
             F.col(key_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"__{side}vec"),
-            F.explode(band_buckets).alias("bb"),
-        ).select(
-            f"{side}_id",
-            f"__{side}vec",
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
+            F.posexplode(sig).alias("band", "bucket"),
         )
 
     candidates = (
@@ -432,6 +532,7 @@ def near_dup_pairs_idonly(
     threshold: float = 0.9,
     num_planes: int = 160,
     bands: int = 16,
+    signature: str = "arrow",
 ) -> DataFrame:
     """:func:`near_dup_pairs` for WIDE vectors: the bucket join carries
     only (id, band, bucket) triples — never embeddings — then each
@@ -453,10 +554,11 @@ def near_dup_pairs_idonly(
       pruning are ≪ rows×bands, so the fetch joins move less data than
       the exploded bucket join would.
     """
-    band_buckets = _band_buckets_expr(vec_col, num_planes, bands)
+    sig = _sig_col(df, vec_col, num_planes, bands, signature)
     ids = df.select(
-        F.col(key_col).alias("__id"), F.explode(band_buckets).alias("bb")
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.col(key_col).alias("__id"),
+        F.posexplode(sig).alias("band", "bucket"),
+    )
 
     cand = (
         ids.select(F.col("__id").alias("a_id"), "band", "bucket")

@@ -140,3 +140,34 @@ def test_near_dup_idonly_matches_vector_carrying(spark, emb):
     }
     assert len(carrying) >= 150
     assert idonly == carrying
+
+
+def test_arrow_and_expr_signatures_identical(spark, emb):
+    """The vectorized Arrow signature path must produce bit-identical
+    (band, bucket) assignments to the pure-expression path — same
+    xxhash64-derived hyperplanes, same bit packing. This is what makes
+    the 100x-cheaper Arrow default a pure optimization, not a
+    semantics change."""
+    from mobility_etl_spark.operators.similarity import _sig_col
+
+    sub = emb.filter(F.col("vec_id") < 300).select("vec_id", "embedding")
+    arrow = {
+        (r.vec_id, r.band): r.bucket
+        for r in sub.select(
+            "vec_id",
+            F.posexplode(
+                _sig_col(sub, "embedding", 160, 16, "arrow")
+            ).alias("band", "bucket"),
+        ).collect()
+    }
+    expr = {
+        (r.vec_id, r.band): r.bucket
+        for r in sub.select(
+            "vec_id",
+            F.posexplode(
+                _sig_col(sub, "embedding", 160, 16, "expr")
+            ).alias("band", "bucket"),
+        ).collect()
+    }
+    assert len(arrow) == 300 * 16
+    assert arrow == expr
