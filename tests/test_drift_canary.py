@@ -115,7 +115,7 @@ EXPECTED_DTYPES: dict[str, dict[str, set[str]]] = {
 }
 
 
-@pytest.mark.parametrize("sf", SF_DIRS)
+@pytest.mark.parametrize("sf", SF_DIRS + ["/root/testdata/sf0.1"])
 def test_schema_snapshot(spark, sf):
     """Every driver table's on-disk dtype must be one the engine's
     loaders handle. Fails with the exact observed dtype so a driver
