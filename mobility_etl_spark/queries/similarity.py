@@ -406,3 +406,24 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").cast("long").alias("code_max"),
         abs_err.cast("long").alias("abs_err_fx"),
     )
+
+
+@register("near_dup_probe_increment", oracle=None, tags=("N2", "N3"))
+def near_dup_probe_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup probe (operators/similarity.py:
+    near_dup_probe): a synthetic NEW batch (jittered copies of the
+    first 200 corpus vectors, ids offset) is probed against the
+    existing corpus — only increment×corpus bucket collisions are
+    scored, so the run cost tracks the increment, not the corpus
+    square. Rows-only driver check; recall/no-false-positive/score
+    gates vs the exact increment×corpus cross product live in
+    tests/test_similarity.py."""
+    from mobility_etl_spark.operators.similarity import near_dup_probe
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    increment = (
+        corpus.filter(F.col("vec_id") < 200)
+        .withColumn("embedding", F.expr(_JITTER))
+        .withColumn("vec_id", F.col("vec_id") + _DUP_OFFSET)
+    )
+    return near_dup_probe(increment, corpus, threshold=0.9)

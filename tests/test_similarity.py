@@ -171,3 +171,53 @@ def test_arrow_and_expr_signatures_identical(spark, emb):
     }
     assert len(arrow) == 300 * 16
     assert arrow == expr
+
+
+def test_near_dup_probe_matches_exact_cross(spark, emb):
+    """The incremental probe must recover >=0.95 of the exact
+    increment x corpus near-dup pairs, with no false positives and
+    identical re-rank scores."""
+    from mobility_etl_spark.operators.similarity import (
+        _dot_expr,
+        _sq_norm_expr,
+        near_dup_probe,
+    )
+    from mobility_etl_spark.queries.similarity import _DUP_OFFSET, _JITTER
+
+    corpus = emb.filter(F.col("vec_id") < 400).select("vec_id", "embedding")
+    inc = (
+        corpus.filter(F.col("vec_id") < 200)
+        .withColumn("embedding", F.expr(_JITTER))
+        .withColumn("vec_id", F.col("vec_id") + _DUP_OFFSET)
+    ).localCheckpoint(eager=True)
+
+    a = inc.select(
+        F.col("vec_id").alias("inc_id"), F.col("embedding").alias("__ivec")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("corp_id"), F.col("embedding").alias("__cvec")
+    )
+    exact = {
+        (r.inc_id, r.corp_id): r.cos_sim
+        for r in a.crossJoin(b)
+        .select(
+            "inc_id",
+            "corp_id",
+            F.round(
+                _dot_expr("__ivec", "__cvec")
+                / F.sqrt(_sq_norm_expr("__ivec") * _sq_norm_expr("__cvec")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .collect()
+    }
+    probed = {
+        (r.inc_id, r.corp_id): r.cos_sim
+        for r in near_dup_probe(inc, corpus, threshold=0.9).collect()
+    }
+    assert len(exact) >= 150, "planting failed"
+    recall = len(exact.keys() & probed.keys()) / len(exact)
+    assert recall >= 0.95, f"probe recall {recall:.3f} < 0.95"
+    assert set(probed) <= set(exact)
+    assert all(probed[p] == exact[p] for p in probed)
