@@ -72,6 +72,25 @@ def plan_signature(df) -> dict:
     }
 
 
+#: The driver keeps only ~this many chars of stdout tail and parses the
+#: LAST JSON line out of it. The timing line must stay comfortably under.
+DRIVER_TAIL_CHARS = 2000
+
+
+def timing_line(timings: dict[str, float], total: float, sf: float) -> str:
+    """The ONE stdout JSON line the driver parses. Keep it compact:
+    no plans, no nested bulk — those go to PLANS_BENCH.json."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_wall_clock",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -115,18 +134,18 @@ def main() -> None:
         total += elapsed
         plans[name] = plan_signature(specs[name].builder(spark, sf_dir))
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "plans": plans,
-            }
-        )
-    )
+    # Plan signatures are a committed artifact, NOT part of the stdout
+    # JSON: the driver keeps only a ~2000-char stdout tail and parses
+    # the LAST JSON line from it. Round 3 embedded `plans` inside that
+    # line, overflowed the tail, and the driver recorded parsed:null
+    # (VERDICT r03 "What's wrong" #1). Keep the timing line compact and
+    # LAST; anything bulky goes to PLANS_BENCH.json.
+    plans_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "PLANS_BENCH.json")
+    with open(plans_path, "w") as fh:
+        json.dump({"sf": sf, "plans": plans}, fh, indent=1, sort_keys=True)
+
+    print(timing_line(timings, total, sf))
     spark.stop()
 
 

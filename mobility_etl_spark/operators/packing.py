@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: bin_id = group * _BIN_STRIDE + bin_index — globally unique, stable.
-_BIN_STRIDE = 1_000_000
+#: The stride is 2^40 (~1.1e12 bins/group), so a 63-bit signed bin_id
+#: holds ~8.4M groups without overlap; pack_group asserts bin_index <
+#: stride so a group that somehow exceeds it fails loudly instead of
+#: silently colliding with the next group's ids.
+_BIN_STRIDE = 1 << 40
 
 
 def pack_sequences(
@@ -92,6 +96,11 @@ def pack_sequences(
             rem_bin.insert(j, b)
             out_bin.append(b)
             out_over.append(False)
+        if n_bins >= _BIN_STRIDE:
+            raise ValueError(
+                f"pack_group {group} produced {n_bins} bins, exceeding "
+                f"the bin_id stride {_BIN_STRIDE}; raise num_groups"
+            )
         return pd.DataFrame(
             {
                 key_col: rows[key_col].values,

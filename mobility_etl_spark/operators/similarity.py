@@ -500,7 +500,17 @@ def _sig_col(
     import numpy as np
 
     bits_per_band = num_planes // bands
-    dim = len(df.select(vec_col).first()[0])
+    # The arrow path needs the vector dim up front to build the
+    # hyperplane matrix; the schema records only element type, not
+    # length, so probe one row. An EMPTY frame (e.g. an empty daily
+    # increment in near_dup_probe) has no row to probe — short-circuit
+    # to the expression path, which derives planes per-row and needs no
+    # dim: on zero rows it costs nothing and yields the same (empty,
+    # correctly-typed) result instead of a TypeError.
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        return _sig_col(df, vec_col, num_planes, bands, "expr")
+    dim = len(first[0])
     H = _hyperplanes(df.sparkSession, num_planes, dim).T
 
     @F.pandas_udf("array<long>")

@@ -90,20 +90,37 @@ def commit_snapshot(
     root = pathlib.Path(table_path)
     if files is None:
         files = _data_files(table_path)
-    version = (_list_versions(table_path) or [0])[-1] + 1
-    manifest = {
-        "version": version,
-        "note": note,
-        "files": files,
-        "n_files": len(files),
-        "bytes": sum((root / f).stat().st_size for f in files),
-    }
     d = _snap_dir(table_path)
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".tmp-{uuid.uuid4().hex[:12]}"
-    tmp.write_text(json.dumps(manifest, indent=1))
-    os.rename(tmp, d / f"v{version}.manifest.json")
-    return version
+    # Put-if-absent commit: os.rename overwrites silently on POSIX, so
+    # two concurrent committers could both "succeed" with one commit
+    # lost. os.link fails with EEXIST if the target manifest already
+    # exists — the conditional-put every table format's commit needs —
+    # so on collision we re-read the log and retry at the next version
+    # (optimistic concurrency, same loop as Iceberg/Delta).
+    try:
+        for _ in range(100):
+            version = (_list_versions(table_path) or [0])[-1] + 1
+            manifest = {
+                "version": version,
+                "note": note,
+                "files": files,
+                "n_files": len(files),
+                "bytes": sum((root / f).stat().st_size for f in files),
+            }
+            tmp.write_text(json.dumps(manifest, indent=1))
+            try:
+                os.link(tmp, d / f"v{version}.manifest.json")
+                return version
+            except FileExistsError:
+                continue  # lost the race; retry against the new log tip
+        raise RuntimeError(
+            f"commit_snapshot: lost 100 consecutive commit races at "
+            f"{table_path}"
+        )
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def read_snapshot(
@@ -189,8 +206,21 @@ def vacuum(table_path: str, keep_last: int = 2) -> int:
     """Drop manifests older than the last ``keep_last`` snapshots and
     delete data files no retained snapshot references. Returns the
     number of data files deleted. The current manifest is never
-    touched, so readers of retained snapshots are unaffected."""
+    touched, so readers of retained snapshots are unaffected.
+
+    A table with zero committed snapshots has nothing safe to reclaim:
+    ``referenced`` would be empty and the loop would unlink EVERY data
+    file, so that case is a hard error (mirrors read_snapshot), not a
+    silent table wipe. ``keep_last`` must retain at least the current
+    snapshot."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = _list_versions(table_path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no snapshots committed at {table_path}; refusing to vacuum "
+            f"(every data file would be unreferenced and deleted)"
+        )
     drop, keep = versions[:-keep_last], versions[-keep_last:]
     root = pathlib.Path(table_path)
     referenced: set[str] = set()

@@ -273,10 +273,20 @@ def resample_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = docs.join(F.broadcast(rates), "lang").filter(
         hash_bucket("doc_id", 1000) < F.col("keep_permille")
     )
-    return (
-        sampled.groupBy("lang", "n_orig", "keep_permille")
-        .agg(F.count("*").alias("n_sampled"))
-        .select("lang", "n_orig", "keep_permille", "n_sampled")
+    # Aggregate the sample then LEFT-join back onto rates: a language
+    # whose hash sample is empty must still emit a row with
+    # n_sampled = 0, mirroring the oracle's LEFT JOIN shape (grouping
+    # the sampled rows alone would drop that language entirely). The
+    # rates side is |langs| rows, so the extra join is broadcast-free
+    # driver noise at any scale.
+    sample_counts = sampled.groupBy("lang").agg(
+        F.count("*").alias("n_sampled")
+    )
+    return rates.join(sample_counts, "lang", "left").select(
+        "lang",
+        "n_orig",
+        "keep_permille",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
     )
 
 

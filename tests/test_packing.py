@@ -87,3 +87,22 @@ def test_oversized_docs_flagged(spark):
     # the oversized bin contains only doc 1
     solo_bin = rows[1].bin_id
     assert [k for k, r in rows.items() if r.bin_id == solo_bin] == [1]
+
+
+def test_bin_ids_unique_across_groups(packed):
+    """ADVICE r03: bin_id = group * stride + index must never collide
+    across groups — (pack_group, local index) pairs and distinct
+    bin_ids must be 1:1."""
+    from mobility_etl_spark.operators.packing import _BIN_STRIDE
+
+    n_pairs = (
+        packed.select("pack_group", "bin_id").distinct().count()
+    )
+    n_ids = packed.select("bin_id").distinct().count()
+    assert n_pairs == n_ids
+    # every bin_id decodes back to its own group under the stride
+    bad = packed.filter(
+        (F.col("bin_id") - F.col("pack_group") * _BIN_STRIDE < 0)
+        | (F.col("bin_id") - F.col("pack_group") * _BIN_STRIDE >= _BIN_STRIDE)
+    ).count()
+    assert bad == 0

@@ -221,3 +221,24 @@ def test_near_dup_probe_matches_exact_cross(spark, emb):
     assert recall >= 0.95, f"probe recall {recall:.3f} < 0.95"
     assert set(probed) <= set(exact)
     assert all(probed[p] == exact[p] for p in probed)
+
+
+def test_arrow_signatures_on_empty_frame(spark, emb):
+    """ADVICE r03: an empty daily increment is a realistic input for
+    near_dup_probe — the arrow signature path probed .first()[0] and
+    raised TypeError on zero rows. Both the bucket builder and the
+    probe must return empty, correctly-typed results instead."""
+    from mobility_etl_spark.operators.similarity import (
+        band_buckets_arrow,
+        near_dup_probe,
+    )
+
+    empty = emb.filter(F.col("vec_id") < 0).select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+
+    buckets = band_buckets_arrow(empty, "vec_id", "embedding", 160, 16)
+    assert buckets.count() == 0
+    assert [f.name for f in buckets.schema.fields] == [
+        "vec_id", "band", "bucket",
+    ]
+    assert near_dup_probe(empty, corpus, threshold=0.9).count() == 0

@@ -83,6 +83,53 @@ def test_vacuum_reclaims_only_unreferenced(spark, table):
     assert vacuum(path, keep_last=1) == 0
 
 
+def test_vacuum_refuses_table_with_no_snapshots(spark, sf_dir):
+    """ADVICE r03: vacuum before the first commit would have computed
+    referenced=∅ and unlinked EVERY data file — it must refuse, and the
+    data must survive."""
+    path = tempfile.mkdtemp(prefix="snapraw_")
+    load_table(spark, sf_dir, "events").limit(10).write.mode(
+        "overwrite"
+    ).parquet(path)
+    n_files = len(list(pathlib.Path(path).glob("*.parquet")))
+    assert n_files > 0
+    with pytest.raises(FileNotFoundError):
+        vacuum(path)
+    assert len(list(pathlib.Path(path).glob("*.parquet"))) == n_files
+
+
+def test_vacuum_rejects_nonpositive_keep_last(spark, table):
+    path, v1, v2 = table
+    with pytest.raises(ValueError):
+        vacuum(path, keep_last=0)
+
+
+def test_commit_is_put_if_absent(spark, table):
+    """ADVICE r03: two committers racing to the same version must not
+    both succeed with one commit lost. Simulate the race by
+    pre-creating the manifest name a naive committer would claim: the
+    commit must skip it and land at the NEXT version, never overwrite."""
+    path, v1, v2 = table
+    snapdir = pathlib.Path(path) / "_snapshots"
+    # squat on v3 with a sentinel manifest (what a concurrent committer
+    # that won the race would have written)
+    sentinel = {"version": v2 + 1, "note": "winner", "files": [],
+                "n_files": 0, "bytes": 0}
+    import json as _json
+
+    (snapdir / f"v{v2 + 1}.manifest.json").write_text(_json.dumps(sentinel))
+    v_new = commit_snapshot(spark, path, note="loser-retries")
+    assert v_new == v2 + 2  # retried past the squatted version
+    # the squatted manifest is untouched
+    kept = _json.loads((snapdir / f"v{v2 + 1}.manifest.json").read_text())
+    assert kept["note"] == "winner"
+    assert [e["version"] for e in snapshot_log(path)] == [
+        v1, v2, v2 + 1, v2 + 2
+    ]
+    # no temp litter left behind
+    assert not list(snapdir.glob(".tmp-*"))
+
+
 def test_streaming_sink_exactly_once_under_replay(spark, sf_dir):
     """Crash/replay simulation for the exactly-once streaming sink:
     re-running the whole availableNow stream against the SAME table
