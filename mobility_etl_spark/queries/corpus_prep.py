@@ -282,7 +282,7 @@ def resample_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample_counts = sampled.groupBy("lang").agg(
         F.count("*").alias("n_sampled")
     )
-    return rates.join(sample_counts, "lang", "left").select(
+    return rates.join(F.broadcast(sample_counts), "lang", "left").select(
         "lang",
         "n_orig",
         "keep_permille",

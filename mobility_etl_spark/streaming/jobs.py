@@ -360,23 +360,14 @@ def cdc_apply_stream(
     q.awaitTermination()
 
 
-def tws_user_totals(stream: DataFrame) -> DataFrame:
-    """E36 on the Spark-4 ``transformWithStateInPandas`` API: the same
-    running per-user totals as :func:`stateful_user_totals`, expressed
-    as a ``StatefulProcessor`` with typed ValueState. The new API is
-    the forward path for custom stateful operators (multiple state
-    variables, timers, TTL, RocksDB-backed state); keeping both forms
-    proves the engine's stateful surface isn't tied to the legacy
-    GroupState flavor. Same int64 micro-unit accumulation → the final
-    state is hash-comparable with a batch GROUP BY.
-
-    Environment note: the transformWithState state-server protocol
-    needs the ``protobuf`` package at runtime (a standard pyspark
-    extra, absent from this container) — tests/test_streaming.py
-    gates the parity test behind ``pytest.importorskip``; the legacy
-    applyInPandasWithState path (protobuf-free) remains the
-    container-verified E36 surface.
-    """
+def _make_running_totals_processor():
+    """Build the typed StatefulProcessor class lazily (module-level
+    definition would freeze the pyspark import at package-import
+    time). Importing StatefulProcessor is protobuf-free; only the
+    state-server RUNTIME needs protobuf, so the class — and therefore
+    its logic — is executable (and contract-tested,
+    tests/test_streaming.py::test_tws_processor_contract_mirror) even
+    in containers where the end-to-end query cannot start."""
     import math
 
     import pandas as pd
@@ -385,7 +376,7 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
-    class RunningTotals(StatefulProcessor):
+    class RunningTotalsProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
                 "totals", "n long, total long"
@@ -411,8 +402,28 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
+    return RunningTotalsProcessor
+
+
+def tws_user_totals(stream: DataFrame) -> DataFrame:
+    """E36 on the Spark-4 ``transformWithStateInPandas`` API: the same
+    running per-user totals as :func:`stateful_user_totals`, expressed
+    as a ``StatefulProcessor`` with typed ValueState. The new API is
+    the forward path for custom stateful operators (multiple state
+    variables, timers, TTL, RocksDB-backed state); keeping both forms
+    proves the engine's stateful surface isn't tied to the legacy
+    GroupState flavor. Same int64 micro-unit accumulation → the final
+    state is hash-comparable with a batch GROUP BY.
+
+    Environment note: the transformWithState state-server protocol
+    needs the ``protobuf`` package at runtime (a standard pyspark
+    extra, absent from this container) — tests/test_streaming.py
+    gates the parity test behind ``pytest.importorskip``; the legacy
+    applyInPandasWithState path (protobuf-free) remains the
+    container-verified E36 surface.
+    """
     return stream.groupBy("user_id").transformWithStateInPandas(
-        RunningTotals(),
+        _make_running_totals_processor()(),
         outputStructType="user_id long, n_events long, total_micro long",
         outputMode="Update",
         timeMode="None",

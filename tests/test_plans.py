@@ -271,3 +271,39 @@ def test_chunking_is_map_only(spark, sf_dir):
     """Document chunking must not shuffle: scan → generate → project."""
     plan = _plan(spark, "text_chunk_windows", sf_dir, mode="simple")
     assert "Exchange" not in plan
+
+
+def test_stock_scan_defaults_parallelize_realistic_layout(spark, tmp_path):
+    """VERDICT r03 #5: bench.py's 1 MB maxPartitionBytes is
+    measurement-harness tuning only. The ENGINE's own defaults must
+    (a) contain no scan-split tuning, and (b) still parallelize a
+    realistically-laid-out fact table — the sf0.1 lineitem bytes
+    written as 16 files, what any distributed writer produces — across
+    >= cores/2 scan tasks on a stock session. The driver's
+    single-file/single-row-group testdata is the only shape that needs
+    the bench override; engine speedups must not depend on it."""
+    from mobility_etl_spark.session import _BUILD_DEFAULTS, _RUNTIME_DEFAULTS
+
+    tuned = [
+        k
+        for k in (*_BUILD_DEFAULTS, *_RUNTIME_DEFAULTS)
+        if "maxPartitionBytes" in k or "openCostInBytes" in k
+    ]
+    assert tuned == [], f"engine defaults carry scan tuning: {tuned}"
+    assert (
+        spark.conf.get("spark.sql.files.maxPartitionBytes")
+        == str(128 * 1024 * 1024) + "b"
+        or spark.conf.get("spark.sql.files.maxPartitionBytes")
+        == str(128 * 1024 * 1024)
+    )
+
+    layout = str(tmp_path / "lineitem16")
+    spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").repartition(
+        16
+    ).write.mode("overwrite").parquet(layout)
+    cores = spark.sparkContext.defaultParallelism
+    scan_parts = spark.read.parquet(layout).rdd.getNumPartitions()
+    assert scan_parts >= cores // 2, (
+        f"stock session scans 16-file lineitem with {scan_parts} tasks; "
+        f"need >= {cores // 2} of {cores} cores busy"
+    )

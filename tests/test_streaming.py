@@ -208,6 +208,97 @@ def test_tws_user_totals_matches_batch(spark, sf_dir, tmp_path):
     assert final == batch
 
 
+def test_tws_processor_contract_mirror(spark, sf_dir, tmp_path):
+    """Executed substitute gate for the protobuf-blocked end-to-end
+    transformWithStateInPandas run (VERDICT r03 #4): drive the typed
+    RunningTotalsProcessor's REAL init/handleInputRows methods through
+    the StatefulProcessor interface with an in-memory ValueState
+    (mimicking the state server: exists/get/update per key), feeding
+    the same micro-batched input the applyInPandasWithState query
+    consumes — then assert the final per-key state is identical to the
+    fully-verified applyInPandasWithState streaming output. The only
+    thing NOT executed here is Spark's protobuf state transport; every
+    line of the processor is."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from mobility_etl_spark.io import load_table
+    from mobility_etl_spark.streaming.jobs import (
+        _make_running_totals_processor,
+        events_file_stream,
+        run_available_now,
+        stateful_user_totals,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v, self._set = None, False
+
+        def exists(self):
+            return self._set
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self._set = v, True
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    cls = _make_running_totals_processor()
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value", "event_id")
+        .toPandas()
+    )
+    # 4 deterministic micro-batches, keys interleaved across all of them
+    batches = [events[events.event_id % 4 == i] for i in range(4)]
+    final: dict[int, tuple[int, int]] = {}
+    procs: dict[int, object] = {}
+    for batch in batches:
+        for uid, pdf in batch.groupby("user_id"):
+            if uid not in procs:
+                p = cls()
+                p.init(FakeHandle())
+                procs[uid] = p
+            out = list(procs[uid].handleInputRows((uid,), [pdf], None))
+            assert len(out) == 1 and isinstance(out[0], pd.DataFrame)
+            row = out[0].iloc[0]
+            final[uid] = (int(row.n_events), int(row.total_micro))
+    for p in procs.values():
+        p.close()
+
+    # ground truth: the container-verified applyInPandasWithState path
+    # over the same rows, also micro-batched
+    landing = str(tmp_path / "landing")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    stream = events_file_stream(
+        spark, landing, options={"maxFilesPerTrigger": "1"}
+    )
+    run_available_now(
+        stateful_user_totals(stream),
+        "tws_mirror",
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    legacy = {
+        r.user_id: (r.n_events, r.total_micro)
+        for r in spark.table("tws_mirror")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert final == legacy
+
+
 def test_pyds_stream_batches_and_exactly_once(spark, tmp_path):
     """The Python streaming source must advance by its page size
     (4 micro-batches for 24 hours at 6/page), deliver every
