@@ -59,6 +59,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.warsaw_queries",
     "mobility_etl_spark.queries.corpus_prep",
     "mobility_etl_spark.queries.scale_ops",
+    "mobility_etl_spark.queries.training_prep",
     "mobility_etl_spark.queries.spatial",
     "mobility_etl_spark.queries.text2",
 )
