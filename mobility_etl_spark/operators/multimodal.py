@@ -2,12 +2,15 @@
 feature-extract, resize, frame-sample, pointer-load — all as
 Arrow-batched ``mapInPandas`` stages over opaque ``binary`` payloads.
 
-Decode is STUBBED (no Pillow/torchaudio/av in this container, by
-design): :func:`fake_decode` derives deterministic media dimensions
-from the payload bytes so every downstream stage — batch iteration,
-schemas, partitioning, output contracts — is real, tested, and (where
-the arithmetic is expressible) oracle-checked. Swap ``fake_decode``
-for a real decoder and nothing else changes.
+Decode is REAL for binary PPM (P6) — :func:`decode_ppm` is a pure
+numpy parser, and :func:`decode_resize_images` runs an actual
+decode → nearest-neighbor resize → channel statistics pipeline,
+oracle-checked pixel-for-pixel (``multimodal_ppm_decode``). Codecs
+that genuinely need external libraries (JPEG/PNG/audio/video) stay
+behind the honest :func:`fake_decode` stub: it derives deterministic
+media dimensions from the payload bytes so every downstream stage —
+batch iteration, schemas, partitioning, output contracts — is still
+real and tested. Swap the stub for Pillow/av and nothing else changes.
 
 100 TB pattern (pointer-not-payload): store (uri, sha256, n_bytes) in
 the table, keep bytes in object storage, and load them *inside* the
@@ -142,6 +145,100 @@ def sample_frames(payloads: DataFrame, every: int = 4) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(run, FRAME_SCHEMA)
+
+
+PPM_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_px", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("thumb_sum_r", LongType()),
+    ]
+)
+
+
+def encode_ppm(width: int, height: int, doc_id: int) -> bytes:
+    """A real binary PPM (P6) image with a deterministic pixel pattern
+    — the payload generator for the decode pipeline's tests/oracle.
+    Channel values are simple integer functions of (x, y, doc_id) so an
+    independent engine can recompute every statistic from first
+    principles."""
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    img[:, :, 0] = (3 * x + 7 * y + doc_id) % 256
+    img[:, :, 1] = (x * y + doc_id) % 256
+    img[:, :, 2] = (x + 2 * y) % 256
+    return b"P6\n%d %d\n255\n" % (width, height) + img.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL image decode, pure numpy (binary PPM / P6): parse the
+    text header, reinterpret the pixel buffer as (h, w, 3) uint8. No
+    media library required — which is exactly why PPM is the modality
+    this container can decode for real while JPEG/PNG stay behind the
+    honest :func:`fake_decode` stub."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    width, height, maxval = (int(g) for g in m.groups())
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pixels = np.frombuffer(
+        payload, dtype=np.uint8, count=width * height * 3, offset=m.end()
+    )
+    return pixels.reshape(height, width, 3)
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resample by integer index selection — the
+    vectorized numpy form of src = (dst · src_size) // dst_size."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return img[ys][:, xs]
+
+
+def decode_resize_images(payloads: DataFrame, thumb: int = 4) -> DataFrame:
+    """The REAL decode → resize → feature stage (N4, no stub): each
+    Arrow batch decodes its PPM payloads, computes exact per-channel
+    sums, and nearest-resamples to a ``thumb``×``thumb`` thumbnail.
+    Same mapInPandas shape as the stubbed codecs, so swapping in a
+    JPEG decoder is a one-function change."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_DECODE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(payload)
+                h, w = img.shape[:2]
+                small = resize_nearest(img, thumb, thumb)
+                sums = img.astype("int64").sum(axis=(0, 1))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(w * h)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+                rows["thumb_sum_r"].append(
+                    int(small[:, :, 0].astype("int64").sum())
+                )
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(run, PPM_DECODE_SCHEMA)
 
 
 POINTER_LOAD_SCHEMA = StructType(

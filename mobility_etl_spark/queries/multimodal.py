@@ -192,3 +192,82 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dims.join(thumbs, "doc_id").select(
         "doc_id", "width", "height", "out_width", "out_height", "thumb_sha256"
     )
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               8 + doc_id % 7 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+               (3 * xs.x + 7 * ys.y + d.doc_id) % 256 AS r,
+               (xs.x * ys.y + d.doc_id) % 256 AS g,
+               (xs.x + 2 * ys.y) % 256 AS b
+        FROM dims d
+        JOIN generate_series(0, 16) AS xs(x) ON xs.x < d.w
+        JOIN generate_series(0, 16) AS ys(y) ON ys.y < d.h
+    ),
+    tpx AS (
+        SELECT d.doc_id,
+               (3 * ((j.j * d.w) // 4) + 7 * ((i.i * d.h) // 4) + d.doc_id)
+                   % 256 AS r
+        FROM dims d
+        JOIN generate_series(0, 3) AS i(i) ON true
+        JOIN generate_series(0, 3) AS j(j) ON true
+    ),
+    thumb AS (
+        SELECT doc_id, CAST(SUM(r) AS BIGINT) AS thumb_sum_r
+        FROM tpx GROUP BY doc_id
+    )
+    SELECT px.doc_id,
+           CAST(MIN(px.w) AS INTEGER) AS width,
+           CAST(MIN(px.h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS INTEGER) AS n_px,
+           CAST(SUM(px.r) AS BIGINT) AS sum_r,
+           CAST(SUM(px.g) AS BIGINT) AS sum_g,
+           CAST(SUM(px.b) AS BIGINT) AS sum_b,
+           MIN(thumb.thumb_sum_r) AS thumb_sum_r
+    FROM px JOIN thumb USING (doc_id)
+    GROUP BY px.doc_id
+    """,
+    tags=("N4", "E39"),
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (no stub, no media library): each doc gets a
+    genuine binary PPM (P6) image with a closed-form pixel pattern,
+    and operators/multimodal.py:decode_resize_images parses the
+    header, reinterprets the pixel buffer, nearest-resamples a 4x4
+    thumbnail, and sums channels - all inside Arrow-batched
+    mapInPandas. The oracle recomputes every statistic pixel-by-pixel
+    from the pattern definition, so the decoder, the resampler's
+    (dst*src)//dst index math, and the batch plumbing are all
+    value-checked cross-engine. The JPEG/PNG production swap changes
+    one function; the pipeline shape is proven here."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_resize_images,
+        encode_ppm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_ppm(8 + int(d) % 9, 8 + int(d) % 7, int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return decode_resize_images(payloads, thumb=4)

@@ -70,3 +70,32 @@ def test_pointer_load_detects_corruption(spark, tmp_path):
     )
     out = {r.doc_id: r.hash_ok for r in load_pointer_payloads(pointers).collect()}
     assert out == {1: 1, 2: 0}
+
+
+def test_ppm_roundtrip_and_resize():
+    """decode_ppm is a real parser: encode→decode round-trips the
+    pixel buffer exactly; resize_nearest at native size is identity;
+    non-PPM payloads fail loudly."""
+    import numpy as np
+    import pytest
+
+    from mobility_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    img = decode_ppm(encode_ppm(13, 9, 42))
+    assert img.shape == (9, 13, 3)
+    x = np.arange(13)[None, :]
+    y = np.arange(9)[:, None]
+    assert (img[:, :, 0] == (3 * x + 7 * y + 42) % 256).all()
+    assert (img[:, :, 1] == (x * y + 42) % 256).all()
+    assert (img[:, :, 2] == (x + 2 * y) % 256).all()
+    assert (resize_nearest(img, 13, 9) == img).all()
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    # nearest-neighbor: every thumb pixel is some source pixel
+    assert small[0, 0, 0] == img[0, 0, 0]
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG\r\n\x1a\nnotappm")
