@@ -169,3 +169,45 @@ def scd2_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return history.filter(F.col("is_current")).select(
         "user_id", "state", F.col("valid_from").alias("since")
     )
+
+
+@register(
+    "skew_hot_keys_events",
+    oracle="""
+    WITH keyed AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS k
+        FROM events
+    ),
+    counts AS (SELECT k, COUNT(*) AS wt FROM keyed GROUP BY k),
+    stats AS (SELECT SUM(wt) AS total, COUNT(*) AS n_keys FROM counts)
+    SELECT '{' || k || '}' AS key, CAST(wt AS BIGINT) AS wt
+    FROM counts, stats
+    WHERE wt >= 8.0 * total / n_keys
+    """,
+    tags=("N8", "N11"),
+)
+def skew_hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-diagnosis face (operators/scale.py:detect_hot_keys):
+    a deliberately skewed key (half the fact table collapsed onto key
+    0, the rest uniform) must be flagged by the Misra-Gries summary
+    pass — one scan, shuffle O(partitions x k) counter rows, never a
+    groupBy of the key space. With k=256 >= the ~151 distinct keys MG
+    compresses nothing, so the estimates are exact and the oracle can
+    recompute the detection set relationally. The hot key's count
+    (~50% of rows) clears the 8x-uniform threshold by ~10x, so the
+    approx_count_distinct in the uniform-share denominator cannot flip
+    membership. Returned via createDataFrame because the operator's
+    contract is a driver-side control-plane list (<= k rows) feeding
+    salted_join."""
+    events = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skew_key")
+    )
+    from mobility_etl_spark.operators.scale import detect_hot_keys
+
+    hot = detect_hot_keys(events, ("skew_key",), skew_factor=8.0, k=256)
+    return spark.createDataFrame(
+        [(k, int(w)) for k, w in hot] or [("__none__", 0)],
+        "key string, wt long",
+    ).filter(F.col("key") != "__none__")
