@@ -73,11 +73,57 @@ def _data_files(table_path: str) -> list[str]:
     return sorted(out)
 
 
+def _file_column_stats(
+    root: pathlib.Path, files: list[str], cols: tuple[str, ...]
+) -> dict:
+    """Per-file [min, max] for the requested columns, read from parquet
+    FOOTERS only (row-group statistics — no data scan), aggregated
+    across row groups. Only JSON-stable scalar types are recorded;
+    a column with no usable stats is simply absent for that file,
+    which readers must treat as "file may match anything"."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for f in files:
+        md = pq.ParquetFile(root / f).metadata
+        per: dict[str, list] = {}
+        invalid: set[str] = set()
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in cols or name in invalid:
+                    continue
+                st = col.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str))
+                ):
+                    # one statless row group poisons the whole file's
+                    # span for this column — pruning on it would be
+                    # unsound, so drop it entirely
+                    invalid.add(name)
+                    per.pop(name, None)
+                    continue
+                if name in per:
+                    per[name] = [
+                        min(per[name][0], st.min),
+                        max(per[name][1], st.max),
+                    ]
+                else:
+                    per[name] = [st.min, st.max]
+        if per:
+            out[f] = per
+    return out
+
+
 def commit_snapshot(
     spark: SparkSession,
     table_path: str,
     note: str = "",
     files: list[str] | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Commit a snapshot: the table's current data files, or an
     explicit ``files`` list (relative paths) for operations like
@@ -90,6 +136,7 @@ def commit_snapshot(
     root = pathlib.Path(table_path)
     if files is None:
         files = _data_files(table_path)
+    stats = _file_column_stats(root, files, stats_cols) if stats_cols else {}
     d = _snap_dir(table_path)
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".tmp-{uuid.uuid4().hex[:12]}"
@@ -108,6 +155,7 @@ def commit_snapshot(
                 "files": files,
                 "n_files": len(files),
                 "bytes": sum((root / f).stat().st_size for f in files),
+                "stats": stats,
             }
             tmp.write_text(json.dumps(manifest, indent=1))
             try:
@@ -124,7 +172,10 @@ def commit_snapshot(
 
 
 def read_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    where: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read the table AS OF a snapshot (latest when version is None).
 
@@ -132,6 +183,17 @@ def read_snapshot(
     added, rewritten, or compacted after this snapshot's commit are
     invisible, which is what makes concurrent compaction safe and old
     versions reproducible.
+
+    ``where=(col, lo, hi)`` enables manifest-level data skipping: files
+    whose committed [min, max] span for ``col`` (see
+    ``commit_snapshot(stats_cols=...)``) cannot intersect [lo, hi] are
+    dropped from the plan before Spark ever opens a footer — the
+    Iceberg/Delta file-pruning shape, where at 100 TB the win is
+    skipping whole files (and their object-store requests), a layer
+    above parquet's own row-group pruning. Semantics are advisory:
+    files without stats for ``col`` are always kept, and the caller
+    still applies the actual row filter — pruning only removes files
+    that provably contain no matching row.
     """
     versions = _list_versions(table_path)
     if not versions:
@@ -143,10 +205,24 @@ def read_snapshot(
         (_snap_dir(table_path) / f"v{v}.manifest.json").read_text()
     )
     root = pathlib.Path(table_path)
-    paths = [str(root / f) for f in manifest["files"]]
-    if not paths:
+    files = manifest["files"]
+    if not files:
         raise ValueError(f"snapshot v{v} is empty")
-    return spark.read.parquet(*paths)
+    if where is not None:
+        col, lo, hi = where
+        stats = manifest.get("stats", {})
+        kept = [
+            f
+            for f in files
+            if (span := stats.get(f, {}).get(col)) is None
+            or (span[0] <= hi and span[1] >= lo)
+        ]
+        if not kept:  # provably empty: schema-stable zero-row frame
+            return spark.read.parquet(
+                *(str(root / f) for f in files)
+            ).limit(0)
+        files = kept
+    return spark.read.parquet(*(str(root / f) for f in files))
 
 
 def snapshot_log(table_path: str) -> list[dict]:

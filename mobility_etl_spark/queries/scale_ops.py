@@ -211,3 +211,45 @@ def skew_hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, int(w)) for k, w in hot] or [("__none__", 0)],
         "key string, wt long",
     ).filter(F.col("key") != "__none__")
+
+
+@register(
+    "snapshot_pruned_read",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id BETWEEN 2000 AND 5000
+    """,
+    tags=("N11", "N13", "E5"),
+)
+def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level data skipping end-to-end: events written
+    range-clustered (6 files with disjoint event_id spans), committed
+    with per-file footer stats, then range-read through
+    ``read_snapshot(where=...)`` — the plan covers only files whose
+    committed [min,max] intersects the range (file-count reduction is
+    gated in tests/test_snapshots.py; this query proves VALUES are
+    unaffected by skipping). The Iceberg/Delta shape: at 100 TB the
+    manifest prunes whole files before any footer is opened, a layer
+    above parquet row-group pruning and orthogonal to partition
+    pruning."""
+    import tempfile
+
+    from mobility_etl_spark.functions.compat import dsum as _dsum
+    from mobility_etl_spark.operators.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="snap_pr_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartitionByRange(6, "event_id").write.mode("overwrite").parquet(path)
+    v = commit_snapshot(spark, path, note="range", stats_cols=("event_id",))
+    lo, hi = 2000, 5000
+    pruned = read_snapshot(spark, path, v, where=("event_id", lo, hi))
+    return pruned.filter(F.col("event_id").between(lo, hi)).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        _dsum(F.col("value"), "sum_value"),
+    )

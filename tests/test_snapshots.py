@@ -167,3 +167,52 @@ def test_streaming_sink_exactly_once_under_replay(spark, sf_dir):
     run()  # full replay with a fresh checkpoint: all batch ids known
     assert read_snapshot(spark, table).count() == 500
     assert snapshot_log(table) == log_first  # not even a new commit
+
+
+def test_manifest_stats_prune_files_soundly(spark, sf_dir):
+    """Manifest-level data skipping: a range-laid-out table committed
+    with stats_cols must (a) plan a narrow range read over strictly
+    fewer files, (b) return exactly the rows the unpruned read
+    returns, (c) keep statless files (advisory semantics), and (d)
+    yield a schema-stable empty frame when every file is pruned."""
+    import tempfile
+
+    from mobility_etl_spark.operators.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+    )
+
+    path = tempfile.mkdtemp(prefix="snapstats_")
+    ev = load_table(spark, sf_dir, "events")
+    # range layout => disjoint per-file event_id spans (what zorder/
+    # clustering produces); stats make the spans visible to the manifest
+    ev.repartitionByRange(6, "event_id").write.mode("overwrite").parquet(path)
+    v = commit_snapshot(spark, path, note="stats", stats_cols=("event_id",))
+
+    full = read_snapshot(spark, path, v)
+    n_files_full = len(full.inputFiles())
+    assert n_files_full == 6
+
+    lo, hi = 100, 300
+    pruned = read_snapshot(spark, path, v, where=("event_id", lo, hi))
+    assert 0 < len(pruned.inputFiles()) < n_files_full
+    got = sorted(
+        r.event_id
+        for r in pruned.filter(F.col("event_id").between(lo, hi)).collect()
+    )
+    want = sorted(
+        r.event_id
+        for r in full.filter(F.col("event_id").between(lo, hi)).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # all files pruned -> empty, schema preserved
+    nothing = read_snapshot(
+        spark, path, v, where=("event_id", 10_000_000, 20_000_000)
+    )
+    assert nothing.count() == 0
+    assert nothing.schema == full.schema
+
+    # a column without committed stats never prunes
+    unpruned = read_snapshot(spark, path, v, where=("user_id", 0, 1))
+    assert len(unpruned.inputFiles()) == n_files_full
