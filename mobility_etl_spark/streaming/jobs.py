@@ -271,6 +271,7 @@ def stream_stream_join(
     stream: DataFrame,
     lag: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each purchase joined to the same
     user's clicks in the preceding ``lag`` window.
@@ -300,13 +301,19 @@ def stream_stream_join(
         )
         .withWatermark("c_ts", watermark)
     )
+    # ``how="left_outer"``: a purchase with no click in its window is
+    # emitted null-padded — but only once the watermark proves no
+    # matching click can still arrive (state eviction = emission time
+    # for outer rows). Until the watermark passes p_ts + lag the row
+    # sits in state, which is why outer results trail the watermark
+    # rather than the data (gated in tests/test_streaming.py).
     return purchases.join(
         clicks,
         F.expr(
             f"p_user = c_user AND c_ts >= p_ts - INTERVAL {lag}"
             " AND c_ts <= p_ts"
         ),
-        "inner",
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",

@@ -382,3 +382,118 @@ def test_checkpoint_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == total  # nothing dropped, nothing doubled
     assert got.select(F.countDistinct("event_id")).first()[0] == total
+
+
+def test_stream_stream_left_outer_join_flushes_on_watermark(spark, tmp_path):
+    """Left-outer stream-stream join semantics: an unmatched purchase
+    is emitted null-padded only once the watermark proves no matching
+    click can still arrive. Batch 1 carries 10 purchases (5 with a
+    click inside the 30-min window, 5 without); later batches carry a
+    purchase+click pair 48-49 h on (advancing BOTH sides' watermark
+    nodes — the global watermark is their min) far past every batch-1
+    window — so ALL unmatched purchases must flush, and the matched
+    set must be exactly the inner join's."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from mobility_etl_spark.streaming.jobs import (
+        events_file_stream,
+        run_available_now,
+        stream_stream_join,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(1, 11):
+        p_ts = t0 + dt.timedelta(minutes=u)
+        rows.append((eid, p_ts, u, "purchase", 1.0, "{}")); eid += 1
+        if u <= 5:
+            rows.append((eid, p_ts - dt.timedelta(minutes=10), u, "click", 1.0, "{}")); eid += 1
+    # The engine's global watermark is the MIN over both sides'
+    # watermark nodes (purchases and clicks filter the same source but
+    # carry separate withWatermark columns), so late rows must advance
+    # BOTH sides — distinct users so the late pair cannot cross-match.
+    late = [
+        (998, t0 + dt.timedelta(hours=48), 97, "purchase", 1.0, "{}"),
+        (999, t0 + dt.timedelta(hours=48), 99, "click", 1.0, "{}"),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    landing = tmp_path / "land"
+    landing.mkdir()
+
+    def drop(recs, name, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(recs, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(stage))
+        part = next(stage.glob("part-*.parquet"))
+        dst = landing / f"{name}.parquet"
+        shutil.move(str(part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    drop(rows, "000_early", 1_000_000_000)
+    drop(late, "001_late", 1_000_001_000)
+
+    out = str(tmp_path / "ssj_out")
+    ckpt = str(tmp_path / "ck1")
+
+    def drain_outer():
+        # file sink (not memory): it supports checkpoint RESUME, which
+        # this test needs across its two availableNow runs
+        stream = events_file_stream(
+            spark, str(landing), options={"maxFilesPerTrigger": "1"}
+        )
+        q = (
+            stream_stream_join(stream, how="left_outer")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    first = drain_outer()
+    # Watermark-update mechanics: the 48 h click raises the watermark
+    # at the END of the final availableNow batch, so evicted-state
+    # outer rows flush on the NEXT trigger — outer results trail the
+    # watermark by one batch (matched rows do not wait).
+    assert {r.user_id for r in first if r.click_id is not None} == {1, 2, 3, 4, 5}
+    drop(
+        [
+            (1000, t0 + dt.timedelta(hours=49), 96, "purchase", 1.0, "{}"),
+            (1001, t0 + dt.timedelta(hours=49), 98, "click", 1.0, "{}"),
+        ],
+        "002_nudge",
+        1_000_002_000,
+    )
+    got = drain_outer()  # same checkpoint: resumes, flushes evicted state
+
+    matched = {r.user_id for r in got if r.click_id is not None}
+    unmatched = {r.user_id for r in got if r.click_id is None}
+    assert matched == {1, 2, 3, 4, 5}
+    assert unmatched == {6, 7, 8, 9, 10}
+    assert len(got) == 10  # exactly one row per purchase
+
+    # the inner join over the same feed is exactly the matched subset
+    stream2 = events_file_stream(
+        spark, str(landing), options={"maxFilesPerTrigger": "1"}
+    )
+    inner = stream_stream_join(stream2, how="inner")
+    run_available_now(
+        inner, "ssj_inner", str(tmp_path / "ck2"), output_mode="append"
+    )
+    inner_rows = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.table("ssj_inner").collect()
+    }
+    assert inner_rows == {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in got
+        if r.click_id is not None
+    }
