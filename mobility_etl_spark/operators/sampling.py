@@ -75,3 +75,13 @@ def balanced_sample(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def kfold_assign(df: DataFrame, key: str, k: int, col: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment: fold = portable hash of the key
+    mod k — membership is a pure function of the key, so every worker,
+    run, and engine derives identical folds with zero coordination
+    (the cross-validation face of :func:`hash_split`). Train/validate
+    splits fall out as fold != i / fold == i filters that both push to
+    the scan."""
+    return df.withColumn(col, hash_bucket(key, k))

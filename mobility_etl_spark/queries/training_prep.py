@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.sampling import sql_hash_bucket
 from mobility_etl_spark.operators.sharding import (
     _EPOCH_PRIME,
     _KNUTH,
@@ -120,4 +121,40 @@ def training_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(out)
     return back.select(
         "doc_id", "lang", "source", F.length("text").alias("n_chars")
+    )
+
+
+_K_FOLDS = 5
+
+
+@register(
+    "training_kfold_counts",
+    oracle=f"""
+    SELECT {sql_hash_bucket("doc_id", _K_FOLDS)} AS fold,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("N7", "N12"),
+)
+def training_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation assignment (operators/sampling.py:
+    kfold_assign): 5 deterministic folds over the corpus with per-fold
+    document/token counts — the oracle re-derives membership from the
+    portable hash, so fold boundaries are engine- and layout-
+    independent (the property that lets a training stack and this
+    engine agree on splits without shipping membership lists)."""
+    from mobility_etl_spark.operators.sampling import kfold_assign
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+    return (
+        kfold_assign(docs, "doc_id", _K_FOLDS)
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
     )
