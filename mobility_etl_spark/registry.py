@@ -62,6 +62,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.training_prep",
     "mobility_etl_spark.queries.spatial",
     "mobility_etl_spark.queries.text2",
+    "mobility_etl_spark.queries.analytics",
 )
 
 
