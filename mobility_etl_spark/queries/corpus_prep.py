@@ -294,6 +294,67 @@ _BM25_TERMS = ("scan", "join", "merge")
 _K1, _B = 1.2, 0.75
 
 
+def bm25_scores(
+    docs: DataFrame, terms: tuple[str, ...], k1: float = _K1, b: float = _B
+) -> DataFrame:
+    """BM25 document scores (doc_id, score_fx) for a fixed term set.
+
+    Shared by ``text_bm25_topk`` and the hybrid RAG retrieval face
+    (queries/retrieval.py). Per-term document frequencies and the
+    average doc length are tiny aggregates broadcast back over the
+    corpus; per-doc term frequencies are higher-order array
+    expressions; scores are 1e-9 fixed-point BIGINTs (floor of the
+    bit-identical IEEE per-term contribution, then an order-free
+    integer sum).
+    """
+    spark = docs.sparkSession
+    toks = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
+    stats = t.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    terms_df = spark.createDataFrame([(x,) for x in terms], "term string")
+    tf_rows = t.crossJoin(F.broadcast(terms_df)).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term")))
+        .cast("double")
+        .alias("tf"),
+    )
+    df_t = (
+        tf_rows.filter(F.col("tf") > 0)
+        .groupBy("term")
+        .agg(F.count("*").alias("df_t"))
+    )
+    return (
+        tf_rows.filter(F.col("tf") > 0)
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        # 1e-9 fixed-point sum (the text_unigram_logprob technique):
+        # FLOOR of the bit-identical contribution double avoids every
+        # cross-engine decimal-cast/rounding path, and the BIGINT sum
+        # is order-free
+        .agg(
+            F.sum(F.floor(F.col("contrib") * 1e9).cast("long"))
+            .cast("bigint")
+            .alias("score_fx")
+        )
+    )
+
+
 @register(
     "text_bm25_topk",
     oracle=f"""
@@ -349,57 +410,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     immune to cross-engine decimal-cast differences), so the top-k
     hash-matches exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    t = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("dl"))
-    stats = t.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
-    )
-    terms = spark.createDataFrame(
-        [(x,) for x in _BM25_TERMS], "term string"
-    )
-    tf_rows = t.crossJoin(F.broadcast(terms)).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(
-            F.filter("toks", lambda x: x == F.col("term"))
-        ).cast("double").alias("tf"),
-    )
-    df_t = (
-        tf_rows.filter(F.col("tf") > 0)
-        .groupBy("term")
-        .agg(F.count("*").alias("df_t"))
-    )
-    scored = (
-        tf_rows.filter(F.col("tf") > 0)
-        .join(F.broadcast(df_t), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "contrib",
-            F.log(
-                (F.col("n_docs") - F.col("df_t") + 0.5)
-                / (F.col("df_t") + 0.5)
-                + 1.0
-            )
-            * (F.col("tf") * (_K1 + 1.0))
-            / (
-                F.col("tf")
-                + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("doc_id")
-        # 1e-9 fixed-point sum (the text_unigram_logprob technique):
-        # FLOOR of the bit-identical contribution double avoids every
-        # cross-engine decimal-cast/rounding path, and the BIGINT sum
-        # is order-free — a raw double SUM mismatched in the last ulp
-        # from add order alone
-        .agg(
-            F.sum(F.floor(F.col("contrib") * 1e9).cast("long"))
-            .cast("bigint")
-            .alias("score_fx")
-        )
-    )
+    scored = bm25_scores(docs, _BM25_TERMS)
     from pyspark.sql import Window
 
     # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —

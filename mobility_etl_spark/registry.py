@@ -63,6 +63,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.spatial",
     "mobility_etl_spark.queries.text2",
     "mobility_etl_spark.queries.analytics",
+    "mobility_etl_spark.queries.retrieval",
 )
 
 
