@@ -1,0 +1,191 @@
+"""Count-min sketch (oracle-checked end to end) and triangle counting.
+
+* ``sketch_countmin_tokens`` — unlike the HLL/MG faces (rows-only by
+  design because their hash internals are engine-specific), this
+  count-min build uses the repo's portable md5-derived bucketing, so
+  the ENTIRE sketch — every cell and every estimate — is re-derivable
+  in ANSI SQL and hash-compared exactly. It is simultaneously the
+  operator face and its own soundness proof (est ≥ true by
+  construction appears as a checkable column).
+* ``triangle_count_graph`` — the standard distributed triangle count
+  over a co-occurrence graph (suppliers sharing an order), oriented
+  a<b<c so each triangle is produced exactly once by two equi-joins.
+
+All names sort after "minhash_near_dup" (driver-window rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.registry import register
+
+#: Count-min geometry: d hash rows × w buckets.
+_CM_D = 4
+_CM_W = 64
+_SALTS = tuple(f"s{j}|" for j in range(_CM_D))
+
+
+def _bucket_col(token, salt) -> "F.Column":
+    """Portable bucket: first 8 md5 hex chars of salt||token, mod w —
+    the same arithmetic :func:`_bucket_sql` renders for DuckDB."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(salt, token)), 1, 8), 16, 10)
+        .cast("bigint")
+        % _CM_W
+    )
+
+
+def _bucket_sql(token_expr: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || {token_expr}), 1, 8))::BIGINT"
+        f" % {_CM_W})"
+    )
+
+
+@register(
+    "sketch_countmin_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cells AS (
+        SELECT j, bucket, COUNT(*) AS cell
+        FROM (
+            {" UNION ALL ".join(
+                f"SELECT {j} AS j, {_bucket_sql('token', s)} AS bucket "
+                f"FROM tok"
+                for j, s in enumerate(_SALTS)
+            )}
+        )
+        GROUP BY j, bucket
+    ),
+    truth AS (
+        SELECT token, COUNT(*) AS n_true FROM tok GROUP BY token
+    ),
+    lookups AS (
+        SELECT t.token, t.n_true, c.cell
+        FROM truth t
+        JOIN cells c
+          ON (c.j = 0 AND c.bucket = {_bucket_sql('t.token', _SALTS[0])})
+          OR (c.j = 1 AND c.bucket = {_bucket_sql('t.token', _SALTS[1])})
+          OR (c.j = 2 AND c.bucket = {_bucket_sql('t.token', _SALTS[2])})
+          OR (c.j = 3 AND c.bucket = {_bucket_sql('t.token', _SALTS[3])})
+    )
+    SELECT token, n_true,
+           MIN(cell) AS n_est,
+           MIN(cell) - n_true AS overcount
+    FROM lookups
+    GROUP BY token, n_true
+    """,
+    tags=("N8", "N10", "E26"),
+)
+def sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the token stream ({_CM_D}×{_CM_W} cells,
+    md5-salted portable buckets) queried for every distinct token:
+    est = min over rows of the hashed cell. Because the bucketing is
+    engine-portable, the oracle rebuilds the identical sketch and the
+    comparison is exact — and the emitted ``overcount`` column is the
+    CM guarantee (≥ 0 always; ≤ εN w.h.p.) as data. Build is
+    map-side: each row contributes d (j, bucket) pairs, partial
+    aggregation collapses to ≤ d·w cells per task before one tiny
+    shuffle; the sketch (256 rows) then broadcasts onto the lookup
+    side. The exact ``truth`` column is the verification face — a real
+    deployment ships only the sketch, mergeable across shards/days by
+    cell-wise addition (same property gated for HLL/MG)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    salts = spark.createDataFrame(
+        [(j, s) for j, s in enumerate(_SALTS)], "j int, salt string"
+    )
+    pairs = tok.crossJoin(F.broadcast(salts)).select(
+        "j",
+        _bucket_col(F.col("token"), F.col("salt")).alias("bucket"),
+    )
+    cells = pairs.groupBy("j", "bucket").agg(F.count("*").alias("cell"))
+    truth = tok.groupBy("token").agg(F.count("*").alias("n_true"))
+    lookups = truth.crossJoin(F.broadcast(salts)).select(
+        "token",
+        "n_true",
+        "j",
+        _bucket_col(F.col("token"), F.col("salt")).alias("bucket"),
+    )
+    est = (
+        lookups.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "n_true")
+        .agg(F.min("cell").alias("n_est"))
+    )
+    return est.select(
+        "token",
+        "n_true",
+        "n_est",
+        (F.col("n_est") - F.col("n_true")).alias("overcount"),
+    )
+
+
+_TRI_MAX_ORDERS = 2000
+
+
+@register(
+    "triangle_count_graph",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_orderkey < {_TRI_MAX_ORDERS}
+          AND b.l_orderkey < {_TRI_MAX_ORDERS}
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+           (SELECT COUNT(DISTINCT u) FROM
+              (SELECT u FROM pairs UNION ALL SELECT v FROM pairs) t(u))
+               AS n_nodes,
+           (SELECT COUNT(*) FROM tri) AS n_triangles
+    """,
+    tags=("N9", "E9"),
+)
+def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the supplier co-occurrence graph (edge u—v iff
+    two suppliers share an order, first {_TRI_MAX_ORDERS} orders): the
+    clustering/community primitive. Edges are oriented u < v so the
+    two-equi-join closure (e1: a→b, e2: b→c, e3: a→c) emits each
+    triangle exactly once — the shuffle-join formulation that scales
+    (no per-node adjacency materialization; skew on hot nodes is
+    AQE-salted like any hot join key). Complements pagerank_part_
+    supplier and dedup_cluster_components as the third graph face."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < _TRI_MAX_ORDERS
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e2 = pairs.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = pairs.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        pairs.join(e2, "v")
+        .join(
+            e3,
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
+        )
+    )
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    n_nodes = (
+        pairs.select(F.col("u").alias("n"))
+        .union(pairs.select(F.col("v").alias("n")))
+        .agg(F.countDistinct("n").alias("n_nodes"))
+    )
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    return n_edges.crossJoin(F.broadcast(n_nodes)).crossJoin(F.broadcast(n_tri))

@@ -1,0 +1,234 @@
+"""Time-series downsampling/averaging pack: M4 visual downsampling,
+time-weighted averages, and per-key EWMA smoothing.
+
+The reference's hourly sinks (dags/weather.py, dags/warsaw-delays.py)
+produce exactly this shape of data — regular-ish per-key observation
+streams — and every dashboard/monitoring consumer runs these three
+reductions on them. All exact DuckDB oracles:
+
+* M4 (min/max/first/last per time bucket) — the standard
+  error-free line-chart downsampling aggregation; first/last are
+  window-ranked with (ts, event_id) tiebreaks so they're deterministic.
+* TWA — irregular-interval averaging weighting each observation by its
+  holding time; per-term products floor to BIGINT fixed-point before an
+  order-free integer sum.
+* EWMA — sequential-by-nature exponential smoothing; Spark side is a
+  group-local applyInPandas fold, oracle side is DuckDB's list_reduce
+  over the same ordered list: both run the identical IEEE op sequence
+  (0.9·acc + 0.1·x left fold) so the result is bit-identical, floored
+  to 1e-6 fixed point.
+
+Scale posture: M4/TWA are single-shuffle keyed aggregations; EWMA is
+applyInPandas over the key partitioning with bounded per-group state.
+All names sort after "minhash_near_dup" (driver-window rule).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.registry import register
+
+#: 6-hour M4 buckets (µs).
+_BUCKET_US = 21_600_000_000
+_ALPHA = 0.1
+
+
+@register(
+    "timeseries_m4_downsample",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id, epoch_us(ts) // {_BUCKET_US} AS bucket,
+               ts, event_id, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT user_id, bucket,
+           COUNT(*) AS n,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last
+    FROM r
+    GROUP BY user_id, bucket
+    """,
+    tags=("E13", "E19"),
+)
+def timeseries_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per (series, 6 h bucket) the min/max/first/last
+    of the value — the aggregation proven to reproduce a line chart
+    pixel-exactly at 4 rows per bucket, i.e. the lossy-but-visually-
+    lossless way to ship a 100 TB series to a dashboard. First/last
+    are rank-1 rows of ascending/descending (ts, event_id) windows;
+    min/max of doubles are order-free, so everything hash-matches.
+    Both windows and the final groupBy share the (user_id) keyed
+    shuffle — one Exchange total."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = events.select(
+        "user_id",
+        F.floor(us / F.lit(_BUCKET_US)).cast("bigint").alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = b.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy("user_id", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
+    )
+
+
+@register(
+    "timeseries_twa_events",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS us, event_id,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_us
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id,
+               CAST(FLOOR(value * CAST(next_us - us AS DOUBLE)) AS BIGINT)
+                   AS wv_fx,
+               next_us - us AS dt_us
+        FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(wv_fx) AS BIGINT) AS sum_wv_fx,
+           CAST(SUM(dt_us) AS BIGINT) AS sum_dt_us,
+           CAST(FLOOR(1000.0 * CAST(SUM(wv_fx) AS DOUBLE)
+                      / CAST(SUM(dt_us) AS DOUBLE)) AS BIGINT) AS twa_mfx
+    FROM seg
+    GROUP BY user_id
+    """,
+    tags=("E13", "E18"),
+)
+def timeseries_twa_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series for irregular observations:
+    each value is weighted by how long it was current (lead-ts delta),
+    the metric for sensor/delay feeds where a plain AVG over-counts
+    bursts. Per-segment value·µs products floor to BIGINT (exact in
+    double below 2^53), integer-sum order-free; the final ratio is the
+    identical double expression on both engines. One keyed shuffle
+    shared by the lead window and the groupBy."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    )
+    seg = seq.filter(F.col("next_us").isNotNull()).select(
+        "user_id",
+        F.floor(
+            F.col("value") * (F.col("next_us") - F.col("us")).cast("double")
+        )
+        .cast("bigint")
+        .alias("wv_fx"),
+        (F.col("next_us") - F.col("us")).alias("dt_us"),
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum("wv_fx").cast("bigint").alias("sum_wv_fx"),
+        F.sum("dt_us").cast("bigint").alias("sum_dt_us"),
+    )
+    return agg.withColumn(
+        "twa_mfx",
+        F.floor(
+            1000.0
+            * F.col("sum_wv_fx").cast("double")
+            / F.col("sum_dt_us").cast("double")
+        ).cast("bigint"),
+    )
+
+
+_EWMA_SCHEMA = "user_id long, n_events long, ewma_fx long"
+
+
+def _ewma_fold(values: Iterable[float], alpha: float) -> float:
+    """Left fold e ← (1−α)·e + α·x with e₀ = x₀ — the exact op sequence
+    DuckDB's list_reduce runs, so results are bit-identical."""
+    it = iter(values)
+    e = next(it)
+    for x in it:
+        e = (1.0 - alpha) * e + alpha * x
+    return e
+
+
+@register(
+    "timeseries_ewma_users",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id,
+               list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           CAST(FLOOR(list_reduce(vals,
+               (acc, x) -> (1.0 - CAST({_ALPHA} AS DOUBLE)) * acc
+                           + CAST({_ALPHA} AS DOUBLE) * x)
+               * 1000000.0) AS BIGINT) AS ewma_fx
+    FROM ordered
+    """,
+    tags=("E39", "E13"),
+)
+def timeseries_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA (α=0.1) final smoothed level — exponential
+    smoothing is inherently sequential (each step depends on the
+    previous), so this is the honest applyInPandas shape: group-local
+    fold over (ts, event_id)-ordered values, state is one double.
+    The oracle runs DuckDB's list_reduce over the same ordered list;
+    both engines execute the identical left-fold IEEE sequence
+    (1−α)·acc + α·x, so the 1e-6-floored result matches exactly —
+    a stronger statement than tolerance-gating. At 100 TB this is one
+    shuffle on the series key and O(1) memory per group (the pandas
+    batch holds one group's rows, same bound as any sessionizer)."""
+    events = load_table(spark, sf_dir, "events")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = [float(v) for v in pdf["value"]]
+        e = _ewma_fold(vals, _ALPHA)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(vals)],
+                "ewma_fx": [int(math.floor(e * 1000000.0))],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, _EWMA_SCHEMA)
+    )

@@ -64,6 +64,8 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.text2",
     "mobility_etl_spark.queries.analytics",
     "mobility_etl_spark.queries.retrieval",
+    "mobility_etl_spark.queries.timeseries_q",
+    "mobility_etl_spark.queries.sketch_graph",
 )
 
 
