@@ -307,3 +307,48 @@ def test_stock_scan_defaults_parallelize_realistic_layout(spark, tmp_path):
         f"stock session scans 16-file lineitem with {scan_parts} tasks; "
         f"need >= {cores // 2} of {cores} cores busy"
     )
+
+
+def test_outlier_zscore_fact_side_broadcast_only(spark, sf_dir):
+    """Group-statistics normalization must broadcast the tiny stats
+    side; the event table itself never shuffles (no SortMergeJoin, no
+    repartition of the fact side)."""
+    plan = _plan(spark, "outlier_zscore_events", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_map_only(spark, sf_dir):
+    """Per-row weighted hash sampling is a pure filter: no Exchange."""
+    plan = _plan(spark, "weighted_sample_docs", sf_dir, mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_group_split_single_exchange(spark, sf_dir):
+    """Group-aware split = map-side tag + one aggregation shuffle."""
+    plan = _plan(spark, "training_group_split", sf_dir, mode="simple")
+    assert plan.count("Exchange") <= 2  # partial/final agg exchange only
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both windows and the final groupBy share the user_id
+    partitioning: Catalyst must plan exactly one shuffle."""
+    plan = _plan(spark, "sessionize_events_ids", sf_dir, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_m4_single_exchange(spark, sf_dir):
+    """M4's two rank windows + groupBy share (user_id, bucket)-compatible
+    partitioning on user_id-derived keys — at most 2 Exchanges (window
+    keys vs agg keys), never a per-window reshuffle."""
+    plan = _plan(spark, "timeseries_m4_downsample", sf_dir, mode="simple")
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
+    """The benchmark shingle set must broadcast onto the corpus side."""
+    plan = _plan(spark, "text_decontaminate_ngram", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
