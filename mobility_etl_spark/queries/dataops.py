@@ -1,0 +1,140 @@
+"""Data-ops faces: table reconciliation (diff between two snapshots of
+a table) and curriculum phase assignment for training runs.
+
+``table_diff_orders`` is the anti-entropy primitive behind every
+sync/backfill audit: given yesterday's and today's snapshot, emit the
+key-level added/removed/changed sets. The two snapshots are derived
+deterministically from the same parquet (a modulus subset with a
+perturbed measure) so the face is self-contained and exactly
+oracle-checkable; the operator shape — full outer join on the key,
+column-wise comparison — is the real thing.
+
+``training_curriculum_phases`` orders the corpus by a quality proxy
+and splits it into 4 curriculum phases (easy → hard) with NTILE, the
+standard staged-training schedule; per-phase stats double as the
+boundary audit.
+
+All names sort after "minhash_near_dup" (driver-window rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.functions.compat import DEC
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.registry import register
+
+
+@register(
+    "table_diff_orders",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 97 != 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    WHERE o.o_orderkey IS NULL
+       OR n.o_orderkey IS NULL
+       OR o.o_totalprice != n.o_totalprice
+       OR o.o_orderstatus != n.o_orderstatus
+    """,
+    tags=("E10", "E22", "N13"),
+)
+def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: key-level diff (added / removed /
+    changed) between an 'old' and 'new' snapshot of orders — the audit
+    query behind CDC validation, backfill verification, and replica
+    anti-entropy. Full outer join on the key + column-wise comparison
+    (never string-rendered hashes, so float formatting can't lie).
+    Values compare the exact doubles both engines read from the same
+    parquet. At 100 TB both sides shuffle once on the key — the
+    minimal possible — and AQE handles the skew; column comparisons
+    are codegen'd expressions."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old_snap = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("old_price"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+    new_snap = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("new_price"),
+        F.col("o_orderstatus").alias("new_status"),
+    )
+    joined = old_snap.join(new_snap, "o_orderkey", "outer")
+    diff = joined.filter(
+        F.col("old_price").isNull()
+        | F.col("new_price").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+        | (F.col("old_status") != F.col("new_status"))
+    )
+    return diff.select(
+        "o_orderkey",
+        F.when(F.col("old_price").isNull(), F.lit("added"))
+        .when(F.col("new_price").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    )
+
+
+@register(
+    "training_curriculum_phases",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               NTILE(4) OVER (ORDER BY n_chars, doc_id) AS phase
+        FROM documents
+    )
+    SELECT phase,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(*) AS avg_chars
+    FROM ranked
+    GROUP BY phase
+    """,
+    tags=("N7", "E17"),
+)
+def training_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: corpus ordered easy→hard by a quality/
+    difficulty proxy (doc length) and cut into 4 equal phases with
+    NTILE — the schedule used by staged pretraining. Deterministic
+    tiebreak (doc_id) makes phase membership a pure function of the
+    data, so the per-phase stats (count, char range, mean) are
+    hash-exact. The global NTILE is a single-partition window over
+    (proxy, id) pairs only — at 100 TB swap in the range-partitioned
+    percentile cut (operators/sampling.py hash buckets are the
+    membership mechanism; this face gates the schedule shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "n_chars", F.ntile(4).over(w).alias("phase")
+    )
+    return ranked.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (
+            F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.count("*")
+        ).alias("avg_chars"),
+    )

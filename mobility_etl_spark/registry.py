@@ -66,6 +66,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.retrieval",
     "mobility_etl_spark.queries.timeseries_q",
     "mobility_etl_spark.queries.sketch_graph",
+    "mobility_etl_spark.queries.dataops",
 )
 
 
