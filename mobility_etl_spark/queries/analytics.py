@@ -370,3 +370,40 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.*")
+
+
+@register(
+    "window_distinct_rolling_users",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           CAST(COUNT(DISTINCT user_id) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_users_50
+    FROM events
+    """,
+    tags=("E19", "E14", "E29"),
+)
+def window_distinct_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DISTINCT count over a 50-row frame per event type — a
+    window shape Spark's SQL surface doesn't accept directly
+    (``COUNT(DISTINCT) OVER`` is unsupported), closed here with the
+    engine's own primitives: ``size(collect_set(user_id))`` over the
+    identical frame, which Catalyst executes as a bounded-state window
+    buffer. The oracle runs the real COUNT(DISTINCT) window, so the
+    workaround is proven semantics-identical. State per frame is ≤50
+    keys — safe at any scale; one Exchange on event_type."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.size(F.collect_set("user_id").over(w))
+        .cast("bigint")
+        .alias("distinct_users_50"),
+    )
