@@ -297,3 +297,36 @@ def recursive_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tree
         GROUP BY root
     """)
+
+
+@register(
+    "subquery_lateral_topk",
+    oracle="""
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """,
+    tags=("E10", "E21"),
+)
+def subquery_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL-native top-N-per-group form (Spark 4 lateral join), vs the
+    window-rank formulation already gated in `topk_per_group_parts`.
+    Catalyst decorrelates this into the same window/partial-topk plan
+    a hand-written rank filter gets; deterministic (acctbal, custkey)
+    ordering makes the pick hash-exact. Verifies the engine's
+    decorrelation path — at scale this matters because a naive
+    per-outer-row re-execution would be a nested loop over the
+    dimension."""
+    tables = load_tables(spark, sf_dir, "nation", "customer")
+    tables["nation"].createOrReplaceTempView("sq_lat_nation")
+    tables["customer"].createOrReplaceTempView("sq_lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM sq_lat_nation n,
+        LATERAL (SELECT c_custkey, c_acctbal FROM sq_lat_customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    """)
