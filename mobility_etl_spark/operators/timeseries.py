@@ -68,3 +68,45 @@ def date_spine(df: DataFrame, entity_col: str, ts_col: str) -> DataFrame:
             F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"),
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_cols: tuple[str, ...] = (),
+    seq_col: str = "session_seq",
+) -> DataFrame:
+    """Assign stable session ids by the gaps-and-islands method.
+
+    Adds ``seq_col``: a 1-based per-key session index that is a pure
+    function of the data — a row starts a new session iff it is the
+    key's first observation or follows the previous one by at least
+    ``gap_seconds``. Downstream joins (attribution, per-session
+    features) can key on (key, seq) across reruns and repartitionings.
+
+    Ordering within a key is (ts, *order_cols); pass a unique
+    tiebreaker (an event id) when timestamps can collide, otherwise
+    session numbering is nondeterministic under ties.
+
+    Scale: the lag window and the running sum share one hash
+    partitioning on ``key_col`` — a single Exchange (plan-gated via
+    the ``sessionize_events_ids`` face). Per-row state is O(1).
+    """
+    order = [ts_col, *order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marks = df.withColumn(
+        "__new_session",
+        F.when(
+            gap.isNull() | (gap >= gap_seconds * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    return marks.withColumn(
+        seq_col,
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).drop("__new_session")

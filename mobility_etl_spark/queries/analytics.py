@@ -68,19 +68,12 @@ def sessionize_events_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shuffle on user_id shared by both windows and the final
     groupBy — Catalyst reuses the partitioning, so this is single-
     exchange despite three logical steps."""
+    from mobility_etl_spark.operators.timeseries import sessionize
+
     events = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = us - F.lag(us).over(w)
-    marks = events.withColumn(
-        "new_session",
-        F.when(gap.isNull() | (gap >= _GAP_S * 1_000_000), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
-    )
-    tagged = marks.withColumn(
-        "session_seq",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    tagged = sessionize(
+        events, "user_id", "ts", gap_seconds=_GAP_S, order_cols=("event_id",)
     )
     return tagged.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
