@@ -19,6 +19,7 @@ handled by from_utc_timestamp at the edge).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -48,12 +49,25 @@ _BUILD_DEFAULTS: dict[str, str] = {
 }
 
 
+#: Sessions already carrying the runtime defaults (weakly referenced so
+#: a collected session can never alias a new one). Every conf.set is a
+#: py4j round trip; query entry points call this per table load, so
+#: without the memo a 5-table query pays ~40 needless JVM round trips.
+_DEFAULTS_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_session_defaults(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable defaults to an existing session (idempotent).
+    """Apply runtime-settable defaults to an existing session (idempotent,
+    memoized per session object).
 
     Called by every query entry point so behavior is identical whether
     the session came from :func:`get_spark` or from the driver harness.
+    Re-asserting externally mutated confs is intentionally NOT done on
+    every call — set confs through this module (or restart the session)
+    rather than flipping them mid-flight.
     """
+    if spark in _DEFAULTS_APPLIED:
+        return spark
     for key, value in _RUNTIME_DEFAULTS.items():
         try:
             spark.conf.set(key, value)
@@ -61,6 +75,7 @@ def ensure_session_defaults(spark: SparkSession) -> SparkSession:
             # A conf may be static in some deployments; defaults are
             # best-effort there and correct-by-construction in ours.
             pass
+    _DEFAULTS_APPLIED.add(spark)
     return spark
 
 
