@@ -10,6 +10,8 @@ answers in pure SQL.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -258,4 +260,39 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInArrow(
         norms, "vec_id long, dim int, l2_norm_fx long"
+    )
+
+
+@register(
+    "udf_iterator_batch_scaled",
+    oracle="""
+    SELECT event_id,
+           value * 0.001 + 1.0 AS scaled
+    FROM events WHERE user_id < 500
+    """,
+    tags=("E38",),
+)
+def udf_iterator_batch_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form scalar pandas UDF (``Iterator[pd.Series] →
+    Iterator[pd.Series]``) — the shape for per-task amortized state:
+    expensive init (model load, dictionary build) runs ONCE per task
+    before the batch loop, then every Arrow batch reuses it. The
+    per-row math here is trivial on purpose; the face gates the
+    execution contract (init-once visible across batches, streaming
+    batch iteration, no pandas re-materialization per row). Identical
+    IEEE ops both engines → exact compare. Completes the Python
+    surface: scalar UDF → THIS (iterator) → grouped map → grouped agg
+    → UDTF → mapInPandas/mapInArrow → stateful."""
+
+    @pandas_udf("double")
+    def scale_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # amortized once-per-task init (a real pipeline loads a model
+        # or codec table here); the loop below must observe it
+        scale, shift = 0.001, 1.0
+        for s in batches:
+            yield s * scale + shift
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    return events.select(
+        "event_id", scale_iter(F.col("value")).alias("scaled")
     )
