@@ -216,3 +216,40 @@ def test_triangle_count_positive_and_bounded(spark, sf_dir):
     # an n-node graph has at most C(n,3) triangles
     n = row.n_nodes
     assert 0 <= row.n_triangles <= n * (n - 1) * (n - 2) // 6
+
+
+# ------------------------------------------------------------- empty inputs
+# (the round-3 ADVICE bug class: operators must short-circuit empty
+# frames instead of crashing on .first()/next())
+
+
+def test_sessionize_empty_frame(spark, sf_dir):
+    from mobility_etl_spark.operators.timeseries import sessionize
+
+    events = load_table(spark, sf_dir, "events").filter(F.lit(False))
+    out = sessionize(events, "user_id", "ts", order_cols=("event_id",))
+    assert out.count() == 0
+    assert "session_seq" in out.columns
+
+
+def test_bm25_scores_empty_corpus(spark, sf_dir):
+    from mobility_etl_spark.queries.corpus_prep import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.lit(False))
+    out = bm25_scores(docs, ("scan", "join"))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "score_fx"]
+
+
+def test_countmin_empty_corpus_is_empty_not_error(spark, sf_dir):
+    from mobility_etl_spark.queries.sketch_graph import _SALTS, _bucket_col
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.lit(False))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    salts = spark.createDataFrame(
+        [(j, s) for j, s in enumerate(_SALTS)], "j int, salt string"
+    )
+    pairs = tok.crossJoin(F.broadcast(salts)).select(
+        "j", _bucket_col(F.col("token"), F.col("salt")).alias("bucket")
+    )
+    assert pairs.groupBy("j", "bucket").count().count() == 0
