@@ -94,19 +94,24 @@ def sessionize(
     partitioning on ``key_col`` — a single Exchange (plan-gated via
     the ``sessionize_events_ids`` face). Per-row state is O(1).
     """
+    # marker name derives from seq_col so a caller column can never be
+    # silently clobbered; collide explicitly instead of dropping data
+    marker = f"__{seq_col}_boundary"
+    if marker in df.columns or seq_col in df.columns:
+        raise ValueError(
+            f"sessionize: input already has a {seq_col!r}/{marker!r} column"
+        )
     order = [ts_col, *order_cols]
     w = Window.partitionBy(key_col).orderBy(*order)
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = us - F.lag(us).over(w)
     marks = df.withColumn(
-        "__new_session",
+        marker,
         F.when(
             gap.isNull() | (gap >= gap_seconds * 1_000_000), F.lit(1)
         ).otherwise(F.lit(0)),
     )
     return marks.withColumn(
         seq_col,
-        F.sum("__new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).drop("__new_session")
+        F.sum(marker).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop(marker)

@@ -40,6 +40,7 @@ from mobility_etl_spark.registry import register
     ),
     new_snap AS (
         SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_orderkey % 101 != 0
     )
     SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
            CASE WHEN o.o_orderkey IS NULL THEN 'added'
@@ -66,6 +67,10 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
+    # Disjoint moduli make all three outcomes reachable: %97-only keys
+    # are 'added' (new-only), %101-only keys are 'removed' (old-only),
+    # %89 keys are 'changed' — a diff face whose 'removed' branch can
+    # never fire would let a wrong join type pass the oracle gate.
     old_snap = orders.filter(F.col("o_orderkey") % 97 != 0).select(
         "o_orderkey",
         F.when(
@@ -75,7 +80,7 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("old_price"),
         F.col("o_orderstatus").alias("old_status"),
     )
-    new_snap = orders.select(
+    new_snap = orders.filter(F.col("o_orderkey") % 101 != 0).select(
         "o_orderkey",
         F.col("o_totalprice").alias("new_price"),
         F.col("o_orderstatus").alias("new_status"),

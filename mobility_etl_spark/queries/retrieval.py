@@ -27,8 +27,12 @@ from mobility_etl_spark.operators.similarity import brute_force_topk
 from mobility_etl_spark.queries.corpus_prep import bm25_scores
 from mobility_etl_spark.registry import register
 
-_TERMS = ("scan", "join", "merge")
-_K1, _B = 1.2, 0.75
+# Single source of truth for BM25 parameters: the Spark leg calls
+# corpus_prep.bm25_scores with its defaults, so the oracle MUST
+# interpolate the same constants — re-declaring them here would let the
+# two sides silently desynchronize.
+from mobility_etl_spark.queries.corpus_prep import _B, _BM25_TERMS as _TERMS, _K1
+
 _RRF_K = 60
 _LIST_N = 100
 _FUSE_K = 20
@@ -218,10 +222,18 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
-        lambda i: F.array_join(F.slice(toks, i + 1, _NGRAM_N), " "),
-    )
+    # Guard short docs: sequence(0, size-N) with size < N would build a
+    # DESCENDING sequence whose slice(toks, 0, N) throws — a doc under
+    # N tokens simply has no shingles (mirrors the oracle's empty
+    # generate_series). CASE short-circuits, so the bad branch never
+    # evaluates.
+    ngrams = F.when(
+        F.size(toks) >= _NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
+            lambda i: F.array_join(F.slice(toks, i + 1, _NGRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     g = docs.select(
         "doc_id", F.explode(F.array_distinct(ngrams)).alias("ng")
     )
@@ -365,7 +377,7 @@ def resample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tagged AS (
         SELECT source,
                CASE WHEN {sql_hash_bucket(
-                   "CAST(SUBSTR(source, 4) AS BIGINT)", 100)} < 80
+                   "TRY_CAST(SUBSTR(source, 4) AS BIGINT)", 100)} < 80
                     THEN 'train' ELSE 'test' END AS split,
                doc_id
         FROM documents
@@ -387,7 +399,11 @@ def training_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     no group straddles. Same zero-shuffle posture as hash_split:
     membership is a map-side pure function of the group key."""
     docs = load_table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("bigint")
+    # substr(source, 4) (no length cap) + try_cast: a numeric suffix of
+    # any length hashes identically on both engines, and a non-numeric
+    # source degrades to NULL → 'test' instead of an engine-dependent
+    # crash (mirrors the oracle's TRY_CAST).
+    src_num = F.expr("try_cast(substr(source, 4) AS BIGINT)")
     split = F.when(hash_bucket(src_num, 100) < 80, F.lit("train")).otherwise(
         F.lit("test")
     )

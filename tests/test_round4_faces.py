@@ -253,3 +253,70 @@ def test_countmin_empty_corpus_is_empty_not_error(spark, sf_dir):
         "j", _bucket_col(F.col("token"), F.col("salt")).alias("bucket")
     )
     assert pairs.groupBy("j", "bucket").count().count() == 0
+
+
+# -------------------------------------------------- review-pass regressions
+
+
+def test_decontaminate_survives_short_docs(spark, sf_dir):
+    """A document with fewer than N tokens has no shingles — it must
+    contribute nothing, not crash the sequence/slice expression."""
+    from mobility_etl_spark.queries.retrieval import _NGRAM_N
+
+    docs = load_table(spark, sf_dir, "documents").limit(5).select(
+        "doc_id", F.lit("ab").alias("text")
+    )
+    toks = F.split(F.col("text"), " ")
+    ngrams = F.when(
+        F.size(toks) >= _NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
+            lambda i: F.array_join(F.slice(toks, i + 1, _NGRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select("doc_id", F.explode_outer(F.array_distinct(ngrams)).alias("ng"))
+    assert out.filter(F.col("ng").isNotNull()).count() == 0
+
+
+def test_group_split_nonnumeric_source_goes_to_test_not_crash(spark):
+    from mobility_etl_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame(
+        [("web-crawl", 1), ("src3", 2), ("src12345678901", 3)],
+        "source string, doc_id long",
+    )
+    src_num = F.expr("try_cast(substr(source, 4) AS BIGINT)")
+    split = F.when(hash_bucket(src_num, 100) < 80, F.lit("train")).otherwise(
+        F.lit("test")
+    )
+    rows = {r.source: r.s for r in df.select("source", split.alias("s")).collect()}
+    assert rows["web-crawl"] == "test"  # NULL hash -> never < 80
+    assert rows["src3"] in ("train", "test")
+    assert rows["src12345678901"] in ("train", "test")
+
+
+def test_table_diff_exercises_all_three_outcomes(spark, sf_dir):
+    out = _run("table_diff_orders", spark, sf_dir)
+    kinds = {r.change_type for r in out.select("change_type").distinct().collect()}
+    assert kinds == {"added", "removed", "changed"}
+
+
+def test_sessionize_rejects_colliding_columns(spark, sf_dir):
+    from mobility_etl_spark.operators.timeseries import sessionize
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "session_seq", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="already has"):
+        sessionize(events, "user_id", "ts")
+
+
+def test_rag_oracle_constants_are_shared_with_bm25(spark):
+    """The hybrid face's oracle must interpolate corpus_prep's BM25
+    constants — the two sides of the comparison share one source of
+    truth."""
+    from mobility_etl_spark.queries import corpus_prep, retrieval
+
+    assert retrieval._TERMS is corpus_prep._BM25_TERMS
+    assert retrieval._K1 == corpus_prep._K1
+    assert retrieval._B == corpus_prep._B
