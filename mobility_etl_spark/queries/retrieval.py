@@ -164,17 +164,15 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_d"))
     )
 
+    # Union-of-contributions instead of a full-outer join: each leg
+    # emits floor(1e9/(k+rank)) for its docs and a groupBy sums them —
+    # identical semantics (a missing leg contributes 0) but the plan is
+    # one tiny hash aggregation instead of a sort-merge full-outer.
     rrf = lambda r: F.floor(F.lit(1000000000.0) / (_RRF_K + r)).cast("bigint")  # noqa: E731
-    fused = (
-        sparse_ranked.join(dense_ranked, "doc_id", "outer")
-        .select(
-            "doc_id",
-            (
-                F.coalesce(rrf(F.col("rank_s")), F.lit(0))
-                + F.coalesce(rrf(F.col("rank_d")), F.lit(0))
-            ).alias("rrf_fx"),
-        )
-    )
+    contribs = sparse_ranked.select(
+        "doc_id", rrf(F.col("rank_s")).alias("c")
+    ).unionByName(dense_ranked.select("doc_id", rrf(F.col("rank_d")).alias("c")))
+    fused = contribs.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("rrf_fx"))
     topk = fused.orderBy(F.col("rrf_fx").desc(), "doc_id").limit(_FUSE_K)
     wf = Window.orderBy(F.col("rrf_fx").desc(), "doc_id")
     return topk.withColumn("fused_rank", F.row_number().over(wf))
