@@ -200,3 +200,65 @@ def warsaw_worst_routes_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
         _delays_silver_synthetic(spark), _weather_silver_synthetic(spark), k=3
     )
     return out.withColumn("dt", F.date_format("dt", "yyyy-MM-dd"))
+
+
+@register(
+    "warsaw_headway_regularity",
+    oracle=f"""
+    WITH g AS (SELECT CAST(i AS BIGINT) AS id
+               FROM generate_series(0, {N_HOURS * OBS_PER_HOUR - 1}) s(i)),
+    obs AS (
+        SELECT concat('V', id % 40) AS vehicle_no,
+               (id // {OBS_PER_HOUR}) * 3600
+                 + (id % {OBS_PER_HOUR}) * 300 AS t_s
+        FROM g
+    ),
+    gaps AS (
+        SELECT vehicle_no,
+               t_s - LAG(t_s) OVER (PARTITION BY vehicle_no ORDER BY t_s)
+                   AS gap_s
+        FROM obs
+    )
+    SELECT vehicle_no,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+           CAST(SUM(gap_s * gap_s) AS BIGINT) AS sumsq_gap_s,
+           CAST(COUNT(*) * SUM(gap_s * gap_s) - SUM(gap_s) * SUM(gap_s)
+                AS BIGINT) AS var_num
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY vehicle_no
+    """,
+    tags=("E13", "E18"),
+)
+def warsaw_headway_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headway regularity per vehicle — the transit-ops KPI behind
+    "is the line running evenly or bunching": inter-observation gaps
+    (lag over ingest time) summarized as n/Σg/Σg² plus the integer
+    variance numerator n·Σg²−(Σg)², ALL exact BIGINTs — variance
+    without a single float, so the oracle equality is arithmetic
+    identity, not tolerance. Rides the same closed-form feed through
+    the REAL silver pipeline; one keyed shuffle shared by the lag
+    window and the groupBy (the sessionize plan shape)."""
+    silver = _delays_silver_synthetic(spark)
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ingest_ts").cast("timestamp"))
+    w = Window.partitionBy("vehicle_no").orderBy("ingest_ts")
+    gaps = silver.select(
+        "vehicle_no",
+        (F.floor((us - F.lag(us).over(w)) / F.lit(1_000_000)))
+        .cast("bigint")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    agg = gaps.groupBy("vehicle_no").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap_s").cast("bigint").alias("sum_gap_s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("sumsq_gap_s"),
+    )
+    return agg.withColumn(
+        "var_num",
+        (
+            F.col("n_gaps") * F.col("sumsq_gap_s")
+            - F.col("sum_gap_s") * F.col("sum_gap_s")
+        ).cast("bigint"),
+    )
