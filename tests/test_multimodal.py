@@ -99,3 +99,39 @@ def test_ppm_roundtrip_and_resize():
     assert small[0, 0, 0] == img[0, 0, 0]
     with pytest.raises(ValueError):
         decode_ppm(b"\x89PNG\r\n\x1a\nnotappm")
+
+
+def test_wav_roundtrip_and_chunk_walk(spark):
+    """decode_wav must survive extra chunks between fmt and data (the
+    generic RIFF walk), word-aligned odd-size chunks, and reject
+    non-PCM payloads loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mobility_etl_spark.operators.multimodal import decode_wav, encode_wav
+
+    for d in (0, 1, 2, 3, 19):
+        rate, s = decode_wav(encode_wav(d))
+        assert rate == 8000 + (d % 3) * 4000
+        assert s.shape == (40 + d % 20, 1 + d % 2)
+        i = np.arange(s.shape[0])[:, None]
+        c = np.arange(s.shape[1])[None, :]
+        assert (s == (d * 31 + i * 17 + c * 7) % 2001 - 1000).all()
+
+    # inject an odd-sized LIST chunk between fmt and data
+    raw = encode_wav(4)
+    fmt_at = raw.index(b"fmt ")
+    data_at = raw.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = raw[:data_at] + extra + raw[data_at:]
+    patched = (
+        b"RIFF" + struct.pack("<I", len(patched) - 8) + b"WAVE" + patched[12:]
+    )
+    rate2, s2 = decode_wav(patched)
+    assert rate2 == 8000 + (4 % 3) * 4000 and (s2 == decode_wav(raw)[1]).all()
+    assert fmt_at < data_at
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
