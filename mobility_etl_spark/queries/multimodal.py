@@ -344,3 +344,68 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     return wav_channel_features(payloads)
+
+
+@register(
+    "multimodal_y4m_frames",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 5 AS w,
+               6 + doc_id % 4 AS h,
+               3 + doc_id % 4 AS n_frames
+        FROM documents WHERE doc_id < 150
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, fr.f, ys.y, xs.x,
+               (d.doc_id * 7 + fr.f * 13 + ys.y * 3 + xs.x) % 256 AS yv,
+               (d.doc_id + fr.f + xs.x * 2 + ys.y) % 256 AS uv,
+               (d.doc_id * 5 + fr.f * 3 + xs.x + ys.y * 4) % 256 AS vv
+        FROM dims d
+        JOIN generate_series(0, 6) AS fr(f) ON fr.f < d.n_frames
+        JOIN generate_series(0, 11) AS xs(x) ON xs.x < d.w
+        JOIN generate_series(0, 9) AS ys(y) ON ys.y < d.h
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(SUM(yv) AS BIGINT) AS sum_y,
+           CAST(SUM(uv) AS BIGINT) AS sum_u,
+           CAST(SUM(vv) AS BIGINT) AS sum_v
+    FROM px
+    GROUP BY doc_id, f
+    """,
+    tags=("N4", "E39"),
+)
+def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (no stub, no media library): each doc gets a
+    genuine YUV4MPEG2 clip (varying dimensions and frame counts) and
+    operators/multimodal.py:decode_y4m parses the header tokens, walks
+    the FRAME markers, de-planes C444 YUV, and emits exact per-frame
+    plane sums — the real counterpart of the stubbed ``sample_frames``
+    stage for compressed codecs. The oracle recomputes every plane
+    value from the closed form, so header parsing, frame segmentation
+    and plane math are value-checked cross-engine. With PPM (image)
+    and WAV (audio), all three media modalities now have a REAL
+    container decode path; only compressed codecs remain stubbed."""
+    from mobility_etl_spark.operators.multimodal import (
+        encode_y4m,
+        y4m_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_y4m(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return y4m_frame_stats(payloads)

@@ -135,3 +135,18 @@ def test_wav_roundtrip_and_chunk_walk(spark):
 
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_y4m_rejects_unsupported_and_truncated(spark):
+    import pytest
+
+    from mobility_etl_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    raw = encode_y4m(3)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFF" + raw)
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(raw.replace(b"C444", b"C420", 1))
+    with pytest.raises(ValueError, match="FRAME"):
+        # corrupt the first frame marker
+        decode_y4m(raw.replace(b"FRAME", b"FRAMX", 1))
