@@ -24,8 +24,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -149,3 +151,78 @@ class FakeWeatherDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> FakeWeatherStreamReader:
         return FakeWeatherStreamReader(self.options)
+
+
+# ------------------------------------------------------------------ writer
+
+LEDGER_SINK_NAME = "ledger_sink"
+
+
+class _LedgerCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced."""
+
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class LedgerWriter(DataSourceWriter):
+    """Two-phase-commit JSON-lines sink (Spark 4 Python DataSource
+    writer API) — the engine-native form of the reference's
+    fan-out-upload edge (dags/warsaw-gtfs.py upload tasks): tasks
+    stage `part-<uuid>.jsonl` files and return commit messages; the
+    driver's ``commit`` atomically publishes a `_LEDGER` manifest
+    listing exactly the staged files (readers that honor the manifest
+    never observe a torn write); ``abort`` removes staged files. The
+    same stage-then-publish protocol as operators/snapshots.py, here
+    exercised through Spark's own writer lifecycle."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path") or options["sink_path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> _LedgerCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        filename = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, filename), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _LedgerCommit(filename, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages if m is not None),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, "._LEDGER.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, "_LEDGER"))  # atomic publish
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class LedgerSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return LEDGER_SINK_NAME
+
+    def writer(self, schema: StructType, overwrite: bool) -> LedgerWriter:
+        return LedgerWriter(self.options, overwrite)

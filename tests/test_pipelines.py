@@ -576,3 +576,31 @@ def test_object_store_conf_and_apply(spark):
     apply_object_store_conf(spark, keyed)
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get(f"fs.azure.account.key.{host}") == "sekrit"
+
+
+def test_ledger_sink_two_phase_commit(spark, tmp_path):
+    """Python DataSource WRITER (Spark 4): tasks stage jsonl parts,
+    the driver publishes an atomic _LEDGER manifest naming exactly the
+    staged files; total row count survives the round trip."""
+    import json
+    import os
+
+    from mobility_etl_spark.sources.pydatasource import LedgerSinkDataSource
+
+    spark.dataSource.register(LedgerSinkDataSource)
+    path = str(tmp_path / "ledger")
+    df = spark.range(100).selectExpr("id", "id * 2 AS doubled").repartition(4)
+    df.write.format("ledger_sink").option("path", path).mode("append").save()
+
+    manifest = json.load(open(os.path.join(path, "_LEDGER")))
+    assert manifest["n_rows"] == 100
+    staged = sorted(
+        f for f in os.listdir(path) if f.startswith("part-")
+    )
+    assert staged == manifest["files"]
+    rows = []
+    for f in staged:
+        with open(os.path.join(path, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["doubled"] == 2 * r["id"] for r in rows)
