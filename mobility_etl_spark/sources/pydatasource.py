@@ -24,6 +24,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -226,3 +227,59 @@ class LedgerSinkDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> LedgerWriter:
         return LedgerWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> LedgerStreamWriter:
+        return LedgerStreamWriter(self.options)
+
+
+class LedgerStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`LedgerWriter`: same staged-parts
+    protocol, but ``commit`` is per-epoch — `_LEDGER.<batchId>`
+    manifests accumulate, so a restarted query that REPLAYS an epoch
+    overwrites that epoch's manifest idempotently instead of
+    double-counting (the exactly-once contract the snapshot sink
+    gates; here expressed through Spark's own streaming writer
+    lifecycle). Readers take the union of manifests — epoch files not
+    named by any manifest are invisible, so a mid-epoch crash leaves
+    no torn output."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path") or options["sink_path"]
+
+    def write(self, iterator: Iterator) -> "_LedgerCommit":
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        filename = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, filename), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _LedgerCommit(filename, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.filename for m in messages if m is not None),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.path, f"._LEDGER.{batchId}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, f"_LEDGER.{batchId}"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass

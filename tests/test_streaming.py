@@ -497,3 +497,60 @@ def test_stream_stream_left_outer_join_flushes_on_watermark(spark, tmp_path):
         for r in got
         if r.click_id is not None
     }
+
+
+def test_ledger_stream_writer_epoch_manifests(spark, tmp_path):
+    """Streaming Python DataSource writer: per-epoch atomic manifests;
+    replaying an epoch overwrites its manifest idempotently (no
+    double-count), and files not named by a manifest are invisible."""
+    import json
+    import os
+
+    from mobility_etl_spark.sources.pydatasource import (
+        FakeWeatherDataSource,
+        LedgerSinkDataSource,
+    )
+
+    spark.dataSource.register(FakeWeatherDataSource)
+    spark.dataSource.register(LedgerSinkDataSource)
+    sink = str(tmp_path / "stream_ledger")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.format("imgw_synop_fake")
+        .option("n_stations", 5)
+        .option("hours", 12)
+        .option("hours_per_batch", 4)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("ledger_sink")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    manifests = sorted(
+        f for f in os.listdir(sink) if f.startswith("_LEDGER.")
+    )
+    assert manifests, "at least one epoch manifest"
+    total = 0
+    named = set()
+    for mf in manifests:
+        m = json.load(open(os.path.join(sink, mf)))
+        total += m["n_rows"]
+        named.update(m["files"])
+    # 5 stations x 12 hours drained exactly once across epochs
+    assert total == 60
+    staged = {f for f in os.listdir(sink) if f.startswith("part-")}
+    assert named <= staged
+    rows = []
+    for f in sorted(named):
+        with open(os.path.join(sink, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == 60
+    assert {(r["station_id"], r["obs_day"], r["obs_hour"]) for r in rows} == {
+        (i, h // 24 + 1, h % 24) for i in range(5) for h in range(12)
+    }
