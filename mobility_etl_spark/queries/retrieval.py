@@ -84,23 +84,23 @@ _DENSE_SQL = f"""
     dense AS (
         SELECT c.vec_id AS doc_id,
                round(
-                 CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                 (CAST((SELECT SUM(CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)
                                         * CAST(c.embedding[i] AS DOUBLE)
-                                        AS DECIMAL(27,6)))
+                                        * 1000000.0) AS BIGINT))
                        FROM UNNEST(generate_series(1, len(q.embedding)))
-                           AS g(i)) AS DOUBLE)
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                  / sqrt(
-                     CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
-                                            * CAST(q.embedding[i] AS DOUBLE)
-                                            AS DECIMAL(27,6)))
-                           FROM UNNEST(generate_series(1, len(q.embedding)))
-                               AS g(i)) AS DOUBLE)
+                     (CAST((SELECT SUM(CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)
+                                        * CAST(q.embedding[i] AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                       FROM UNNEST(generate_series(1, len(q.embedding)))
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                      *
-                     CAST((SELECT SUM(CAST(CAST(c.embedding[i] AS DOUBLE)
-                                            * CAST(c.embedding[i] AS DOUBLE)
-                                            AS DECIMAL(27,6)))
-                           FROM UNNEST(generate_series(1, len(c.embedding)))
-                               AS g(i)) AS DOUBLE)
+                     (CAST((SELECT SUM(CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE)
+                                        * CAST(c.embedding[i] AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                       FROM UNNEST(generate_series(1, len(c.embedding)))
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                    ),
                  6) AS cos_sim
         FROM q, embeddings c

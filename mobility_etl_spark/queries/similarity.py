@@ -28,23 +28,23 @@ TOP_K = 5
         SELECT q.vec_id AS query_id,
                c.vec_id AS neighbor_id,
                round(
-                 CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
+                 (CAST((SELECT SUM(CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)
                                         * CAST(c.embedding[i] AS DOUBLE)
-                                        AS DECIMAL(27,6)))
-                       FROM UNNEST(generate_series(1, len(q.embedding))) AS g(i))
-                      AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                       FROM UNNEST(generate_series(1, len(q.embedding)))
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                  / sqrt(
-                     CAST((SELECT SUM(CAST(CAST(q.embedding[i] AS DOUBLE)
-                                            * CAST(q.embedding[i] AS DOUBLE)
-                                            AS DECIMAL(27,6)))
-                           FROM UNNEST(generate_series(1, len(q.embedding))) AS g(i))
-                          AS DOUBLE)
+                     (CAST((SELECT SUM(CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)
+                                        * CAST(q.embedding[i] AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                       FROM UNNEST(generate_series(1, len(q.embedding)))
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                      *
-                     CAST((SELECT SUM(CAST(CAST(c.embedding[i] AS DOUBLE)
-                                            * CAST(c.embedding[i] AS DOUBLE)
-                                            AS DECIMAL(27,6)))
-                           FROM UNNEST(generate_series(1, len(c.embedding))) AS g(i))
-                          AS DOUBLE)
+                     (CAST((SELECT SUM(CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE)
+                                        * CAST(c.embedding[i] AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                       FROM UNNEST(generate_series(1, len(c.embedding)))
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                    ),
                  6) AS cos_sim
         FROM q, embeddings c
@@ -109,23 +109,23 @@ _NDUP_MAX_ID = 300
         SELECT a.vec_id AS a_id,
                b.vec_id AS b_id,
                round(
-                 CAST((SELECT SUM(CAST(CAST(a.embedding[i] AS DOUBLE)
+                 (CAST((SELECT SUM(CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE)
                                         * CAST(b.embedding[i] AS DOUBLE)
-                                        AS DECIMAL(27,6)))
-                       FROM UNNEST(generate_series(1, len(a.embedding))) AS g(i))
-                      AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                       FROM UNNEST(generate_series(1, len(a.embedding)))
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                  / sqrt(
-                     CAST((SELECT SUM(CAST(CAST(a.embedding[i] AS DOUBLE)
-                                            * CAST(a.embedding[i] AS DOUBLE)
-                                            AS DECIMAL(27,6)))
-                           FROM UNNEST(generate_series(1, len(a.embedding))) AS g(i))
-                          AS DOUBLE)
+                     (CAST((SELECT SUM(CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE)
+                                        * CAST(a.embedding[i] AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                       FROM UNNEST(generate_series(1, len(a.embedding)))
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                      *
-                     CAST((SELECT SUM(CAST(CAST(b.embedding[i] AS DOUBLE)
-                                            * CAST(b.embedding[i] AS DOUBLE)
-                                            AS DECIMAL(27,6)))
-                           FROM UNNEST(generate_series(1, len(b.embedding))) AS g(i))
-                          AS DOUBLE)
+                     (CAST((SELECT SUM(CAST(FLOOR(CAST(b.embedding[i] AS DOUBLE)
+                                        * CAST(b.embedding[i] AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                       FROM UNNEST(generate_series(1, len(b.embedding)))
+                           AS g(i)) AS DOUBLE) / 1000000.0)
                    ),
                  6) AS cos_sim
         FROM sub a, sub b

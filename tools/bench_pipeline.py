@@ -1,0 +1,84 @@
+"""Benchmark the training-data-pipeline operators at sf0.1.
+
+The driver's bench.py measures the 8 OLAP headliners; this tool times
+the LLM-corpus operators (dedup, LSH, BM25, packing, sharding,
+decontamination, retrieval, media decode) at the same scale and writes
+BENCH_PIPELINE.json — evidence that the pipeline ops, not just the
+relational core, hold their throughput. Run after changes to any
+operator it covers:
+
+    PYTHONPATH=. python tools/bench_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+QUERIES = (
+    "dedup_exact_docs",
+    "minhash_near_dup",
+    "near_dup_lsh_embeddings",
+    "embedding_cosine_near_dup",
+    "ann_bruteforce_cosine",
+    "text_bm25_topk",
+    "rag_hybrid_retrieval",
+    "text_decontaminate_ngram",
+    "pack_sequences_docs",
+    "shard_assignment_docs",
+    "resample_temperature_mixture",
+    "pipeline_pretraining_prep",
+    "multimodal_ppm_decode",
+    "multimodal_wav_decode",
+    "multimodal_y4m_frames",
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    from mobility_etl_spark.registry import load_all
+    from mobility_etl_spark.session import get_spark
+
+    spark = get_spark(
+        "pipeline-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "64k",
+        },
+    )
+    specs = load_all()
+    names = [n for n in QUERIES if n in specs]
+    for name in names:  # warm-up: JIT + codegen + footer caches
+        specs[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+    out = {
+        "metric": "pipeline_ops_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf_dir": sf_dir,
+        "cpus": int(cpus),
+    }
+    with open("BENCH_PIPELINE.json", "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
