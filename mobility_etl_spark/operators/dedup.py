@@ -51,14 +51,19 @@ def shingles(df: DataFrame, text_col: str, key_col: str, n: int = 3) -> DataFram
     Built with slice/transform over the token array, then explode —
     one generated row per shingle, no Python.
     """
-    grams = F.expr(
-        f"""
-        transform(
-            sequence(1, greatest(size(split({text_col}, '\\\\s+')) - {n - 1}, 1)),
-            i -> concat_ws(' ', slice(split({text_col}, '\\\\s+'), i, {n}))
+    # zip_with over n shifted slices, not an index lambda: a lambda
+    # body that slices `split(text)` re-runs the regex split per index
+    # (O(n_tokens²) chars per doc — see corpus_prep's measured case);
+    # here the split hoists to once per row. concat_ws skips padded
+    # nulls, so short-doc semantics (all tokens joined) are identical
+    # to the old slice form.
+    toks = F.split(F.col(text_col), r"\s+")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        grams = F.zip_with(
+            grams, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-        """
-    )
     return (
         df.select(F.col(key_col), F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.length("shingle") > 0)

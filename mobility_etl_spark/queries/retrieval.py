@@ -220,18 +220,21 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    # Guard short docs: sequence(0, size-N) with size < N would build a
-    # DESCENDING sequence whose slice(toks, 0, N) throws — a doc under
-    # N tokens simply has no shingles (mirrors the oracle's empty
-    # generate_series). CASE short-circuits, so the bad branch never
-    # evaluates.
-    ngrams = F.when(
-        F.size(toks) >= _NGRAM_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - _NGRAM_N),
-            lambda i: F.array_join(F.slice(toks, i + 1, _NGRAM_N), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Shingles via zip_with over shifted slices (split hoists to once
+    # per row — never reference a derived column inside an index
+    # lambda; see SCALING.md). Short docs are guarded: with size < N
+    # the slice length m ≤ 0 would throw, but CASE short-circuits so a
+    # doc under N tokens simply has no shingles (mirrors the oracle's
+    # empty generate_series).
+    m = F.size(toks) - _NGRAM_N + 1  # ≥ 1 inside the guarded branch
+    shifted = F.slice(toks, 1, m)
+    for k in range(2, _NGRAM_N + 1):
+        shifted = F.zip_with(
+            shifted, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    ngrams = F.when(F.size(toks) >= _NGRAM_N, shifted).otherwise(
+        F.array().cast("array<string>")
+    )
     g = docs.select(
         "doc_id", F.explode(F.array_distinct(ngrams)).alias("ng")
     )
