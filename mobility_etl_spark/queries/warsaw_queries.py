@@ -262,3 +262,74 @@ def warsaw_headway_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sum_gap_s") * F.col("sum_gap_s")
         ).cast("bigint"),
     )
+
+
+_DST_SPRING = "2024-03-30 12:00:00"  # UTC; spring-forward is 01:00 UTC Mar 31
+_DST_FALL = "2024-10-26 12:00:00"    # UTC; fall-back is 01:00 UTC Oct 27
+_DST_SLOTS = 96  # 48 h of 30-min slots per window
+
+
+@register(
+    "warsaw_dst_wallclock",
+    oracle=f"""
+    WITH g AS (SELECT CAST(i AS BIGINT) AS id
+               FROM generate_series(0, {2 * _DST_SLOTS - 1}) s(i)),
+    slots AS (
+        SELECT id,
+               CASE WHEN id < {_DST_SLOTS}
+                    THEN TIMESTAMPTZ '{_DST_SPRING}+00'
+                         + (id * 30) * INTERVAL 1 MINUTE
+                    ELSE TIMESTAMPTZ '{_DST_FALL}+00'
+                         + ((id - {_DST_SLOTS}) * 30) * INTERVAL 1 MINUTE
+               END AS utc_ts
+        FROM g
+    ),
+    local AS (
+        SELECT utc_ts, timezone('Europe/Warsaw', utc_ts) AS local_ts
+        FROM slots
+    )
+    SELECT strftime(CAST(local_ts AS DATE), '%Y-%m-%d') AS local_date,
+           CAST(date_part('hour', local_ts) AS INT) AS local_hour,
+           COUNT(*) AS n_slots,
+           CAST(MIN(epoch_us(utc_ts) // 1000000) AS BIGINT) AS min_utc_s,
+           CAST(MAX(epoch_us(utc_ts) // 1000000) AS BIGINT) AS max_utc_s
+    FROM local
+    GROUP BY 1, 2
+    """,
+    tags=("R12", "E24"),
+)
+def warsaw_dst_wallclock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's tz-aware hourly sink partitioning (R12,
+    dags/warsaw-delays.py hourly layout) proven across BOTH DST edges
+    against an independent tz database: a closed-form 30-min UTC slot
+    series spanning the 2024 spring-forward (local 02:xx does not
+    exist on Mar 31) and fall-back (local 02:xx occurs twice on
+    Oct 27), converted to Europe/Warsaw wall-clock (dt, hour)
+    partitions. The fall-back hour aggregates 4 slots where normal
+    hours hold 2, and the spring-forward hour is absent — the oracle
+    (DuckDB ICU) must agree with Spark's JVM tz rules row for row.
+    This is the partition arithmetic every hourly sink in
+    sources/pipelines.py uses; here it gets a driver-gate face instead
+    of unit tests only."""
+    ensure_session_defaults(spark)
+    ids = spark.range(2 * _DST_SLOTS)
+    utc_ts = F.when(
+        F.col("id") < _DST_SLOTS,
+        F.to_timestamp(F.lit(_DST_SPRING))
+        + F.make_interval(mins=F.col("id").cast("int") * 30),
+    ).otherwise(
+        F.to_timestamp(F.lit(_DST_FALL))
+        + F.make_interval(mins=(F.col("id") - _DST_SLOTS).cast("int") * 30)
+    )
+    local = ids.select(
+        utc_ts.alias("utc_ts"),
+        F.from_utc_timestamp(utc_ts, "Europe/Warsaw").alias("local_ts"),
+    )
+    return local.groupBy(
+        F.date_format("local_ts", "yyyy-MM-dd").alias("local_date"),
+        F.hour("local_ts").alias("local_hour"),
+    ).agg(
+        F.count("*").alias("n_slots"),
+        F.min(F.unix_seconds(F.col("utc_ts"))).cast("bigint").alias("min_utc_s"),
+        F.max(F.unix_seconds(F.col("utc_ts"))).cast("bigint").alias("max_utc_s"),
+    )
