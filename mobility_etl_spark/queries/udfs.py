@@ -296,3 +296,71 @@ def udf_iterator_batch_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id", scale_iter(F.col("value")).alias("scaled")
     )
+
+
+@register(
+    "sql_udf_price_bands",
+    oracle="""
+    WITH banded AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_totalprice > 300000.0 THEN 'high'
+                    WHEN o_totalprice > 100000.0 THEN 'mid'
+                    ELSE 'low' END AS band
+        FROM orders
+    ),
+    counts AS (
+        SELECT o_orderpriority, band, COUNT(*) AS n
+        FROM banded GROUP BY o_orderpriority, band
+    )
+    SELECT c.o_orderpriority, c.band, c.n, m.mult,
+           c.n * m.mult AS weighted
+    FROM counts c
+    JOIN (SELECT unnest([1, 2, 3]) AS mult) m ON m.mult <= 2
+    """,
+    tags=("E8", "E41"),
+)
+def sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 SQL-defined functions, both kinds, plus parameterized
+    SQL in one face: a SQL scalar UDF (CREATE TEMPORARY FUNCTION …
+    RETURN CASE …) bands order prices with the thresholds passed as
+    NAMED PARAMETERS (`:hi` / `:mid` — plan-safe literals, no string
+    splicing), and a SQL table-valued function (RETURNS TABLE) joins a
+    generated multiplier table. SQL UDFs inline into the plan at
+    analysis time — zero serialization cost, unlike Python UDFs — so
+    they're the first choice for shareable business logic; the oracle
+    re-expresses both as plain SQL, proving the inlining is
+    semantics-preserving."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqludf_orders"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(
+            x DOUBLE, hi DOUBLE, mid DOUBLE) RETURNS STRING
+        RETURN CASE WHEN x > hi THEN 'high'
+                    WHEN x > mid THEN 'mid'
+                    ELSE 'low' END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION mults(cap INT)
+        RETURNS TABLE(mult INT)
+        RETURN SELECT explode(sequence(1, 3)) AS mult
+        """
+    )
+    return spark.sql(
+        """
+        WITH counts AS (
+            SELECT o_orderpriority,
+                   price_band(o_totalprice, :hi, :mid) AS band,
+                   COUNT(*) AS n
+            FROM sqludf_orders
+            GROUP BY o_orderpriority, price_band(o_totalprice, :hi, :mid)
+        )
+        SELECT c.o_orderpriority, c.band, c.n, m.mult,
+               c.n * m.mult AS weighted
+        FROM counts c JOIN mults(3) m ON m.mult <= :cap
+        """,
+        args={"hi": 300000.0, "mid": 100000.0, "cap": 2},
+    )
