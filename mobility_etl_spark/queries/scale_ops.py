@@ -175,7 +175,8 @@ def scd2_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew_hot_keys_events",
     oracle="""
     WITH keyed AS (
-        SELECT CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS k
+        SELECT CASE WHEN event_id % 2 = 0 THEN 0
+                    ELSE user_id % 100 + 1 END AS k
         FROM events
     ),
     counts AS (SELECT k, COUNT(*) AS wt FROM keyed GROUP BY k),
@@ -191,17 +192,22 @@ def skew_hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deliberately skewed key (half the fact table collapsed onto key
     0, the rest uniform) must be flagged by the Misra-Gries summary
     pass — one scan, shuffle O(partitions x k) counter rows, never a
-    groupBy of the key space. With k=256 >= the ~151 distinct keys MG
+    groupBy of the key space. With k=256 >= the <=101 distinct keys MG
     compresses nothing, so the estimates are exact and the oracle can
     recompute the detection set relationally. The hot key's count
     (~50% of rows) clears the 8x-uniform threshold by ~10x, so the
     approx_count_distinct in the uniform-share denominator cannot flip
     membership. Returned via createDataFrame because the operator's
     contract is a driver-side control-plane list (<= k rows) feeding
-    salted_join."""
+    salted_join. The uniform tail is user_id % 100 + 1 (disjoint from
+    hot key 0), so the key space is ≤ 101 at EVERY scale factor — the
+    k ≥ distinct-keys precondition for MG exactness holds by
+    construction instead of by accident of the current testdata (at
+    sf0.1 the raw user space outgrew k and the estimates stopped being
+    exact — caught by the full-sweep gate at sf0.1)."""
     events = load_table(spark, sf_dir, "events").select(
         F.when(F.col("event_id") % 2 == 0, F.lit(0))
-        .otherwise(F.col("user_id"))
+        .otherwise(F.col("user_id") % 100 + 1)
         .alias("skew_key")
     )
     from mobility_etl_spark.operators.scale import detect_hot_keys
