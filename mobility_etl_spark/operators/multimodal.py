@@ -329,14 +329,29 @@ def decode_wav(payload: bytes):
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+            if len(body) < 16:
+                raise ValueError(f"truncated fmt chunk ({len(body)} bytes)")
+            audio_fmt, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV format {audio_fmt}/{bits}")
+            if block_align != channels * 2:
+                raise ValueError(
+                    f"block_align {block_align} != channels*2 ({channels * 2})"
+                )
         elif cid == b"data":
             if channels is None:
                 raise ValueError("data chunk before fmt")
+            if len(body) < size:
+                raise ValueError(
+                    f"truncated data chunk ({len(body)} of {size} bytes)"
+                )
+            if size % (channels * 2) != 0:
+                raise ValueError(
+                    f"data chunk size {size} not a multiple of the "
+                    f"{channels * 2}-byte frame"
+                )
             samples = np.frombuffer(body, dtype="<i2").reshape(-1, channels)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if samples is None:

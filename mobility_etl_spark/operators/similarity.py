@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: Decimal type for quantized dot-product folds (see compat.DEC note).
-_ACC = "DECIMAL(27,6)"
 
 
 def _dot_expr(a: str, b: str) -> F.Column:

@@ -1,8 +1,9 @@
 """Similarity-search queries (SURVEY.md §2.C N3/N6) over ``embeddings``.
 
 Brute-force cosine top-k is oracle-checked (the dot product uses the
-decimal-quantized fold of operators/similarity.py, so Spark and DuckDB
-compute identical scores; ranking ties break on neighbor id). The LSH
+BIGINT 1e-6 fixed-point fold of operators/similarity.py — order-free
+integer sums — so Spark and DuckDB compute identical scores; ranking
+ties break on neighbor id). The LSH
 variant is the scale path: rows-only driver check + recall@k gate vs
 brute force in tests/test_similarity.py.
 """

@@ -346,7 +346,7 @@ def sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         CREATE OR REPLACE TEMPORARY FUNCTION mults(cap INT)
         RETURNS TABLE(mult INT)
-        RETURN SELECT explode(sequence(1, 3)) AS mult
+        RETURN SELECT explode(sequence(1, cap)) AS mult
         """
     )
     return spark.sql(

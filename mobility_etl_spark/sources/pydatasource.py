@@ -167,57 +167,98 @@ class _LedgerCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
+def _stage_part(path: str, iterator: Iterator) -> _LedgerCommit:
+    """Executor-side: stage one `part-<uuid>.jsonl` file (shared by the
+    batch and streaming writers so fixes apply to both)."""
+    import json
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    filename = f"part-{uuid.uuid4().hex}.jsonl"
+    n = 0
+    with open(os.path.join(path, filename), "w") as fh:
+        for row in iterator:
+            fh.write(json.dumps(row.asDict()) + "\n")
+            n += 1
+    return _LedgerCommit(filename, n)
+
+
+def _unlink_parts(path: str, messages) -> None:
+    import os
+
+    for m in messages:
+        if m is not None:
+            try:
+                os.unlink(os.path.join(path, m.filename))
+            except FileNotFoundError:
+                pass
+
+
+def _publish_manifest(path: str, name: str, manifest: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, name))  # atomic publish
+
+
 class LedgerWriter(DataSourceWriter):
     """Two-phase-commit JSON-lines sink (Spark 4 Python DataSource
     writer API) — the engine-native form of the reference's
     fan-out-upload edge (dags/warsaw-gtfs.py upload tasks): tasks
     stage `part-<uuid>.jsonl` files and return commit messages; the
     driver's ``commit`` atomically publishes a `_LEDGER` manifest
-    listing exactly the staged files (readers that honor the manifest
-    never observe a torn write); ``abort`` removes staged files. The
-    same stage-then-publish protocol as operators/snapshots.py, here
-    exercised through Spark's own writer lifecycle."""
+    listing the committed files (readers that honor the manifest never
+    observe a torn write); ``abort`` removes staged files. Save-mode
+    semantics on path reuse: append MERGES the prior manifest's files
+    into the new one; overwrite publishes only the new files and
+    unlinks the prior committed parts. The same stage-then-publish
+    protocol as operators/snapshots.py, here exercised through Spark's
+    own writer lifecycle."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path") or options["sink_path"]
         self.overwrite = overwrite
 
     def write(self, iterator: Iterator) -> _LedgerCommit:
-        import json
-        import os
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        filename = f"part-{uuid.uuid4().hex}.jsonl"
-        n = 0
-        with open(os.path.join(self.path, filename), "w") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _LedgerCommit(filename, n)
+        return _stage_part(self.path, iterator)
 
     def commit(self, messages) -> None:
         import json
         import os
 
-        manifest = {
-            "files": sorted(m.filename for m in messages if m is not None),
-            "n_rows": sum(m.n_rows for m in messages if m is not None),
-        }
-        tmp = os.path.join(self.path, "._LEDGER.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.path, "_LEDGER"))  # atomic publish
-
-    def abort(self, messages) -> None:
-        import os
-
-        for m in messages:
-            if m is not None:
+        new_files = sorted(m.filename for m in messages if m is not None)
+        n_rows = sum(m.n_rows for m in messages if m is not None)
+        prior_files: list[str] = []
+        prior_rows = 0
+        manifest_path = os.path.join(self.path, "_LEDGER")
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                prior = json.load(fh)
+            prior_files = list(prior.get("files", []))
+            prior_rows = int(prior.get("n_rows", 0))
+        if self.overwrite:
+            manifest = {"files": new_files, "n_rows": n_rows}
+        else:
+            manifest = {
+                "files": sorted(set(prior_files) | set(new_files)),
+                "n_rows": prior_rows + n_rows,
+            }
+        _publish_manifest(self.path, "_LEDGER", manifest)
+        if self.overwrite:
+            # stale committed parts are invisible (not in the manifest)
+            # the instant the rename lands; reclaim them afterwards
+            for f in set(prior_files) - set(new_files):
                 try:
-                    os.unlink(os.path.join(self.path, m.filename))
+                    os.unlink(os.path.join(self.path, f))
                 except FileNotFoundError:
                     pass
+
+    def abort(self, messages) -> None:
+        _unlink_parts(self.path, messages)
 
 
 class LedgerSinkDataSource(DataSource):
@@ -247,39 +288,18 @@ class LedgerStreamWriter(DataSourceStreamWriter):
         self.path = options.get("path") or options["sink_path"]
 
     def write(self, iterator: Iterator) -> "_LedgerCommit":
-        import json
-        import os
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        filename = f"part-{uuid.uuid4().hex}.jsonl"
-        n = 0
-        with open(os.path.join(self.path, filename), "w") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
-                n += 1
-        return _LedgerCommit(filename, n)
+        return _stage_part(self.path, iterator)
 
     def commit(self, messages, batchId: int) -> None:
-        import json
-        import os
-
-        manifest = {
-            "batch": batchId,
-            "files": sorted(m.filename for m in messages if m is not None),
-            "n_rows": sum(m.n_rows for m in messages if m is not None),
-        }
-        tmp = os.path.join(self.path, f"._LEDGER.{batchId}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.path, f"_LEDGER.{batchId}"))
+        _publish_manifest(
+            self.path,
+            f"_LEDGER.{batchId}",
+            {
+                "batch": batchId,
+                "files": sorted(m.filename for m in messages if m is not None),
+                "n_rows": sum(m.n_rows for m in messages if m is not None),
+            },
+        )
 
     def abort(self, messages, batchId: int) -> None:
-        import os
-
-        for m in messages:
-            if m is not None:
-                try:
-                    os.unlink(os.path.join(self.path, m.filename))
-                except FileNotFoundError:
-                    pass
+        _unlink_parts(self.path, messages)

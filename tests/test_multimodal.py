@@ -101,7 +101,7 @@ def test_ppm_roundtrip_and_resize():
         decode_ppm(b"\x89PNG\r\n\x1a\nnotappm")
 
 
-def test_wav_roundtrip_and_chunk_walk(spark):
+def test_wav_roundtrip_and_chunk_walk():
     """decode_wav must survive extra chunks between fmt and data (the
     generic RIFF walk), word-aligned odd-size chunks, and reject
     non-PCM payloads loudly."""
@@ -136,8 +136,17 @@ def test_wav_roundtrip_and_chunk_walk(spark):
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"OggS" + b"\x00" * 40)
 
+    # truncated payloads fail loudly, never decode to fewer frames
+    with pytest.raises(ValueError, match="truncated data"):
+        decode_wav(raw[:-10])
+    with pytest.raises(ValueError, match="truncated fmt"):
+        fmt_chunk_at = raw.index(b"fmt ")
+        decode_wav(
+            raw[: fmt_chunk_at + 4] + struct.pack("<I", 8) + raw[fmt_chunk_at + 8 :]
+        )
 
-def test_y4m_rejects_unsupported_and_truncated(spark):
+
+def test_y4m_rejects_unsupported_and_truncated():
     import pytest
 
     from mobility_etl_spark.operators.multimodal import decode_y4m, encode_y4m
@@ -150,3 +159,6 @@ def test_y4m_rejects_unsupported_and_truncated(spark):
     with pytest.raises(ValueError, match="FRAME"):
         # corrupt the first frame marker
         decode_y4m(raw.replace(b"FRAME", b"FRAMX", 1))
+    with pytest.raises(ValueError):
+        # truncated mid-frame: frombuffer must not silently shrink
+        decode_y4m(raw[:-7])

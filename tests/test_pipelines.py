@@ -604,3 +604,40 @@ def test_ledger_sink_two_phase_commit(spark, tmp_path):
             rows += [json.loads(line) for line in fh]
     assert sorted(r["id"] for r in rows) == list(range(100))
     assert all(r["doubled"] == 2 * r["id"] for r in rows)
+
+
+def test_ledger_sink_append_merges_and_overwrite_replaces(spark, tmp_path):
+    """Path reuse semantics (review finding): append MERGES the prior
+    manifest; overwrite publishes only the new files and reclaims the
+    old parts."""
+    import json
+    import os
+
+    from mobility_etl_spark.sources.pydatasource import LedgerSinkDataSource
+
+    spark.dataSource.register(LedgerSinkDataSource)
+    path = str(tmp_path / "ledger2")
+
+    def manifest():
+        return json.load(open(os.path.join(path, "_LEDGER")))
+
+    spark.range(10).write.format("ledger_sink").option("path", path).mode(
+        "append"
+    ).save()
+    first = manifest()
+    spark.range(5).write.format("ledger_sink").option("path", path).mode(
+        "append"
+    ).save()
+    merged = manifest()
+    assert merged["n_rows"] == 15
+    assert set(first["files"]) <= set(merged["files"])
+
+    spark.range(3).write.format("ledger_sink").option("path", path).mode(
+        "overwrite"
+    ).save()
+    replaced = manifest()
+    assert replaced["n_rows"] == 3
+    assert not (set(replaced["files"]) & set(merged["files"]))
+    # old committed parts are reclaimed; staged files == manifest files
+    on_disk = {f for f in os.listdir(path) if f.startswith("part-")}
+    assert on_disk == set(replaced["files"])

@@ -14,6 +14,7 @@ Usage: PYTHONPATH=. python tools/dump_plan_signatures.py [sf_dir]
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 #: Ops whose appearance/inflation is a scale smell.
@@ -33,7 +34,16 @@ SKIP_PREFIXES = ("streaming_",)
 
 
 def signature(plan: str) -> dict[str, int]:
-    return {op: plan.count(op) for op in COUNTED if plan.count(op)}
+    """Exact operator-token counts: `Exchange` must not also match
+    BroadcastExchange/ReusedExchange (a broadcast improvement would
+    read as a shuffle regression, and a real new shuffle could hide
+    behind a removed broadcast)."""
+    out = {}
+    for op in COUNTED:
+        n = len(re.findall(rf"(?<![A-Za-z]){op}(?![a-z])", plan))
+        if n:
+            out[op] = n
+    return out
 
 
 def collect(sf_dir: str) -> dict[str, dict[str, int]]:
