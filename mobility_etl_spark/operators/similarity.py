@@ -497,21 +497,32 @@ def _sig_col(
     signature CPU, kept as the no-Python fallback and parity
     baseline)."""
     if signature == "expr":
-        return F.transform(
-            _band_buckets_expr(vec_col, num_planes, bands),
-            lambda s: s["bucket"],
+        # null vector -> null signature (not all-zero buckets, which
+        # would needlessly bucket every null row together); posexplode
+        # of a null array emits nothing, so null rows simply produce no
+        # candidates — identical to the arrow path's None signatures.
+        return F.when(
+            F.col(vec_col).isNotNull(),
+            F.transform(
+                _band_buckets_expr(vec_col, num_planes, bands),
+                lambda s: s["bucket"],
+            ),
         )
     import numpy as np
 
     bits_per_band = num_planes // bands
     # The arrow path needs the vector dim up front to build the
     # hyperplane matrix; the schema records only element type, not
-    # length, so probe one row. An EMPTY frame (e.g. an empty daily
+    # length, so probe one NON-NULL row (a null first row is a
+    # partition-order accident and must not route the whole frame down
+    # a different path). An ALL-EMPTY frame (e.g. an empty daily
     # increment in near_dup_probe) has no row to probe — short-circuit
     # to the expression path, which derives planes per-row and needs no
     # dim: on zero rows it costs nothing and yields the same (empty,
     # correctly-typed) result instead of a TypeError.
-    first = df.select(vec_col).first()
+    first = (
+        df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    )
     if first is None or first[0] is None:
         return _sig_col(df, vec_col, num_planes, bands, "expr")
     dim = len(first[0])
@@ -519,13 +530,22 @@ def _sig_col(
 
     @F.pandas_udf("array<long>")
     def buckets(col: pd.Series) -> pd.Series:
-        V = np.vstack(col.to_numpy())
-        bits = (V.astype(np.float64) @ H) >= 0
-        out = np.zeros((len(V), bands), dtype=np.int64)
-        for b in range(bands):
-            for j in range(bits_per_band):
-                out[:, b] = out[:, b] * 2 + bits[:, b * bits_per_band + j]
-        return pd.Series(list(out))
+        # null vectors signature to None (matching the expr path's null
+        # buckets) instead of crashing np.vstack mid-frame
+        mask = col.notna().to_numpy()
+        out_py: list = [None] * len(col)
+        if mask.any():
+            V = np.vstack(col[mask].to_numpy())
+            bits = (V.astype(np.float64) @ H) >= 0
+            out = np.zeros((len(V), bands), dtype=np.int64)
+            for b in range(bands):
+                for j in range(bits_per_band):
+                    out[:, b] = out[:, b] * 2 + bits[:, b * bits_per_band + j]
+            it = iter(out)
+            for i, ok in enumerate(mask):
+                if ok:
+                    out_py[i] = next(it)
+        return pd.Series(out_py)
 
     return buckets(F.col(vec_col))
 

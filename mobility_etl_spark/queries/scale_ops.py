@@ -20,6 +20,13 @@ from mobility_etl_spark.operators.scale import salted_join
 from mobility_etl_spark.operators.scd import scd2_from_observations
 from mobility_etl_spark.registry import register
 
+#: Per-process caches: (sf_dir) -> (artifact path, version). Snapshot
+#: faces run real write/commit/compact side effects; these must happen
+#: once per process, not once per builder invocation (review finding:
+#: each call leaked a tempdir holding a full table copy).
+_SNAP_CI_CACHE: dict[str, tuple[str, int]] = {}
+_SNAP_PR_CACHE: dict[str, tuple[str, int]] = {}
+
 
 @register(
     "salted_join_identity",
@@ -65,17 +72,17 @@ def salted_join_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snapshot_compact_invariant",
-    oracle="""
+    oracle=f"""
     SELECT 'compacted' AS stage,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+           {sql_dsum("value", "sum_value")}
     FROM events WHERE event_id < 800
     UNION ALL
     SELECT 'source' AS stage,
            COUNT(*) AS n_rows,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+           {sql_dsum("value", "sum_value")}
     FROM events WHERE event_id < 800
     """,
     tags=("N11", "N13", "E5"),
@@ -102,14 +109,23 @@ def snapshot_compact_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         vacuum,
     )
 
-    path = tempfile.mkdtemp(prefix="snap_ci_")
     ev = load_table(spark, sf_dir, "events")
-    ev.filter(F.col("event_id") < 800).repartition(6).write.mode(
-        "overwrite"
-    ).parquet(path)
-    commit_snapshot(spark, path, note="initial")
-    v2 = compact_snapshot(spark, path, target_file_bytes=1 << 30)
-    vacuum(path, keep_last=1)  # v1's originals reclaimed; v2 unaffected
+    # The write→commit→compact→vacuum side effects run ONCE per
+    # (process, sf_dir); every later builder invocation (oracle check,
+    # plan dump, warm-up) reuses the artifact instead of leaking a
+    # fresh tempdir with a full table copy per call.
+    cached = _SNAP_CI_CACHE.get(sf_dir)
+    if cached is None:
+        path = tempfile.mkdtemp(prefix="snap_ci_")
+        ev.filter(F.col("event_id") < 800).repartition(6).write.mode(
+            "overwrite"
+        ).parquet(path)
+        commit_snapshot(spark, path, note="initial")
+        v2 = compact_snapshot(spark, path, target_file_bytes=1 << 30)
+        vacuum(path, keep_last=1)  # v1's originals reclaimed; v2 intact
+        _SNAP_CI_CACHE[sf_dir] = (path, v2)
+    else:
+        path, v2 = cached
 
     def agg(df: DataFrame, stage: str) -> DataFrame:
         return df.agg(
@@ -221,10 +237,10 @@ def skew_hot_keys_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "snapshot_pruned_read",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT user_id) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+           {sql_dsum("value", "sum_value")}
     FROM events WHERE event_id BETWEEN 2000 AND 5000
     """,
     tags=("N11", "N13", "E5"),
@@ -248,10 +264,19 @@ def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_snapshot,
     )
 
-    path = tempfile.mkdtemp(prefix="snap_pr_")
-    ev = load_table(spark, sf_dir, "events")
-    ev.repartitionByRange(6, "event_id").write.mode("overwrite").parquet(path)
-    v = commit_snapshot(spark, path, note="range", stats_cols=("event_id",))
+    cached = _SNAP_PR_CACHE.get(sf_dir)
+    if cached is None:
+        path = tempfile.mkdtemp(prefix="snap_pr_")
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartitionByRange(6, "event_id").write.mode("overwrite").parquet(
+            path
+        )
+        v = commit_snapshot(
+            spark, path, note="range", stats_cols=("event_id",)
+        )
+        _SNAP_PR_CACHE[sf_dir] = (path, v)
+    else:
+        path, v = cached
     lo, hi = 2000, 5000
     pruned = read_snapshot(spark, path, v, where=("event_id", lo, hi))
     return pruned.filter(F.col("event_id").between(lo, hi)).agg(

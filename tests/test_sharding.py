@@ -36,12 +36,48 @@ def test_positions_contiguous_per_shard(spark, sf_dir):
 
 
 def test_epoch_changes_redeal_membership_and_order(spark, sf_dir):
+    """A fresh deal, NOT a shard-label rotation: per-key label
+    inequality alone is satisfied by shard(k, e+1) = shard(k, e) + c,
+    which re-reads the same members in the same order under a new
+    label (the review-caught affine-epoch bug). Gate the actual
+    property: no epoch-1 shard may substantially coincide with ANY
+    epoch-0 shard, and in-shard order must decorrelate."""
     e0 = {r.doc_id: (r.shard_id, r.epoch_pos) for r in _sharded(spark, sf_dir, 0).collect()}
     e1 = {r.doc_id: (r.shard_id, r.epoch_pos) for r in _sharded(spark, sf_dir, 1).collect()}
     assert set(e0) == set(e1)  # same corpus
     moved = sum(1 for k in e0 if e0[k][0] != e1[k][0])
     # a fresh deal moves ~(1 - 1/n_shards) of docs to a new shard
     assert moved / len(e0) > 0.8
+
+    shards0: dict[int, set] = {}
+    shards1: dict[int, set] = {}
+    for k, (s, _) in e0.items():
+        shards0.setdefault(s, set()).add(k)
+    for k, (s, _) in e1.items():
+        shards1.setdefault(s, set()).add(k)
+    max_jaccard = max(
+        len(a & b) / len(a | b)
+        for a in shards0.values()
+        for b in shards1.values()
+    )
+    # uniform re-deal expectation ~ 1/(2*n_shards - 1); a rotation is 1.0
+    assert max_jaccard < 0.5, f"epoch deal looks like a rotation ({max_jaccard})"
+
+    # order decorrelation inside the most-overlapping pair of shards
+    common_pairs = [
+        (a, b)
+        for a in shards0.values()
+        for b in shards1.values()
+        if len(a & b) >= 10
+    ]
+    for a, b in common_pairs:
+        common = sorted(a & b)
+        r0 = {k: i for i, k in enumerate(sorted(common, key=lambda k: e0[k][1]))}
+        r1 = {k: i for i, k in enumerate(sorted(common, key=lambda k: e1[k][1]))}
+        n = len(common)
+        d2 = sum((r0[k] - r1[k]) ** 2 for k in common)
+        rho = 1 - 6 * d2 / (n * (n * n - 1))
+        assert abs(rho) < 0.6, f"in-shard order persists across epochs (rho={rho})"
 
 
 def test_shards_balanced(spark, sf_dir):

@@ -242,3 +242,40 @@ def test_arrow_signatures_on_empty_frame(spark, emb):
         "vec_id", "band", "bucket",
     ]
     assert near_dup_probe(empty, corpus, threshold=0.9).count() == 0
+
+
+def test_sig_col_null_vectors_mid_frame(spark, sf_dir):
+    """Review finding: a null embedding anywhere in the frame must
+    yield a null signature (matching the expr path), never crash the
+    arrow path; and a null FIRST row must not reroute the frame."""
+    from pyspark.sql import functions as F
+
+    from mobility_etl_spark.io import load_table
+    from mobility_etl_spark.operators.similarity import _sig_col
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(10).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ).alias("embedding"),
+    )
+    for mode in ("arrow", "expr"):
+        sig = emb.select(
+            "vec_id", _sig_col(emb, "embedding", 160, 16, mode).alias("s")
+        )
+        rows = {r.vec_id: r.s for r in sig.collect()}
+        for vid, s in rows.items():
+            if vid % 3 == 0:
+                assert s is None or all(x is None for x in s)
+            else:
+                assert s is not None and len(s) == 16
+    # arrow and expr must agree on the non-null rows
+    a = {r.vec_id: r.s for r in emb.select(
+        "vec_id", _sig_col(emb, "embedding", 160, 16, "arrow").alias("s")
+    ).collect() if r.s is not None}
+    e = {r.vec_id: r.s for r in emb.select(
+        "vec_id", _sig_col(emb, "embedding", 160, 16, "expr").alias("s")
+    ).collect() if r.s is not None}
+    assert set(a) == set(e)
+    for vid in a:
+        assert list(a[vid]) == list(e[vid])
