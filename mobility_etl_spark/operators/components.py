@@ -67,3 +67,57 @@ def connected_components(
         prev_sum = cur_sum
 
     return labels.withColumnRenamed("node", node_col)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    sources: DataFrame,
+    max_depth: int = 12,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest-path distances by
+    frontier-expansion BFS (the iterative-algorithm complement to
+    :func:`connected_components`).
+
+    ``edges`` are treated as undirected (symmetrized here, like
+    connected_components). ``sources`` is a one-column DataFrame of
+    start nodes (distance 0). Returns ``(node, dist)`` for every node
+    within ``max_depth`` hops of any source — first arrival is the
+    minimum distance because expansion is strictly level-by-level.
+
+    Scale shape: each level is ONE equi-join frontier ⋈ edges plus an
+    anti-join against the visited set — shuffle volume is O(frontier ×
+    avg-degree), never all-pairs; ``localCheckpoint`` truncates the
+    growing lineage each level (same discipline as components). The
+    per-level emptiness probe is a control-plane count, not data
+    movement. On a cluster the visited set stays hash-partitioned on
+    node across levels, so the anti-join reuses the partitioning.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .distinct()
+    )
+    dist = (
+        sources.toDF("node")
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["u"], "inner")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(level).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        # control-plane scalar: loop convergence, not data movement
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist

@@ -1,0 +1,403 @@
+"""Statistical-learning and graph-analysis faces: multi-predictor OLS
+by distributed normal equations, token/label mutual information
+(feature selection), BFS shortest paths (proven against a DuckDB
+recursive CTE — an independent traversal engine), and a trigram-set
+string-similarity join (the inverted-index shape that replaces
+all-pairs levenshtein at scale).
+
+Cross-engine float discipline (functions/compat.py): every aggregate
+moment is an exact DECIMAL(20,6) sum; scalar formulas on the finalized
+doubles are SINGLE-SOURCED as SQL strings evaluated by both engines
+(`F.expr` on the Spark side, pasted verbatim into the oracle), so the
+IEEE op sequence is identical and hashes cannot diverge. Log-domain
+scores use the established 1e-9 fixed-point floor; set-similarity uses
+pure integer arithmetic (scaled integer division, no doubles at all).
+
+All names sort after "minhash_near_dup" (driver-window rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.functions.compat import dsum, sql_dsum
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.operators.components import bfs_distances
+from mobility_etl_spark.registry import register
+
+# --------------------------------------------------------------------
+# regression_multi_events: y = b0 + b1·x1 + b2·x2 via normal equations
+# --------------------------------------------------------------------
+# Cramer's-rule solve of the 3×3 system A·[b0,b1,b2]ᵀ = rhs where
+#   A = [[n, sx1, sx2], [sx1, s11, s12], [sx2, s12, s22]]
+#   rhs = [sy, s1y, s2y]
+# Single-sourced: the SAME strings run as Spark `F.expr` and inside
+# the DuckDB oracle, so both engines execute the identical IEEE
+# expression tree over identical (decimal-exact) moments.
+_DET = (
+    "(nd*(s11*s22 - s12*s12) - sx1*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s12 - s11*sx2))"
+)
+_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - s1y*(sx1*s22 - sx2*s12)"
+    " + s2y*(sx1*s12 - sx2*s11))"
+)
+_DET1 = (
+    "(nd*(s1y*s22 - s12*s2y) - sy*(sx1*s22 - s12*sx2)"
+    " + sx2*(sx1*s2y - s1y*sx2))"
+)
+_DET2 = (
+    "(nd*(s11*s2y - s1y*s12) - sx1*(sx1*s2y - s1y*sx2)"
+    " + sy*(sx1*s12 - s11*sx2))"
+)
+
+
+@register(
+    "regression_multi_events",
+    oracle=f"""
+    WITH t AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS x1,
+               CAST(EXTRACT(dow FROM ts) + 1 AS DOUBLE) AS x2,
+               value AS y
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               {sql_dsum("x1", "sx1")},
+               {sql_dsum("x2", "sx2")},
+               {sql_dsum("y", "sy")},
+               {sql_dsum("x1 * x1", "s11")},
+               {sql_dsum("x1 * x2", "s12")},
+               {sql_dsum("x2 * x2", "s22")},
+               {sql_dsum("x1 * y", "s1y")},
+               {sql_dsum("x2 * y", "s2y")}
+        FROM t GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND({_DET0} / {_DET}, 6) AS b0,
+           ROUND({_DET1} / {_DET}, 6) AS b1,
+           ROUND({_DET2} / {_DET}, 6) AS b2
+    FROM m
+    """,
+    tags=("E13", "N9"),
+)
+def regression_multi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression (value on hour-of-day and
+    day-of-week, per event type) solved DISTRIBUTED via normal
+    equations: one pass accumulates the nine sufficient moments
+    (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y) as exact decimal
+    sums — mergeable partials, so a 1000-executor cluster computes the
+    same bits — then a 3×3 Cramer's-rule solve runs as pure scalar
+    arithmetic in the projection. This is the p-small/n-huge regime
+    where XᵀX fits in a register file and the data never leaves the
+    executors: the same shape as operators/linalg.py's Gram matrix but
+    fully SQL-expressible, hence exactly oracle-checked (the Cramer
+    formulas are single-sourced strings run by BOTH engines). The
+    built-in ``regr_slope``/MLlib fits are order-dependent doubles and
+    could not be hash-compared."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x1"),
+        F.expr("CAST(dayofweek(ts) AS DOUBLE)").alias("x2"),
+        F.col("value").alias("y"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("*").cast("double").alias("nd"),
+        dsum(F.col("x1"), "sx1"),
+        dsum(F.col("x2"), "sx2"),
+        dsum(F.col("y"), "sy"),
+        dsum(F.col("x1") * F.col("x1"), "s11"),
+        dsum(F.col("x1") * F.col("x2"), "s12"),
+        dsum(F.col("x2") * F.col("x2"), "s22"),
+        dsum(F.col("x1") * F.col("y"), "s1y"),
+        dsum(F.col("x2") * F.col("y"), "s2y"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(f"ROUND({_DET0} / {_DET}, 6)").alias("b0"),
+        F.expr(f"ROUND({_DET1} / {_DET}, 6)").alias("b1"),
+        F.expr(f"ROUND({_DET2} / {_DET}, 6)").alias("b2"),
+    )
+
+
+# --------------------------------------------------------------------
+# mutual_information_tokens: I(token-presence ; language)
+# --------------------------------------------------------------------
+#: Per-(token, class) MI contribution — present + absent cell of the
+#: 2×|classes| table — floored to 1e-9 fixed point so the cross-class
+#: sum is an exact integer add. Inputs are all integers (counts), so
+#: the double arithmetic inside is the same IEEE sequence on both
+#: engines. Zero cells contribute 0 (the information-theoretic limit).
+_MI_TERM = """
+    CAST(FLOOR(1000000000.0 * (
+        CASE WHEN n_tc > 0 THEN
+            (CAST(n_tc AS DOUBLE) / bign)
+            * LN(bign * CAST(n_tc AS DOUBLE) / (CAST(df_t AS DOUBLE) * n_c))
+        ELSE 0.0 END
+        +
+        CASE WHEN n_c - n_tc > 0 THEN
+            (CAST(n_c - n_tc AS DOUBLE) / bign)
+            * LN(bign * CAST(n_c - n_tc AS DOUBLE)
+                 / (CAST(bign - df_t AS DOUBLE) * n_c))
+        ELSE 0.0 END
+    )) AS BIGINT)
+"""
+
+_MI_MIN_DF = 10
+_MI_TOPK = 50
+
+
+@register(
+    "mutual_information_tokens",
+    oracle=f"""
+    WITH docs_t AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ),
+    n_total AS (SELECT COUNT(*) AS bign FROM documents),
+    classes AS (SELECT lang, COUNT(*) AS n_c FROM documents GROUP BY lang),
+    df AS (
+        SELECT token, COUNT(*) AS df_t FROM docs_t GROUP BY token
+        HAVING COUNT(*) >= {_MI_MIN_DF}
+           AND COUNT(*) <= (SELECT bign FROM n_total) - {_MI_MIN_DF}
+    ),
+    joint AS (
+        SELECT token, lang, COUNT(*) AS n_tc FROM docs_t GROUP BY token, lang
+    ),
+    grid AS (
+        SELECT df.token, df.df_t, c.lang,
+               CAST(c.n_c AS DOUBLE) AS n_c,
+               COALESCE(j.n_tc, 0) AS n_tc,
+               (SELECT CAST(bign AS DOUBLE) FROM n_total) AS bign
+        FROM df CROSS JOIN classes c
+        LEFT JOIN joint j ON j.token = df.token AND j.lang = c.lang
+    ),
+    terms AS (
+        SELECT token, df_t,
+               {_MI_TERM} AS term_fx
+        FROM grid
+    )
+    SELECT token, df_t, CAST(SUM(term_fx) AS BIGINT) AS mi_fx
+    FROM terms GROUP BY token, df_t
+    ORDER BY mi_fx DESC, token LIMIT {_MI_TOPK}
+    """,
+    tags=("N5", "E13"),
+)
+def mutual_information_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(token-presence; language) — the classic
+    feature-selection / corpus-drift statistic. For each token above a
+    document-frequency floor, the full 2×|lang| contingency table is
+    reconstructed from three narrow aggregates (joint presence counts,
+    per-class totals, token document frequency) — the token×class grid
+    comes from a broadcast cross join against the 5-row class table,
+    so the only real shuffles are the two token-keyed groupBys. Each
+    cell's MI contribution is floored to 1e-9 fixed point BEFORE the
+    cross-class sum, making the reduction an exact integer add (the
+    text_token_entropy technique) — bit-stable at any parallelism and
+    hash-comparable against the oracle, which rebuilds the identical
+    table in SQL. Top-{_MI_TOPK} by MI with a total tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    bign = docs.count()  # control-plane scalar: table cardinality
+    classes = docs.groupBy("lang").agg(F.count("*").alias("n_c"))
+    df_t = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df_t"))
+        .filter(
+            (F.col("df_t") >= _MI_MIN_DF) & (F.col("df_t") <= bign - _MI_MIN_DF)
+        )
+    )
+    joint = tok.groupBy("token", "lang").agg(F.count("*").alias("n_tc"))
+    grid = (
+        df_t.crossJoin(F.broadcast(classes))
+        .join(joint, ["token", "lang"], "left")
+        .select(
+            "token",
+            "df_t",
+            F.col("n_c").cast("double").alias("n_c"),
+            F.coalesce("n_tc", F.lit(0)).alias("n_tc"),
+            F.lit(float(bign)).alias("bign"),
+        )
+    )
+    terms = grid.select(
+        "token", "df_t", F.expr(_MI_TERM).alias("term_fx")
+    )
+    return (
+        terms.groupBy("token", "df_t")
+        .agg(F.sum("term_fx").alias("mi_fx"))
+        .orderBy(F.desc("mi_fx"), "token")
+        .limit(_MI_TOPK)
+    )
+
+
+# --------------------------------------------------------------------
+# shortest_paths_bfs
+# --------------------------------------------------------------------
+_BFS_MAX_ORDERS = 2000
+_BFS_MAX_DEPTH = 12
+
+
+@register(
+    "shortest_paths_bfs",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+        WHERE a.l_orderkey < {_BFS_MAX_ORDERS}
+          AND b.l_orderkey < {_BFS_MAX_ORDERS}
+    ),
+    r(node, dist) AS (
+        SELECT MIN(u), 0 FROM pairs
+        UNION
+        SELECT p.v, r.dist + 1
+        FROM r JOIN pairs p ON p.u = r.node
+        WHERE r.dist < {_BFS_MAX_DEPTH}
+    )
+    SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+    FROM r GROUP BY node
+    """,
+    tags=("N9",),
+)
+def shortest_paths_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted shortest-path distances from the minimum supplier id
+    over the supplier co-occurrence graph (suppliers sharing an order,
+    first {_BFS_MAX_ORDERS} orders) — frontier-expansion BFS
+    (operators/components.bfs_distances): each level is one
+    frontier ⋈ edges equi-join plus an anti-join against the visited
+    set, shuffle volume O(frontier × degree), lineage truncated per
+    level. The oracle is a DuckDB RECURSIVE CTE — a genuinely
+    independent traversal implementation — with MIN(dist) collapsing
+    its walk enumeration to the same first-arrival semantics, so the
+    hash comparison proves the iterative Spark loop converges to the
+    true distance function (completes the graph trio:
+    components = reachability, pagerank = stationary mass, BFS =
+    metric structure)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < _BFS_MAX_ORDERS
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
+    )
+    sources = edges.agg(F.min("u").alias("node"))
+    return bfs_distances(
+        edges, "u", "v", sources, max_depth=_BFS_MAX_DEPTH
+    )
+
+
+# --------------------------------------------------------------------
+# trigram_similarity_join
+# --------------------------------------------------------------------
+_TRIGRAM_SIM_MIN_1E6 = 500_000  # Jaccard >= 0.5
+
+
+@register(
+    "trigram_similarity_join",
+    oracle=f"""
+    WITH names AS (
+        SELECT MIN(p_partkey) AS pk, lower(p_name) AS name FROM part
+        WHERE length(p_name) >= 3
+        GROUP BY lower(p_name)
+    ),
+    positions AS (
+        SELECT CAST(unnest(range(1, (SELECT MAX(length(name)) - 1 FROM names)))
+                    AS INTEGER) AS i
+    ),
+    grams AS (
+        SELECT DISTINCT pk, substr(name, i, 3) AS g
+        FROM names JOIN positions ON i <= length(name) - 2
+    ),
+    sizes AS (SELECT pk, COUNT(*) AS n_g FROM grams GROUP BY pk),
+    shared AS (
+        SELECT a.pk AS a_key, b.pk AS b_key, COUNT(*) AS n_shared
+        FROM grams a JOIN grams b ON a.g = b.g AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+    )
+    SELECT s.a_key, s.b_key, s.n_shared,
+           sa.n_g AS a_size, sb.n_g AS b_size,
+           (s.n_shared * 1000000) // (sa.n_g + sb.n_g - s.n_shared)
+               AS sim_1e6
+    FROM shared s
+    JOIN sizes sa ON sa.pk = s.a_key
+    JOIN sizes sb ON sb.pk = s.b_key
+    WHERE (s.n_shared * 1000000) // (sa.n_g + sb.n_g - s.n_shared)
+          >= {_TRIGRAM_SIM_MIN_1E6}
+    """,
+    tags=("E10", "N2", "E23"),
+)
+def trigram_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity self-join on part names by trigram-set
+    Jaccard — the INVERTED-INDEX shape that replaces all-pairs
+    levenshtein (`fuzzy_match_sources` is the bounded-slice exact
+    face; a cartesian edit-distance join is quadratic and dies at
+    scale). The corpus is first collapsed to DISTINCT name strings
+    (min partkey as the stable representative) — identical strings are
+    exact-dedup's job, and skipping this step makes every duplicated
+    literal a quadratic pair bomb. Each name explodes to its distinct
+    character trigrams,
+    the self-equi-join on the trigram key yields only pairs sharing
+    ≥1 gram (candidate pruning exactly like minhash banding, but
+    lossless for set Jaccard), one count aggregate recovers
+    |A∩B|, and |A∪B| comes from the two broadcastable size tables.
+    Similarity is pure INTEGER arithmetic — scaled integer division,
+    no doubles anywhere — so the oracle comparison is exact by
+    construction. Hot trigrams (stop-grams) are the known skew risk:
+    at corpus scale the standard fix is dropping the top-percentile
+    grams (prefix filtering), which only ADDS candidates never drops
+    true pairs below threshold; at part-name scale AQE skew handling
+    suffices."""
+    part = load_table(spark, sf_dir, "part").filter(F.length("p_name") >= 3)
+    names = (
+        part.groupBy(F.lower("p_name").alias("name"))
+        .agg(F.min("p_partkey").alias("pk"))
+    )
+    grams = names.select(
+        "pk",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(name) - 2),"
+                       " i -> substr(name, i, 3))")
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("pk").agg(F.count("*").alias("n_g"))
+    shared = (
+        grams.select(F.col("pk").alias("a_key"), "g")
+        .join(grams.select(F.col("pk").alias("b_key"), "g"), "g")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .groupBy("a_key", "b_key")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sim = (
+        shared.join(
+            F.broadcast(sizes.select(F.col("pk").alias("a_key"),
+                                     F.col("n_g").alias("a_size"))),
+            "a_key",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("pk").alias("b_key"),
+                                     F.col("n_g").alias("b_size"))),
+            "b_key",
+        )
+        .withColumn(
+            "sim_1e6",
+            F.expr("(n_shared * 1000000) DIV (a_size + b_size - n_shared)"),
+        )
+    )
+    return sim.filter(F.col("sim_1e6") >= _TRIGRAM_SIM_MIN_1E6).select(
+        "a_key", "b_key", "n_shared", "a_size", "b_size", "sim_1e6"
+    )

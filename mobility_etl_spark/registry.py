@@ -67,6 +67,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.timeseries_q",
     "mobility_etl_spark.queries.sketch_graph",
     "mobility_etl_spark.queries.dataops",
+    "mobility_etl_spark.queries.mlstats",
 )
 
 

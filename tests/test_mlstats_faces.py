@@ -1,0 +1,170 @@
+"""Property gates for the mlstats face pack (multi-predictor OLS, token
+mutual information, BFS shortest paths, trigram similarity join) —
+algorithmic guarantees the DuckDB oracle equality alone doesn't pin:
+the OLS solve against an independent numeric solver, MI's non-negativity,
+BFS's local-consistency certificate, and Jaccard recomputed from raw
+strings in Python."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _run(name, spark, sf_dir):
+    return SPECS[name].builder(spark, sf_dir)
+
+
+# ------------------------------------------------------------- regression
+
+
+def test_regression_multi_matches_numpy_lstsq(spark, sf_dir):
+    """The distributed normal-equations solve must agree with numpy's
+    QR-based lstsq (a genuinely different algorithm) to well inside the
+    rounding the face applies."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.hour("ts").cast("double").alias("x1"),
+            F.expr("CAST(dayofweek(ts) AS DOUBLE)").alias("x2"),
+            F.col("value").alias("y"),
+        )
+        .collect()
+    )
+    fit = {
+        r.event_type: r
+        for r in _run("regression_multi_events", spark, sf_dir).collect()
+    }
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.x1, r.x2, r.y))
+    assert set(by_type) == set(fit)
+    for etype, pts in by_type.items():
+        X = np.array([[1.0, x1, x2] for x1, x2, _ in pts])
+        y = np.array([v for *_, v in pts])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        got = fit[etype]
+        assert got.n == len(pts)
+        for want, have in zip(beta, (got.b0, got.b1, got.b2)):
+            assert abs(want - have) < 1e-4, (etype, want, have)
+
+
+# ---------------------------------------------------------------------- MI
+
+
+def test_mutual_information_nonnegative_and_sorted(spark, sf_dir):
+    """Full-table MI is ≥ 0; with per-cell 1e-9 flooring the integer sum
+    can undershoot by at most one unit per cell (2 × n_classes cells).
+    Output must arrive sorted by (mi desc, token) and respect the df
+    floor the face documents."""
+    out = _run("mutual_information_tokens", spark, sf_dir).collect()
+    assert out, "some token must clear the df floor"
+    n_classes = (
+        load_table(spark, sf_dir, "documents").select("lang").distinct().count()
+    )
+    keys = [(-r.mi_fx, r.token) for r in out]
+    assert keys == sorted(keys)
+    for r in out:
+        assert r.mi_fx >= -2 * n_classes
+        assert r.df_t >= 10
+
+
+def test_mutual_information_detects_planted_signal(spark, sf_dir):
+    """Rank sanity on the real corpus: every reported token's MI is
+    bounded above by ln(n_classes) in nats (the entropy ceiling of the
+    class variable)."""
+    out = _run("mutual_information_tokens", spark, sf_dir).collect()
+    n_classes = (
+        load_table(spark, sf_dir, "documents").select("lang").distinct().count()
+    )
+    ceiling = int(np.log(n_classes) * 1e9) + 1
+    for r in out:
+        assert r.mi_fx <= ceiling
+
+
+# --------------------------------------------------------------------- BFS
+
+
+def test_bfs_local_consistency_certificate(spark, sf_dir):
+    """A distance labelling is THE BFS result iff: the source is 0;
+    adjacent reached nodes differ by ≤ 1; and every reached node at
+    d > 0 has a neighbor at d − 1. Verifies the iterative loop's output
+    without re-deriving distances."""
+    from mobility_etl_spark.queries.mlstats import _BFS_MAX_ORDERS
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < _BFS_MAX_ORDERS
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    edges = [
+        (r.u, r.v)
+        for r in a.join(b, "ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .collect()
+    ]
+    dist = {
+        r.node: r.dist for r in _run("shortest_paths_bfs", spark, sf_dir).collect()
+    }
+    src = min(u for u, _ in edges)
+    assert dist[src] == 0
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for node, d in dist.items():
+        for nb in adj[node]:
+            if nb in dist:
+                assert abs(dist[nb] - d) <= 1
+        if d > 0:
+            assert any(dist.get(nb) == d - 1 for nb in adj[node])
+
+
+# ----------------------------------------------------------------- trigram
+
+
+def _trigrams(s: str) -> set:
+    return {s[i : i + 3] for i in range(len(s) - 2)}
+
+
+def test_trigram_join_scores_match_python_sets(spark, sf_dir):
+    """Recompute every reported pair's Jaccard from the raw strings
+    with Python set ops — the scaled-integer SQL arithmetic must agree
+    exactly — and verify no qualifying pair was missed (the inverted
+    index is lossless for Jaccard ≥ 0.5: such pairs always share a
+    gram)."""
+    part = load_table(spark, sf_dir, "part")
+    by_pk = {
+        r.pk: r.name
+        for r in part.filter(F.length("p_name") >= 3)
+        .groupBy(F.lower("p_name").alias("name"))
+        .agg(F.min("p_partkey").alias("pk"))
+        .collect()
+    }
+    got = {
+        (r.a_key, r.b_key): r
+        for r in _run("trigram_similarity_join", spark, sf_dir).collect()
+    }
+    for (ak, bk), r in got.items():
+        ga, gb = _trigrams(by_pk[ak]), _trigrams(by_pk[bk])
+        inter = len(ga & gb)
+        assert ak < bk
+        assert (r.n_shared, r.a_size, r.b_size) == (inter, len(ga), len(gb))
+        assert r.sim_1e6 == inter * 1_000_000 // len(ga | gb)
+        assert 500_000 <= r.sim_1e6 <= 1_000_000
+    expected = set()
+    pks = sorted(by_pk)
+    for i, ak in enumerate(pks):
+        for bk in pks[i + 1 :]:
+            ga, gb = _trigrams(by_pk[ak]), _trigrams(by_pk[bk])
+            if len(ga & gb) * 1_000_000 // len(ga | gb) >= 500_000:
+                expected.add((ak, bk))
+    assert set(got) == expected
