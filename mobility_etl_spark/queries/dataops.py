@@ -143,3 +143,48 @@ def training_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars").cast(DEC)).cast("double") / F.count("*")
         ).alias("avg_chars"),
     )
+
+
+@register(
+    "observed_metrics_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE)
+               AS sum_total,
+           COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_high,
+           COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_null_cust
+    FROM orders
+    """,
+    tags=("E13",),
+)
+def observed_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`Dataset.observe()` — pipeline observability counters collected
+    as a SIDE CHANNEL of a production action, zero extra passes: the
+    named aggregates ride the same scan/codegen as the job (here a
+    noop-sink write standing in for the real sink) and arrive via
+    listener machinery, not a second query. THE mechanism for
+    row-count / null-rate / domain-violation counters on a 100 TB
+    job — a separate metrics query would double the scan cost, and at
+    stream scale observe() is the only way to meter a running sink.
+    The observed values are re-exposed as a one-row DataFrame (a
+    driver-side handful of scalars — control plane, like every metrics
+    registry) and hash-checked against the oracle recomputing the same
+    aggregates relationally, proving the side channel reports EXACTLY
+    what the engine computed."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("sum_total"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_high"),
+        F.count_if(F.col("o_custkey").isNull()).alias("n_null_cust"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_total"], m["n_high"], m["n_null_cust"])],
+        "n_rows bigint, sum_total double, n_high bigint, n_null_cust bigint",
+    )
