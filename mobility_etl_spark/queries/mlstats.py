@@ -401,3 +401,53 @@ def trigram_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.filter(F.col("sim_1e6") >= _TRIGRAM_SIM_MIN_1E6).select(
         "a_key", "b_key", "n_shared", "a_size", "b_size", "sim_1e6"
     )
+
+
+# --------------------------------------------------------------------
+# feature hashing (the "hashing trick" vectorizer)
+# --------------------------------------------------------------------
+_FH_DIM = 32
+
+
+@register(
+    "vectorize_feature_hash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % {_FH_DIM}
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n
+    FROM tok
+    GROUP BY doc_id, bucket
+    """,
+    tags=("N5", "E26"),
+)
+def vectorize_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing ("hashing trick") — the vectorizer that needs NO
+    vocabulary pass: each token maps straight to one of {_FH_DIM}
+    buckets via a portable md5-derived hash (the count-min bucketing,
+    queries/sketch_graph.py), so featurization is a single map-side
+    pass with one (doc, bucket) aggregation behind it — no dictionary
+    to build, broadcast, or keep consistent between training runs, the
+    property that matters when the vocabulary is trillions of tokens.
+    Emitted as sparse (doc_id, bucket, n) triples — the natural
+    shuffle-narrow representation; densifying to array<{_FH_DIM}> is a
+    map-side collect_list away when a consumer wants it. Because the
+    bucketing is engine-portable the oracle rebuilds the identical
+    sparse matrix and the comparison is exact (vs MLlib's
+    HashingTF, whose murmur3 seed is JVM-specific and would force a
+    rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+        % _FH_DIM
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )

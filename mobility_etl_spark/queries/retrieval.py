@@ -416,3 +416,58 @@ def training_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("n_distinct_docs"),
         )
     )
+
+
+_PHRASE = ("table", "scan")
+
+
+@register(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, source,
+               len(list_filter(generate_series(1, len(toks) - 1),
+                   i -> toks[i] = '{_PHRASE[0]}'
+                        AND toks[i + 1] = '{_PHRASE[1]}')) AS n_occurrences
+        FROM t
+    )
+    SELECT doc_id, source, n_occurrences
+    FROM hits WHERE n_occurrences > 0
+    """,
+    tags=("N6", "E27"),
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("{' '.join(_PHRASE)}") answered from a
+    POSITIONAL INVERTED INDEX — the sparse-retrieval twin of the dense
+    ANN faces, and the structure BM25 lacks (bag-of-words cannot see
+    adjacency). Build: posexplode tokens to (token, pos) postings —
+    at scale this index is built once, partitioned by token, and
+    reused across queries. Query: fetch the two terms' postings and
+    equi-join on (doc, pos+1) — adjacency becomes a JOIN KEY, so the
+    phrase test is hash-joinable, never a scan — then count matches
+    per document. The oracle instead scans each document's token array
+    directly (lambda over positions), so the equality proves the
+    classic IR contract: index lookup ≡ full scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    )
+    first = postings.filter(F.col("token") == _PHRASE[0]).select(
+        "doc_id", "source", F.col("pos").alias("p0")
+    )
+    second = postings.filter(F.col("token") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_id2"), (F.col("pos") - 1).alias("p1")
+    )
+    hits = first.join(
+        second,
+        (F.col("doc_id") == F.col("doc_id2")) & (F.col("p0") == F.col("p1")),
+    )
+    return hits.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_occurrences")
+    )

@@ -168,3 +168,48 @@ def test_trigram_join_scores_match_python_sets(spark, sf_dir):
             if len(ga & gb) * 1_000_000 // len(ga | gb) >= 500_000:
                 expected.add((ak, bk))
     assert set(got) == expected
+
+
+# ------------------------------------------------------ phrase / hashing
+
+
+def test_phrase_search_agrees_with_python_scan(spark, sf_dir):
+    """Index-lookup ≡ scan, re-proven in a third engine (Python): count
+    adjacent ('table','scan') token pairs per doc by direct iteration."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == "table" and toks[i + 1] == "scan"
+        )
+        if n:
+            want[r.doc_id] = n
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in _run("phrase_search_positional", spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "phrase must occur in the corpus for the gate to mean anything"
+
+
+def test_feature_hash_preserves_token_mass(spark, sf_dir):
+    """The hashing trick loses identity, never mass: per-doc sum over
+    buckets equals the doc's token count, and every bucket id is in
+    [0, dim)."""
+    from mobility_etl_spark.queries.mlstats import _FH_DIM
+
+    vec = _run("vectorize_feature_hash", spark, sf_dir)
+    per_doc = {r.doc_id: r.s for r in
+               vec.groupBy("doc_id").agg(F.sum("n").alias("s")).collect()}
+    toks = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    assert per_doc == toks
+    buckets = [r.bucket for r in vec.select("bucket").distinct().collect()]
+    assert all(0 <= b < _FH_DIM for b in buckets)
