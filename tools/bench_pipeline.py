@@ -33,6 +33,10 @@ QUERIES = (
     "multimodal_ppm_decode",
     "multimodal_wav_decode",
     "multimodal_y4m_frames",
+    "mutual_information_tokens",
+    "vectorize_feature_hash",
+    "phrase_search_positional",
+    "trigram_similarity_join",
 )
 
 
