@@ -75,37 +75,42 @@ def bfs_distances(
     dst_col: str,
     sources: DataFrame,
     max_depth: int = 12,
+    symmetrize: bool = True,
 ) -> DataFrame:
     """Unweighted single/multi-source shortest-path distances by
     frontier-expansion BFS (the iterative-algorithm complement to
     :func:`connected_components`).
 
-    ``edges`` are treated as undirected (symmetrized here, like
-    connected_components). ``sources`` is a one-column DataFrame of
+    ``edges`` are treated as undirected (symmetrized here like
+    connected_components, unless the caller's edge set already
+    contains both directions — pass ``symmetrize=False`` to skip the
+    union+distinct shuffle). ``sources`` is a one-column DataFrame of
     start nodes (distance 0). Returns ``(node, dist)`` for every node
     within ``max_depth`` hops of any source — first arrival is the
     minimum distance because expansion is strictly level-by-level.
 
     Scale shape: each level is ONE equi-join frontier ⋈ edges plus an
     anti-join against the visited set — shuffle volume is O(frontier ×
-    avg-degree), never all-pairs; ``localCheckpoint`` truncates the
-    growing lineage each level (same discipline as components). The
-    per-level emptiness probe is a control-plane count, not data
-    movement. On a cluster the visited set stays hash-partitioned on
+    avg-degree), never all-pairs. Only each level's FRONTIER is
+    localCheckpoint-ed (flat lineage, like components); the cumulative
+    visited set is a plain union of those checkpointed frontiers, so
+    total materialized data stays O(reached nodes), not
+    O(nodes × depth). The per-level emptiness probe is a control-plane
+    scalar. On a cluster the visited set stays hash-partitioned on
     node across levels, so the anti-join reuses the partitioning.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
-        .distinct()
-    )
-    dist = (
+    sym = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    if symmetrize:
+        sym = sym.union(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        ).distinct()
+    frontier = (
         sources.toDF("node")
         .distinct()
         .select("node", F.lit(0).cast("int").alias("dist"))
         .localCheckpoint(eager=True)
     )
-    frontier = dist
+    dist = frontier
     for level in range(1, max_depth + 1):
         nxt = (
             frontier.join(sym, frontier["node"] == sym["u"], "inner")
@@ -118,6 +123,6 @@ def bfs_distances(
         # control-plane scalar: loop convergence, not data movement
         if nxt.isEmpty():
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)  # union of flat-lineage checkpoints
         frontier = nxt
     return dist

@@ -78,9 +78,9 @@ _DET2 = (
         FROM t GROUP BY event_type
     )
     SELECT event_type, n,
-           ROUND({_DET0} / {_DET}, 6) AS b0,
-           ROUND({_DET1} / {_DET}, 6) AS b1,
-           ROUND({_DET2} / {_DET}, 6) AS b2
+           CAST(FLOOR(({_DET0} / {_DET}) * 1000000.0) AS BIGINT) AS b0_fx,
+           CAST(FLOOR(({_DET1} / {_DET}) * 1000000.0) AS BIGINT) AS b1_fx,
+           CAST(FLOOR(({_DET2} / {_DET}) * 1000000.0) AS BIGINT) AS b2_fx
     FROM m
     """,
     tags=("E13", "N9"),
@@ -118,12 +118,17 @@ def regression_multi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("x1") * F.col("y"), "s1y"),
         dsum(F.col("x2") * F.col("y"), "s2y"),
     )
+    # 1e-6 fixed point, NOT ROUND(x, 6): on identical doubles FLOOR of
+    # the scaled value is engine-identical, while ROUND is not — Spark
+    # half-ups the shortest decimal representation (BigDecimal.valueOf)
+    # where DuckDB computes round(x*1e6)/1e6, and the two disagree on
+    # half-way values (~1.7% of a uniform sample, measured).
     return m.select(
         "event_type",
         "n",
-        F.expr(f"ROUND({_DET0} / {_DET}, 6)").alias("b0"),
-        F.expr(f"ROUND({_DET1} / {_DET}, 6)").alias("b1"),
-        F.expr(f"ROUND({_DET2} / {_DET}, 6)").alias("b2"),
+        F.expr(f"CAST(FLOOR(({_DET0} / {_DET}) * 1000000.0) AS BIGINT)").alias("b0_fx"),
+        F.expr(f"CAST(FLOOR(({_DET1} / {_DET}) * 1000000.0) AS BIGINT)").alias("b1_fx"),
+        F.expr(f"CAST(FLOOR(({_DET2} / {_DET}) * 1000000.0) AS BIGINT)").alias("b2_fx"),
     )
 
 
@@ -195,31 +200,41 @@ def mutual_information_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information I(token-presence; language) — the classic
     feature-selection / corpus-drift statistic. For each token above a
     document-frequency floor, the full 2×|lang| contingency table is
-    reconstructed from three narrow aggregates (joint presence counts,
-    per-class totals, token document frequency) — the token×class grid
-    comes from a broadcast cross join against the 5-row class table,
-    so the only real shuffles are the two token-keyed groupBys. Each
-    cell's MI contribution is floored to 1e-9 fixed point BEFORE the
-    cross-class sum, making the reduction an exact integer add (the
+    reconstructed from ONE tokenization pass: the (token, lang) joint
+    counts are the only corpus-wide aggregate; token document frequency
+    is its cross-class roll-up (df_t = Σ_c n_tc — summing vocab-sized
+    counts, never re-reading documents), and the corpus size is the sum
+    of the collected 5-row class table (a control-plane scalar, no
+    extra count() action). The token×class grid comes from a broadcast
+    cross join against that class table, so the only document-scale
+    shuffle is the single token-keyed groupBy. Each cell's MI
+    contribution is floored to 1e-9 fixed point BEFORE the cross-class
+    sum, making the reduction an exact integer add (the
     text_token_entropy technique) — bit-stable at any parallelism and
     hash-comparable against the oracle, which rebuilds the identical
-    table in SQL. Top-{_MI_TOPK} by MI with a total tiebreak."""
+    table in SQL. Top-50 by MI with a token tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         "lang",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
     )
-    bign = docs.count()  # control-plane scalar: table cardinality
-    classes = docs.groupBy("lang").agg(F.count("*").alias("n_c"))
+    # control-plane: |classes| rows, collected once — yields the corpus
+    # size without a count() action AND a local relation for the grid's
+    # broadcast side, so the lang column is scanned exactly once
+    class_rows = docs.groupBy("lang").agg(F.count("*").alias("n_c")).collect()
+    bign = sum(r.n_c for r in class_rows)
+    classes = spark.createDataFrame(
+        [(r.lang, r.n_c) for r in class_rows], "lang string, n_c bigint"
+    )
+    joint = tok.groupBy("token", "lang").agg(F.count("*").alias("n_tc"))
     df_t = (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("df_t"))
+        joint.groupBy("token")
+        .agg(F.sum("n_tc").alias("df_t"))
         .filter(
             (F.col("df_t") >= _MI_MIN_DF) & (F.col("df_t") <= bign - _MI_MIN_DF)
         )
     )
-    joint = tok.groupBy("token", "lang").agg(F.count("*").alias("n_tc"))
     grid = (
         df_t.crossJoin(F.broadcast(classes))
         .join(joint, ["token", "lang"], "left")
@@ -274,7 +289,7 @@ _BFS_MAX_DEPTH = 12
 def shortest_paths_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unweighted shortest-path distances from the minimum supplier id
     over the supplier co-occurrence graph (suppliers sharing an order,
-    first {_BFS_MAX_ORDERS} orders) — frontier-expansion BFS
+    first 2000 orders) — frontier-expansion BFS
     (operators/components.bfs_distances): each level is one
     frontier ⋈ edges equi-join plus an anti-join against the visited
     set, shuffle volume O(frontier × degree), lineage truncated per
@@ -290,12 +305,15 @@ def shortest_paths_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("v"))
+    # the u<>v self-join emits BOTH (u,v) and (v,u), so the edge set is
+    # symmetric by construction — symmetrize=False skips the operator's
+    # redundant reverse-union + second distinct shuffle
     edges = (
         a.join(b, "ok").filter(F.col("u") != F.col("v")).select("u", "v").distinct()
     )
     sources = edges.agg(F.min("u").alias("node"))
     return bfs_distances(
-        edges, "u", "v", sources, max_depth=_BFS_MAX_DEPTH
+        edges, "u", "v", sources, max_depth=_BFS_MAX_DEPTH, symmetrize=False
     )
 
 
@@ -427,14 +445,14 @@ _FH_DIM = 32
 )
 def vectorize_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature hashing ("hashing trick") — the vectorizer that needs NO
-    vocabulary pass: each token maps straight to one of {_FH_DIM}
+    vocabulary pass: each token maps straight to one of 32
     buckets via a portable md5-derived hash (the count-min bucketing,
     queries/sketch_graph.py), so featurization is a single map-side
     pass with one (doc, bucket) aggregation behind it — no dictionary
     to build, broadcast, or keep consistent between training runs, the
     property that matters when the vocabulary is trillions of tokens.
     Emitted as sparse (doc_id, bucket, n) triples — the natural
-    shuffle-narrow representation; densifying to array<{_FH_DIM}> is a
+    shuffle-narrow representation; densifying to array<32> is a
     map-side collect_list away when a consumer wants it. Because the
     bucketing is engine-portable the oracle rebuilds the identical
     sparse matrix and the comparison is exact (vs MLlib's

@@ -441,7 +441,7 @@ _PHRASE = ("table", "scan")
     tags=("N6", "E27"),
 )
 def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase query ("{' '.join(_PHRASE)}") answered from a
+    """Exact phrase query ("table scan") answered from a
     POSITIONAL INVERTED INDEX — the sparse-retrieval twin of the dense
     ANN faces, and the structure BM25 lacks (bag-of-words cannot see
     adjacency). Build: posexplode tokens to (token, pos) postings —

@@ -77,18 +77,56 @@ def test_cbo_uses_stats_for_plan_estimates(spark, managed_tables):
         spark.conf.set("spark.sql.cbo.enabled", old)
 
 
-def test_stats_drive_broadcast_without_runtime_rescue(spark, managed_tables):
-    """The small analyzed table must plan as the BUILD side of a
-    BroadcastHashJoin at COMPILE time (AQE could rescue an unknown-size
-    table at runtime; catalog stats make the right plan before any
-    task runs — the behavior that matters when the 'small' table is a
-    view AQE can't pre-size)."""
+def test_column_stats_flip_join_strategy_at_compile_time(spark, managed_tables):
+    """The CAUSAL chain: a filtered relation's size estimate only
+    shrinks when CBO has column stats to estimate the predicate's
+    selectivity — without ANALYZE the filter inherits the full scan
+    size and the self-join plans as SortMergeJoin; after
+    ANALYZE ... FOR COLUMNS the estimate drops under the broadcast
+    threshold and the SAME query compiles to BroadcastHashJoin. AQE is
+    disabled for the probe, so this is the optimizer's decision from
+    catalog stats alone, before any task runs — deleting the ANALYZE
+    calls makes this test fail, unlike a bare small-table broadcast
+    (file-size stats alone would produce that)."""
     nat, orders = managed_tables
-    spark.sql(f"ANALYZE TABLE {nat} COMPUTE STATISTICS")
-    spark.sql(f"ANALYZE TABLE {orders} COMPUTE STATISTICS")
-    joined = spark.table(orders).join(
-        spark.table(nat),
-        spark.table(orders)["o_custkey"] % 25 == spark.table(nat)["n_nationkey"],
-    )
-    plan = joined._jdf.queryExecution().sparkPlan().toString()
-    assert "BroadcastHashJoin" in plan, plan.splitlines()[:5]
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024))
+    try:
+
+        def probe():
+            joined = spark.sql(
+                f"""
+                SELECT * FROM {orders} big
+                JOIN (SELECT * FROM {orders} WHERE o_custkey < 10) small
+                  ON big.o_orderkey = small.o_orderkey
+                """
+            )
+            return joined._jdf.queryExecution().sparkPlan().toString()
+
+        before = probe()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before, (
+            "precondition: without stats the filtered side must carry the "
+            "full scan size and shuffle-join"
+        )
+        spark.sql(f"ANALYZE TABLE {orders} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {orders} COMPUTE STATISTICS "
+            "FOR COLUMNS o_custkey, o_orderkey"
+        )
+        after = probe()
+        assert "BroadcastHashJoin" in after and "SortMergeJoin" not in after, (
+            "column stats must shrink the filtered estimate below the "
+            "broadcast threshold at compile time"
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -51,8 +51,8 @@ def test_regression_multi_matches_numpy_lstsq(spark, sf_dir):
         beta = np.linalg.lstsq(X, y, rcond=None)[0]
         got = fit[etype]
         assert got.n == len(pts)
-        for want, have in zip(beta, (got.b0, got.b1, got.b2)):
-            assert abs(want - have) < 1e-4, (etype, want, have)
+        for want, have_fx in zip(beta, (got.b0_fx, got.b1_fx, got.b2_fx)):
+            assert abs(want - have_fx / 1e6) < 1e-4, (etype, want, have_fx)
 
 
 # ---------------------------------------------------------------------- MI

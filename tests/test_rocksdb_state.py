@@ -73,31 +73,33 @@ def test_rocksdb_dedup_exactly_once_under_replay(spark, sf_dir):
     old = spark.conf.get(PROVIDER_CONF, None)
     spark.conf.set(PROVIDER_CONF, ROCKSDB)
     try:
-        landing = tempfile.mkdtemp(prefix="rdb_replay_")
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
-            F.col("event_id") < 500
-        )
-        raw.write.mode("overwrite").parquet(landing)
-        raw.write.mode("append").parquet(landing)
-
-        stream = events_file_stream(spark, landing)
-        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
-            ["event_id"]
-        )
-        name = f"rdbd_{uuid.uuid4().hex[:12]}"
-        with tempfile.TemporaryDirectory(prefix="ckpt_rdbd_") as ckpt:
-            run_available_now(
-                deduped.groupBy("event_type").agg(F.count("*").alias("n")),
-                name,
-                ckpt,
-                output_mode="complete",
+        with tempfile.TemporaryDirectory(prefix="rdb_replay_") as landing:
+            raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+                F.col("event_id") < 500
             )
-        got = {r.event_type: r.n for r in spark.table(name).collect()}
-        want = {
-            r.event_type: r.n
-            for r in raw.groupBy("event_type").agg(F.count("*").alias("n")).collect()
-        }
-        assert got == want
+            raw.write.mode("overwrite").parquet(landing)
+            raw.write.mode("append").parquet(landing)
+
+            stream = events_file_stream(spark, landing)
+            deduped = stream.withWatermark(
+                "ts", "1 hour"
+            ).dropDuplicatesWithinWatermark(["event_id"])
+            name = f"rdbd_{uuid.uuid4().hex[:12]}"
+            with tempfile.TemporaryDirectory(prefix="ckpt_rdbd_") as ckpt:
+                run_available_now(
+                    deduped.groupBy("event_type").agg(F.count("*").alias("n")),
+                    name,
+                    ckpt,
+                    output_mode="complete",
+                )
+            got = {r.event_type: r.n for r in spark.table(name).collect()}
+            want = {
+                r.event_type: r.n
+                for r in raw.groupBy("event_type")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            assert got == want
     finally:
         if old is None:
             spark.conf.unset(PROVIDER_CONF)
