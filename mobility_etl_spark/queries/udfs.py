@@ -364,3 +364,50 @@ def sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"hi": 300000.0, "mid": 100000.0, "cap": 2},
     )
+
+
+@register(
+    "sql_variables_group_all",
+    oracle="""
+    SELECT o_orderpriority,
+           o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_over
+    FROM orders
+    WHERE o_custkey % 10 < 4
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("E6", "E13"),
+)
+def sql_variables_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 SQL session variables (DECLARE / SET VAR) driving a
+    GROUP BY ALL / ORDER BY ALL aggregation — the scripting surface
+    that replaces client-side string splicing for runtime parameters:
+    variables are typed, plan-safe (constant-folded at analysis, so
+    pushdown still sees literals), and session-scoped, which is how
+    parameterized scheduled jobs carry thresholds between statements.
+    GROUP BY ALL derives the grouping key from the non-aggregate
+    select list (and ORDER BY ALL the sort key) — both also DuckDB
+    dialect, so the oracle states the identical query with the
+    variable inlined. DECLARE OR REPLACE keeps the builder idempotent
+    across invocations in one session."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqlvar_orders"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE custkey_mod INT DEFAULT 0")
+    spark.sql("SET VAR price_floor = 150000.0")
+    spark.sql("SET VAR custkey_mod = 4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               o_orderstatus,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_totalprice > price_floor) AS n_over
+        FROM sqlvar_orders
+        WHERE o_custkey % 10 < custkey_mod
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
