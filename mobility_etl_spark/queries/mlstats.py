@@ -228,23 +228,30 @@ def mutual_information_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.lang, r.n_c) for r in class_rows], "lang string, n_c bigint"
     )
     joint = tok.groupBy("token", "lang").agg(F.count("*").alias("n_tc"))
-    df_t = (
+    # ONE corpus-scale shuffle total: the second token groupBy folds the
+    # per-class counts into a map, so df_t AND every class cell come out
+    # of the same aggregate — a naive df_t-then-left-join-back-to-joint
+    # shape makes Catalyst recompute the explode+groupBy lineage for the
+    # join side (pushed filters defeat ReuseExchange) and tokenize the
+    # corpus twice (caught by reading the dumped plan, not the code).
+    tok_stats = (
         joint.groupBy("token")
-        .agg(F.sum("n_tc").alias("df_t"))
+        .agg(
+            F.sum("n_tc").alias("df_t"),
+            F.map_from_entries(
+                F.collect_list(F.struct("lang", "n_tc"))
+            ).alias("per_class"),
+        )
         .filter(
             (F.col("df_t") >= _MI_MIN_DF) & (F.col("df_t") <= bign - _MI_MIN_DF)
         )
     )
-    grid = (
-        df_t.crossJoin(F.broadcast(classes))
-        .join(joint, ["token", "lang"], "left")
-        .select(
-            "token",
-            "df_t",
-            F.col("n_c").cast("double").alias("n_c"),
-            F.coalesce("n_tc", F.lit(0)).alias("n_tc"),
-            F.lit(float(bign)).alias("bign"),
-        )
+    grid = tok_stats.crossJoin(F.broadcast(classes)).select(
+        "token",
+        "df_t",
+        F.col("n_c").cast("double").alias("n_c"),
+        F.coalesce(F.col("per_class")[F.col("lang")], F.lit(0)).alias("n_tc"),
+        F.lit(float(bign)).alias("bign"),
     )
     terms = grid.select(
         "token", "df_t", F.expr(_MI_TERM).alias("term_fx")

@@ -143,8 +143,10 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout. Ranks are exact integers (deterministic tiebreaks), so the
     fusion score floor(1e9/(60+rank)) is hash-exact cross-engine.
     Scale: both legs are broadcast-query scans over the corpus with
-    TakeOrderedAndProject top-k; the fusion joins two ≤100-row lists —
-    driver-side noise. At 100 TB the legs swap in the LSH/IVF
+    TakeOrderedAndProject top-k; the fusion UNIONS the two ≤100-row
+    contribution lists and collapses them with one tiny hash
+    aggregation (no full-outer join) — negligible either way. At 100 TB
+    the legs swap in the LSH/IVF
     operators (same (doc_id, rank) contract), fusion unchanged."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
