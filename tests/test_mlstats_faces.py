@@ -213,3 +213,41 @@ def test_feature_hash_preserves_token_mass(spark, sf_dir):
     assert per_doc == toks
     buckets = [r.bucket for r in vec.select("bucket").distinct().collect()]
     assert all(0 <= b < _FH_DIM for b in buckets)
+
+
+# ----------------------------------------------------- sampled quantiles
+
+
+def test_hash_sample_quantiles_bounded_rank_error(spark, sf_dir):
+    """The sampled estimate must sit at a true rank close to the target
+    quantile: for each group and each p in {0.5, 0.9, 0.99}, the exact
+    rank of the estimate within the FULL data is within 4·σ of p·n,
+    where σ = √(p(1−p)·n/s_frac) is the binomial rank deviation of a
+    30% sample. Also pins determinism: two runs produce identical
+    estimates (hash sampling has no RNG state)."""
+    est1 = {r.event_type: r for r in
+            _run("quantile_hash_sample_events", spark, sf_dir).collect()}
+    est2 = {r.event_type: r for r in
+            _run("quantile_hash_sample_events", spark, sf_dir).collect()}
+    assert {k: (v.p50_est, v.p90_est, v.p99_est) for k, v in est1.items()} == {
+        k: (v.p50_est, v.p90_est, v.p99_est) for k, v in est2.items()
+    }
+    full = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect():
+        full.setdefault(r.event_type, []).append(r.value)
+    assert set(full) == set(est1)
+    for etype, vals in full.items():
+        vals.sort()
+        n = len(vals)
+        got = est1[etype]
+        assert 0 < got.n_sampled < n
+        for p, est in ((0.5, got.p50_est), (0.9, got.p90_est), (0.99, got.p99_est)):
+            import bisect
+
+            rank = bisect.bisect_right(vals, est)
+            sigma = (p * (1 - p) * n / 0.3) ** 0.5
+            assert abs(rank - p * n) <= 4 * sigma + 1, (
+                etype, p, rank, p * n, sigma
+            )
