@@ -141,3 +141,43 @@ def test_connected_components_chain_clique_isolated(spark):
         for r in connected_components(nodes, edges, "id", "a", "b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_minhash_signature_mergeable_across_shards(spark, sf_dir):
+    """MinHash signatures are MERGEABLE: elementwise min of the
+    signatures of any partition of a document's shingle set equals the
+    signature of the whole set (min is associative/commutative). This
+    is the property that lets a 100 TB corpus build signatures
+    shard-by-shard — or update a stored signature incrementally when a
+    document grows — without ever re-reading processed text, the same
+    persistence story gated for HLL and Misra-Gries."""
+    from pyspark.sql import functions as F
+
+    from mobility_etl_spark.io import load_table
+    from mobility_etl_spark.operators.dedup import minhash_signatures, shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    sh = shingles(docs, "text", "doc_id")
+    whole = {
+        r.doc_id: list(r.signature)
+        for r in minhash_signatures(sh, "doc_id").collect()
+    }
+    # deterministic 2-way shard of each doc's shingle SET
+    shard = sh.withColumn("s", F.pmod(F.xxhash64("shingle"), F.lit(2)))
+    parts = [
+        {
+            r.doc_id: list(r.signature)
+            for r in minhash_signatures(
+                shard.filter(F.col("s") == i).drop("s"), "doc_id"
+            ).collect()
+        }
+        for i in (0, 1)
+    ]
+    assert set(whole) == set(parts[0]) | set(parts[1])
+    for doc_id, sig in whole.items():
+        a = parts[0].get(doc_id)
+        b = parts[1].get(doc_id)
+        if a is None or b is None:
+            assert sig == (a or b)
+        else:
+            assert sig == [min(x, y) for x, y in zip(a, b)]

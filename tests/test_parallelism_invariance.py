@@ -28,6 +28,8 @@ FACES = (
     "window_rank_orders",        # window over explicit total order
     "sketch_countmin_tokens",    # portable-hash integer cells
     "timeseries_ewma_users",     # group-local sequential fold
+    "shortest_paths_bfs",        # iterative frontier loop (level-exact)
+    "dedup_cluster_components",  # iterative min-label fixpoint
 )
 
 SPECS = load_all()
