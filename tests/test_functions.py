@@ -238,3 +238,23 @@ def test_hll_rollup_matches_exact_within_error(spark, sf_dir):
         for r in spec.builder(spark, sf_dir).repartition(13).collect()
     }
     assert est1 == est2
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=172_799), min_size=1, max_size=64
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_gtfs_seconds_roundtrip_property(spark, secs):
+    """Property over the full two-service-day domain: render → parse is
+    the identity for ANY second count (hypothesis-drawn), one Spark job
+    per drawn batch. Pins both directions of the >24:00:00 clock
+    handling beyond the hand-picked case table."""
+    df = spark.createDataFrame([(s,) for s in secs], "sec bigint")
+    out = df.select(
+        gtfs_time_to_seconds(seconds_to_gtfs_time("sec")).alias("back"),
+        "sec",
+    ).collect()
+    for r in out:
+        assert r.back == r.sec
