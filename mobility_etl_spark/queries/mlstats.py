@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mobility_etl_spark.functions.compat import dsum, sql_dsum
+from mobility_etl_spark.functions.compat import DEC, dsum, sql_dsum
 from mobility_etl_spark.io import load_table
 from mobility_etl_spark.operators.components import bfs_distances
 from mobility_etl_spark.operators.sampling import sql_hash_bucket
@@ -533,4 +533,74 @@ def quantile_hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_est,
                   percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99_est
            FROM __qhs_events GROUP BY event_type"""
+    )
+
+
+# --------------------------------------------------------------------
+# NULL-semantics differential face
+# --------------------------------------------------------------------
+
+
+@register(
+    "sql_null_semantics_events",
+    oracle="""
+    WITH t AS (
+        SELECT CASE WHEN event_id % 11 = 0 THEN NULL
+                    ELSE user_id % 5 END AS key_n,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS val_n,
+               value
+        FROM events
+    )
+    SELECT key_n,
+           COUNT(*) AS n_rows,
+           COUNT(val_n) AS n_vals,
+           COUNT(*) - COUNT(val_n) AS n_nulls,
+           CAST(SUM(CAST(val_n AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(val_n) AS avg_vals,
+           COUNT(*) FILTER (WHERE val_n IS NOT DISTINCT FROM NULL)
+               AS n_nullsafe_null,
+           COUNT(*) FILTER (WHERE val_n + 1.0 IS NULL) AS n_prop,
+           COUNT(*) FILTER (WHERE COALESCE(val_n, -1.0) = -1.0)
+               AS n_coalesced,
+           COUNT(*) FILTER (WHERE NULLIF(value, value) IS NULL) AS n_nullif
+    FROM t GROUP BY key_n
+    """,
+    tags=("E7", "E8", "E13"),
+)
+def sql_null_semantics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL minefield as a differential face: deterministic NULL
+    injection (every 11th key, every 7th value), then one aggregation
+    exercising each notorious semantic — COUNT(*) vs COUNT(col), AVG
+    over missing values, the NULL GROUP KEY (grouped as its own bucket,
+    not dropped), null-safe equality (Spark `<=>` ≡ DuckDB
+    IS NOT DISTINCT FROM), arithmetic propagation (NULL + 1 IS NULL),
+    COALESCE defaulting and NULLIF self-annulment. Hash equality
+    across two independent engines pins the ANSI behavior an engine
+    migration silently breaks (classic example: systems that drop NULL
+    group keys or count them in COUNT(col))."""
+    events = load_table(spark, sf_dir, "events")
+    t = events.select(
+        F.when(F.col("event_id") % 11 == 0, F.lit(None))
+        .otherwise(F.col("user_id") % 5)
+        .alias("key_n"),
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("val_n"),
+        "value",
+    )
+    return t.groupBy("key_n").agg(
+        F.count("*").alias("n_rows"),
+        F.count("val_n").alias("n_vals"),
+        (F.count("*") - F.count("val_n")).alias("n_nulls"),
+        (
+            F.sum(F.col("val_n").cast(DEC)).cast("double") / F.count("val_n")
+        ).alias("avg_vals"),
+        F.count_if(F.col("val_n").eqNullSafe(F.lit(None))).alias(
+            "n_nullsafe_null"
+        ),
+        F.count_if((F.col("val_n") + 1.0).isNull()).alias("n_prop"),
+        F.count_if(F.coalesce("val_n", F.lit(-1.0)) == -1.0).alias(
+            "n_coalesced"
+        ),
+        F.count_if(F.nullif("value", "value").isNull()).alias("n_nullif"),
     )
