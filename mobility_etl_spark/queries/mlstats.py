@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mobility_etl_spark.functions.compat import DEC, dsum, sql_dsum
+from mobility_etl_spark.functions.compat import davg, dsum, sql_davg, sql_dsum
 from mobility_etl_spark.io import load_table
 from mobility_etl_spark.operators.components import bfs_distances
 from mobility_etl_spark.operators.sampling import sql_hash_bucket
@@ -543,7 +543,7 @@ def quantile_hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_null_semantics_events",
-    oracle="""
+    oracle=f"""
     WITH t AS (
         SELECT CASE WHEN event_id % 11 = 0 THEN NULL
                     ELSE user_id % 5 END AS key_n,
@@ -555,8 +555,7 @@ def quantile_hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            COUNT(val_n) AS n_vals,
            COUNT(*) - COUNT(val_n) AS n_nulls,
-           CAST(SUM(CAST(val_n AS DECIMAL(20,6))) AS DOUBLE)
-               / COUNT(val_n) AS avg_vals,
+           {sql_davg("val_n", "avg_vals")},
            COUNT(*) FILTER (WHERE val_n IS NOT DISTINCT FROM NULL)
                AS n_nullsafe_null,
            COUNT(*) FILTER (WHERE val_n + 1.0 IS NULL) AS n_prop,
@@ -592,9 +591,7 @@ def sql_null_semantics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count("val_n").alias("n_vals"),
         (F.count("*") - F.count("val_n")).alias("n_nulls"),
-        (
-            F.sum(F.col("val_n").cast(DEC)).cast("double") / F.count("val_n")
-        ).alias("avg_vals"),
+        davg("val_n", "avg_vals"),
         F.count_if(F.col("val_n").eqNullSafe(F.lit(None))).alias(
             "n_nullsafe_null"
         ),

@@ -243,11 +243,14 @@ def test_hash_sample_quantiles_bounded_rank_error(spark, sf_dir):
         n = len(vals)
         got = est1[etype]
         assert 0 < got.n_sampled < n
+        from mobility_etl_spark.queries.mlstats import _QHS_BUCKETS, _QHS_KEEP
+
+        s_frac = _QHS_KEEP / _QHS_BUCKETS  # single-sourced with the face
         for p, est in ((0.5, got.p50_est), (0.9, got.p90_est), (0.99, got.p99_est)):
             import bisect
 
             rank = bisect.bisect_right(vals, est)
-            sigma = (p * (1 - p) * n / 0.3) ** 0.5
+            sigma = (p * (1 - p) * n / s_frac) ** 0.5
             assert abs(rank - p * n) <= 4 * sigma + 1, (
                 etype, p, rank, p * n, sigma
             )

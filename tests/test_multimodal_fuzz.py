@@ -36,13 +36,46 @@ DECODERS = {
 }
 
 
-@pytest.mark.parametrize("fmt", sorted(DECODERS))
 @given(doc_id=st.integers(min_value=0, max_value=10_000))
 @settings(max_examples=30, deadline=None)
-def test_roundtrip_decodes_for_any_id(fmt, doc_id):
-    enc, dec = DECODERS[fmt]
-    payload = enc(doc_id)
-    assert dec(payload) is not None
+def test_ppm_roundtrip_pixel_exact(doc_id):
+    w, h = 4 + doc_id % 5, 3 + doc_id % 7
+    img = decode_ppm(encode_ppm(w, h, doc_id))
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    assert (img[:, :, 0] == (3 * x + 7 * y + doc_id) % 256).all()
+    assert (img[:, :, 1] == (x * y + doc_id) % 256).all()
+    assert (img[:, :, 2] == (x + 2 * y) % 256).all()
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_sample_exact(doc_id):
+    rate, samples = decode_wav(encode_wav(doc_id))
+    channels = 1 + doc_id % 2
+    frames = 40 + doc_id % 20
+    assert rate == 8000 + (doc_id % 3) * 4000
+    assert samples.shape == (frames, channels) and samples.dtype == np.int16
+    i = np.arange(frames, dtype=np.int64)[:, None]
+    c = np.arange(channels, dtype=np.int64)[None, :]
+    assert (samples == (doc_id * 31 + i * 17 + c * 7) % 2001 - 1000).all()
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=30, deadline=None)
+def test_y4m_roundtrip_plane_exact(doc_id):
+    w, h = 8 + doc_id % 5, 6 + doc_id % 4
+    n_frames = 3 + doc_id % 4
+    dw, dh, frames = decode_y4m(encode_y4m(doc_id))
+    assert (dw, dh, len(frames)) == (w, h, n_frames)
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    for f, planes in enumerate(frames):
+        assert planes.shape == (3, h, w) and planes.dtype == np.uint8
+        assert (planes[0] == (doc_id * 7 + f * 13 + y * 3 + x) % 256).all()
+        assert (planes[1] == (doc_id + f + x * 2 + y) % 256).all()
+        assert (planes[2] == (doc_id * 5 + f * 3 + x + y * 4) % 256).all()
 
 
 @pytest.mark.parametrize("fmt", sorted(DECODERS))
@@ -73,9 +106,15 @@ def test_mutation_never_escapes_valueerror(fmt, doc_id, data):
         pass
 
 
-def test_numpy_types_round_clean():
-    """Decoded features must be plain ints/floats/ndarrays that Arrow
-    can ship — no object-dtype leakage from the chunk walk."""
-    feats = decode_wav(encode_wav(7))
-    for v in feats if isinstance(feats, tuple) else [feats]:
-        assert not isinstance(v, np.object_)
+def test_decoded_dtypes_arrow_clean():
+    """Decoded arrays must carry concrete numeric dtypes Arrow can
+    ship zero-copy — never dtype=object (an object-dtype ndarray IS an
+    ndarray, so the check must inspect .dtype, not the instance
+    type)."""
+    rate, samples = decode_wav(encode_wav(7))
+    assert isinstance(rate, int)
+    assert samples.dtype == np.int16
+    img = decode_ppm(encode_ppm(5, 4, 7))
+    assert img.dtype == np.uint8
+    _, _, frames = decode_y4m(encode_y4m(7))
+    assert all(f.dtype == np.uint8 for f in frames)
