@@ -334,3 +334,125 @@ def streaming_pyds_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_temp"),
         )
     )
+
+
+#: Per-process cache: sf_dir -> final CDC state dir (the stream is
+#: drained once per process; re-invocations read the settled state).
+_CDC_STATE_CACHE: dict[str, str] = {}
+
+
+@register(
+    "streaming_upsert_cdc",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    changes AS (
+        SELECT o_orderkey, o_custkey, o_totalprice * 1.05 AS o_totalprice,
+               o_orderstatus, 1 AS seq, 'U' AS op
+        FROM target WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice * 1.1,
+               o_orderstatus, 2, 'U'
+        FROM target WHERE o_orderkey % 14 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 3, 'D'
+        FROM target WHERE o_orderkey % 21 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, 1, 'I'
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    ),
+    latest AS (
+        SELECT * FROM changes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY seq DESC) = 1
+    )
+    SELECT t.* FROM target t ANTI JOIN latest l
+        ON t.o_orderkey = l.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM latest WHERE op <> 'D'
+    """,
+    tags=("R7", "E30", "E37"),
+)
+def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cdc_merge_orders feed driven through the REAL streaming
+    engine: the three change batches land as parquet files, a file
+    stream drains them one file per micro-batch, and
+    streaming/jobs.py:cdc_apply_stream MERGEs each micro-batch into
+    the parquet snapshot inside foreachBatch. The oracle is the pure
+    batch SQL replay of the whole feed — the equality holds BECAUSE
+    last-writer-wins is decided by the feed's sequence numbers, never
+    by arrival order, so the final state is invariant to micro-batch
+    boundaries (the property tests/test_streaming.py forces through
+    adversarial batchings). This face pins the streaming MERGE path
+    end-to-end in the driver contract; at 100 TB the same loop is a
+    foreachBatch MERGE INTO a table format, state bounded by the
+    snapshot, not the stream."""
+    import os
+
+    from mobility_etl_spark.streaming.jobs import cdc_apply_stream
+
+    out = _CDC_STATE_CACHE.get(sf_dir)
+    if out is None:
+        orders = load_table(spark, sf_dir, "orders")
+        cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+        target = orders.filter(F.col("o_orderdate") < "1999-01-01").select(
+            *cols
+        )
+
+        def batch(df, price_mult, seq, op):
+            price = (
+                (F.col("o_totalprice") * price_mult).alias("o_totalprice")
+                if price_mult != 1.0
+                else F.col("o_totalprice")
+            )
+            return df.select(
+                "o_orderkey",
+                "o_custkey",
+                price,
+                "o_orderstatus",
+                F.lit(seq).cast("int").alias("seq"),
+                F.lit(op).alias("op"),
+            )
+
+        b1 = batch(target.filter(F.col("o_orderkey") % 7 == 0), 1.05, 1, "U")
+        b2 = batch(target.filter(F.col("o_orderkey") % 14 == 0), 1.1, 2, "U")
+        b3 = batch(
+            target.filter(F.col("o_orderkey") % 21 == 0), 1.0, 3, "D"
+        ).unionByName(
+            batch(
+                orders.filter(F.col("o_orderdate") >= "1999-01-01").select(
+                    *cols
+                ),
+                1.0,
+                1,
+                "I",
+            )
+        )
+
+        root = tempfile.mkdtemp(prefix="cdc_stream_")
+        state = os.path.join(root, "state")
+        feed_dir = os.path.join(root, "feed")
+        target.write.parquet(state)
+        for i, b in enumerate((b1, b2, b3)):
+            b.coalesce(1).write.parquet(os.path.join(feed_dir, f"b{i}"))
+
+        feed_schema = spark.read.parquet(f"{feed_dir}/*").schema
+        feed = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed_dir}/*")
+        )
+        cdc_apply_stream(
+            spark,
+            feed,
+            state,
+            ["o_orderkey"],
+            "seq",
+            os.path.join(root, "ckpt"),
+        )
+        out = state
+        _CDC_STATE_CACHE[sf_dir] = out
+    return spark.read.parquet(out)

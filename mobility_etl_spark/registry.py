@@ -68,6 +68,8 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.sketch_graph",
     "mobility_etl_spark.queries.dataops",
     "mobility_etl_spark.queries.mlstats",
+    "mobility_etl_spark.queries.curation2",
+    "mobility_etl_spark.queries.temporal",
 )
 
 
