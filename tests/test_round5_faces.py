@@ -1,0 +1,294 @@
+"""Property gates for the round-5 face packs (span dedup, URL
+canonicalization, ranking metrics, skyline, temporal coalescing,
+linear interpolation, GROUPS frame, bounded kNN, streaming CDC) —
+semantics the DuckDB oracle equality alone doesn't pin: algorithmic
+invariants recomputed from raw data in plain Python (a third engine),
+idempotence, and cross-face consistency."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mobility_etl_spark.io import load_table
+from mobility_etl_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def _run(name, spark, sf_dir):
+    return SPECS[name].builder(spark, sf_dir)
+
+
+# ---------------------------------------------------------------- span dedup
+
+
+def test_span_dedup_spans_are_real_duplicates_and_maximal(spark, sf_dir):
+    """Third-engine recompute: re-derive every duplicated 8-gram window
+    from the raw text in Python and assert (a) every reported span is
+    exactly a maximal run of duplicated windows, (b) no duplicated
+    window falls outside a reported span — i.e. the face's output IS
+    the full, non-redundant answer."""
+    W = 8
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    counts: dict[str, int] = {}
+    positions: dict[int, list[int]] = {}
+    for doc_id, toks in docs.items():
+        for i in range(len(toks) - W + 1):
+            sh = hashlib.md5(" ".join(toks[i : i + W]).encode()).hexdigest()
+            counts[sh] = counts.get(sh, 0) + 1
+            positions.setdefault(doc_id, []).append(i + 1)  # 1-based
+
+    dup_pos: dict[int, list[int]] = {}
+    for doc_id, toks in docs.items():
+        for i in range(len(toks) - W + 1):
+            sh = hashlib.md5(" ".join(toks[i : i + W]).encode()).hexdigest()
+            if counts[sh] >= 2:
+                dup_pos.setdefault(doc_id, []).append(i + 1)
+
+    expected = set()
+    for doc_id, pos_list in dup_pos.items():
+        run_start = prev = pos_list[0]
+        n = 1
+        for p in pos_list[1:]:
+            if p - prev <= W:
+                prev = p
+                n += 1
+            else:
+                expected.add((doc_id, run_start, prev + W - 1, n))
+                run_start = prev = p
+                n = 1
+        expected.add((doc_id, run_start, prev + W - 1, n))
+
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in _run("span_dedup_ngram_docs", spark, sf_dir).collect()
+    }
+    assert got == expected
+    for doc_id, s, e, _n in got:
+        assert e - s + 1 >= W
+
+
+# ---------------------------------------------------------------- URL dedup
+
+
+def test_url_normalize_is_idempotent_and_total(spark, sf_dir):
+    """Canonical URLs are a fixed point of the normalizer (running the
+    same parse+normalize pipeline on them changes nothing), and the
+    group counts add back up to the full orders table."""
+    out = _run("url_normalize_dedup", spark, sf_dir)
+    rows = out.collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_raw for r in rows) == n_orders
+
+    canon = out.select(F.col("canonical_url").alias("url"))
+    scheme = F.lower(
+        F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    path = F.regexp_extract(
+        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract("url", r"[?]([^#]*)", 1)
+    path_stripped = F.regexp_replace(path, r"/+$", "")
+    q_sorted = F.expr(
+        "array_join(array_sort(filter(split("
+        "regexp_extract(url, '[?]([^#]*)', 1), '&'),"
+        " p -> p != '' AND substr(p, 1, 4) != 'utm_'"
+        " AND substr(p, 1, 4) != 'ref=')), '&')"
+    )
+    renorm = F.concat(
+        scheme,
+        F.lit("://"),
+        F.when(
+            scheme == "https", F.regexp_replace(hostport, r":443$", "")
+        )
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport),
+        F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped),
+        F.when(q_sorted == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), q_sorted)
+        ),
+    )
+    changed = canon.filter(renorm != F.col("url")).count()
+    assert changed == 0
+    # suppress unused warning for the expression built above
+    _ = query
+
+
+# ------------------------------------------------------------- ndcg metrics
+
+
+def test_ndcg_components_bounded(spark, sf_dir):
+    """DCG can never exceed IDCG (the ideal ordering maximizes the
+    discounted sum), MRR is in (0, 1e9] when any relevant doc is in
+    the top k, and the top-k relevant count is bounded by both k and
+    the total relevant count."""
+    rows = _run("ndcg_eval_retrieval", spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.dcg_fx <= r.idcg_fx
+        assert 0 <= r.mrr_fx <= 1_000_000_000
+        assert 0 <= r.n_rel_topk <= min(10, r.n_rel_total)
+        if r.n_rel_topk > 0:
+            assert r.mrr_fx > 0
+
+
+# ----------------------------------------------------------------- skyline
+
+
+def test_pareto_frontier_exact_vs_python(spark, sf_dir):
+    """Third-engine recompute of the skyline definition, plus the two
+    structural facts: frontier points never dominate each other, and
+    every non-frontier point is dominated by some frontier point."""
+    pts = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+
+    def dominated(p, q):
+        return (
+            q[1] <= p[1]
+            and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2])
+        )
+
+    expected = {
+        p[0] for p in pts if not any(dominated(p, q) for q in pts)
+    }
+    got_rows = _run("pareto_frontier_parts", spark, sf_dir).collect()
+    got = {r.p_partkey for r in got_rows}
+    assert got == expected
+    frontier = [(r.p_partkey, r.p_retailprice, r.p_size) for r in got_rows]
+    for p in frontier:
+        assert not any(dominated(p, q) for q in frontier if q[0] != p[0])
+    by_key = {p[0]: p for p in pts}
+    for p in pts:
+        if p[0] not in got:
+            assert any(dominated(p, by_key[k]) for k in got)
+
+
+# ------------------------------------------------------------- temporal ops
+
+
+def test_interval_coalesce_spans_disjoint_and_cover(spark, sf_dir):
+    """Per user: spans are strictly separated (end < next start — a
+    touching pair would have been merged), and interval counts add up
+    to the user's event count."""
+    rows = _run("temporal_interval_coalesce", spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in rows:
+        assert r.span_start_s <= r.span_end_s
+        per_user.setdefault(r.user_id, []).append(r)
+    for spans in per_user.values():
+        spans.sort(key=lambda r: r.span_start_s)
+        for a, b in zip(spans, spans[1:]):
+            assert a.span_end_s < b.span_start_s
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_intervals for r in rows) == n_events
+
+
+def test_interpolation_preserves_observations_and_bounds(spark, sf_dir):
+    """Observed days pass through unchanged (is_interp=0 rows equal
+    the independently recomputed daily sums), and every interpolated
+    value lies within [min, max] of its bracketing observations —
+    the defining property of linear interpolation."""
+    out = _run("timeseries_interpolate_linear", spark, sf_dir).collect()
+    obs = {
+        (r.user_id, r.dt): r.val_fx
+        for r in load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") % 3 != 0) & (F.col("user_id") < 40))
+        .groupBy("user_id", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("dt"))
+        .agg(
+            F.sum(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6).cast("long")
+            ).alias("val_fx")
+        )
+        .collect()
+    }
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    n_obs_rows = 0
+    for user, rows in per_user.items():
+        rows.sort(key=lambda r: r.dt)
+        for i, r in enumerate(rows):
+            if r.is_interp == 0:
+                assert obs[(user, r.dt)] == r.out_fx
+                n_obs_rows += 1
+            else:
+                prev = next(
+                    rows[j] for j in range(i - 1, -1, -1) if rows[j].is_interp == 0
+                )
+                nxt = next(
+                    rows[j] for j in range(i + 1, len(rows)) if rows[j].is_interp == 0
+                )
+                lo, hi = sorted((prev.out_fx, nxt.out_fx))
+                assert lo <= r.out_fx <= hi
+    assert n_obs_rows == len(obs)
+
+
+def test_groups_frame_matches_pandas_recompute(spark, sf_dir):
+    """Rebuild the GROUPS-frame sums in pandas (group by user+hour,
+    neighbor-sum by group order, broadcast back to rows) and compare
+    every row — a third formulation, independent of both the Spark
+    dense_rank emulation and the oracle's lag/lead join."""
+    out = _run("window_groups_frame_events", spark, sf_dir).toPandas()
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_s"),
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6)
+            .cast("long")
+            .alias("val_fx"),
+        )
+        .toPandas()
+    )
+    grp = (
+        base.groupby(["user_id", "hour_s"], as_index=False)["val_fx"]
+        .sum()
+        .sort_values(["user_id", "hour_s"])
+    )
+    grp["want"] = (
+        grp.groupby("user_id")["val_fx"]
+        .transform(lambda s: s + s.shift(1, fill_value=0) + s.shift(-1, fill_value=0))
+    )
+    merged = base.merge(grp[["user_id", "hour_s", "want"]], on=["user_id", "hour_s"])
+    check = merged.merge(out, on=["event_id", "user_id", "hour_s"])
+    assert len(check) == len(base)
+    assert (check["want"] == check["grp_sum_fx"]).all()
+
+
+# ----------------------------------------------------------------- spatial
+
+
+def test_knn_ranks_contiguous_and_within_radius(spark, sf_dir):
+    """Per source: ranks are exactly 1..n (n <= k) with distances
+    non-decreasing, every distance is within the radius bound, and
+    the kNN edge set is a subset of the radius join's pair set."""
+    knn = _run("spatial_knn_bounded", spark, sf_dir).collect()
+    pairs = {
+        frozenset((r.key_a, r.key_b))
+        for r in _run("spatial_grid_join", spark, sf_dir).collect()
+    }
+    per_src: dict[int, list] = {}
+    for r in knn:
+        assert r.dist_fx <= 400_000_000  # 400 m in 1e-6 m
+        assert frozenset((r.src, r.nbr)) in pairs
+        per_src.setdefault(r.src, []).append(r)
+    for rows in per_src.values():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        dists = [r.dist_fx for r in rows]
+        assert dists == sorted(dists)
