@@ -400,3 +400,61 @@ def window_distinct_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("distinct_users_50"),
     )
+
+
+@register(
+    "user_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst_type
+        FROM events
+    ),
+    counts AS (
+        SELECT src_type, dst_type, COUNT(*) AS n
+        FROM seq WHERE dst_type IS NOT NULL
+        GROUP BY src_type, dst_type
+    )
+    SELECT src_type, dst_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(n * 1000000000 / CAST(SUM(n) OVER (
+               PARTITION BY src_type) AS BIGINT)) AS BIGINT) AS p_fx
+    FROM counts
+    """,
+    tags=("E13", "E18"),
+)
+def user_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioral model behind next-action prediction and
+    anomaly scoring. Adjacency comes from one lead() window per user
+    (the same (ts, event_id) tie-break both engines share); transition
+    probabilities are exact rationals rendered as 1e-9 fixed point
+    (integer numerator·1e9, one shared IEEE division, floor). Plan:
+    one window shuffle on user_id, one aggregation on the (src, dst)
+    pair — the row-count collapses from events to |types|² immediately
+    after the window, so the second exchange is control-plane-sized
+    at any corpus scale."""
+    seq = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("src_type"),
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("dst_type"),
+    )
+    counts = (
+        seq.filter(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(Window.partitionBy("src_type"))
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n",
+        F.floor(F.col("n") * F.lit(1_000_000_000) / tot)
+        .cast("long")
+        .alias("p_fx"),
+    )

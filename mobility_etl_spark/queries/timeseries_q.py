@@ -232,3 +232,68 @@ def timeseries_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(fold, _EWMA_SCHEMA)
     )
+
+
+@register(
+    "timeseries_cusum_events",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(COALESCE(value, 0) * 1000000.0) AS BIGINT) AS vfx
+        FROM events
+    ),
+    g AS (
+        SELECT user_id,
+               list(CAST(vfx AS DOUBLE) ORDER BY ts, event_id) AS vals,
+               CAST(SUM(vfx) AS BIGINT) AS sum_fx,
+               COUNT(*) AS n
+        FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(FLOOR(list_reduce(
+               list_prepend(0.0, vals),
+               (acc, x) -> greatest(0.0, acc + (x - sum_fx / n))
+           )) AS BIGINT) AS cusum_fx
+    FROM g
+    """,
+    tags=("E39", "E13"),
+)
+def timeseries_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection (one-sided, final statistic): the
+    running fold s_i = max(0, s_{i-1} + (x_i - mu)) over each user's
+    event values in (ts, event_id) order, with mu the user's own mean.
+    The reset-at-zero makes this a nonlinear fold no window frame can
+    express — the honest applyInPandas shape, like EWMA. Exactness
+    discipline: values enter as 1e-6 fixed-point BIGINTs, mu is the
+    exact integer sum divided once (one IEEE division both engines
+    share), and the oracle replays the identical fold with DuckDB's
+    list_reduce over the same ordered list (0.0 prepended as the
+    init), so the floored result is bit-identical — the EWMA
+    cross-engine-fold proof extended to a max() nonlinearity. At
+    100 TB: one shuffle on the series key, O(1) state per group."""
+    events = load_table(spark, sf_dir, "events")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vfx = [
+            int(math.floor((v if pd.notna(v) else 0.0) * 1000000.0))
+            for v in pdf["value"]
+        ]
+        mu = sum(vfx) / len(vfx)
+        s = 0.0
+        for x in vfx:
+            s = max(0.0, s + (float(x) - mu))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(vfx)],
+                "cusum_fx": [int(math.floor(s))],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, "user_id long, n_events long, cusum_fx long")
+    )

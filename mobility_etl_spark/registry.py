@@ -70,6 +70,7 @@ _QUERY_MODULES: tuple[str, ...] = (
     "mobility_etl_spark.queries.mlstats",
     "mobility_etl_spark.queries.curation2",
     "mobility_etl_spark.queries.temporal",
+    "mobility_etl_spark.queries.tokenize",
 )
 
 

@@ -292,3 +292,72 @@ def test_knn_ranks_contiguous_and_within_radius(spark, sf_dir):
         assert len(rows) <= 3
         dists = [r.dist_fx for r in rows]
         assert dists == sorted(dists)
+
+
+# ------------------------------------------------------------- tokenization
+
+
+def test_bpe_face_matches_driver_side_recompute(spark, sf_dir):
+    """Full third-engine parity for the rows-only BPE face: encode
+    every document on the driver with the pure bpe_encode function and
+    compare all columns, plus the structural tokenizer invariants —
+    losslessness (concatenating a word's subwords reproduces the word)
+    and monotone counts (n_words <= n_subwords <= total chars)."""
+    from mobility_etl_spark.queries.tokenize import BPE_MERGES, bpe_encode
+
+    ranks = {pair: i for i, pair in enumerate(BPE_MERGES)}
+    got = {
+        r.doc_id: r
+        for r in SPECS["tokenize_bpe_docs"].builder(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").collect()
+    assert len(got) == len(docs)
+    merged_something = False
+    for d in docs:
+        words = d.text.split(" ") if d.text else []
+        subs = []
+        for w in words:
+            enc = bpe_encode(w, ranks)
+            assert "".join(enc) == w  # lossless
+            if len(enc) < len(w):
+                merged_something = True
+            subs.extend(enc)
+        r = got[d.doc_id]
+        assert r.n_words == len(words)
+        assert r.n_subwords == len(subs)
+        assert r.subword_sample == " ".join(subs[:8])
+        assert r.n_words <= r.n_subwords <= sum(len(w) for w in words)
+    assert merged_something, "merge table never fired - vacuous test"
+
+
+# ------------------------------------------------------------------- cusum
+
+
+def test_cusum_nonnegative_and_total(spark, sf_dir):
+    """The one-sided CUSUM statistic is >= 0 by construction (the
+    fold clamps at zero) and every event is folded exactly once."""
+    rows = SPECS["timeseries_cusum_events"].builder(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        assert r.cusum_fx >= 0
+
+
+# ------------------------------------------------------------------ markov
+
+
+def test_markov_rows_conserve_transitions_and_probability(spark, sf_dir):
+    """Transition counts add up to (events - one per user), and each
+    source row's probabilities sum to 1e9 up to the per-row floor
+    loss (< number of destinations)."""
+    rows = SPECS["user_markov_transitions"].builder(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.src_type, []).append(r)
+    for src, rs in by_src.items():
+        p_sum = sum(r.p_fx for r in rs)
+        assert 1_000_000_000 - len(rs) < p_sum <= 1_000_000_000
