@@ -37,6 +37,9 @@ QUERIES = (
     "vectorize_feature_hash",
     "phrase_search_positional",
     "trigram_similarity_join",
+    "span_dedup_ngram_docs",
+    "url_normalize_dedup",
+    "tokenize_bpe_docs",
 )
 
 
