@@ -249,3 +249,58 @@ def window_ignore_nulls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("carried"),
     )
+
+
+@register(
+    "window_rolling_median_events",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CAST(FLOOR(COALESCE(value, 0) * 1000000.0) AS BIGINT)
+                   AS vfx
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(FLOOR(2 * median(vfx) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+           )) AS BIGINT) AS med2_fx
+    FROM base
+    """,
+    tags=("E19", "E13"),
+)
+def window_rolling_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a trailing 6-row frame — Spark's window
+    surface has no MEDIAN/PERCENTILE OVER, so the face closes it with
+    sort_array(collect_list(...)) over the identical frame and exact
+    middle-element selection; the oracle runs DuckDB's NATIVE windowed
+    median. Exactness: the output is TWICE the median (sum of the two
+    middle elements, or double the single middle), which is always an
+    integer of fixed-point values — and 2·((a+b)/2) is exact in IEEE
+    doubles (the /2 only decrements the exponent), so the native
+    median side floors to the same BIGINT. Frame size is a constant,
+    so the per-row array is O(1) and the plan is one window shuffle on
+    the series key — the same cost envelope as any frame aggregate;
+    an unbounded rolling median would need the two-heap pattern in
+    applyInPandas instead."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6)
+        .cast("long")
+        .alias("vfx"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-5, 0)
+    )
+    arr = F.sort_array(F.collect_list("vfx").over(w))
+    n = F.size(arr)
+    med2 = F.element_at(arr, ((n + 1) / 2).cast("int")) + F.element_at(
+        arr, (n / 2).cast("int") + 1
+    )
+    return base.select(
+        "event_id", "user_id", med2.alias("med2_fx")
+    )
