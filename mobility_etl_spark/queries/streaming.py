@@ -380,19 +380,25 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cdc_merge_orders feed driven through the REAL streaming
     engine: the three change batches land as parquet files, a file
     stream drains them one file per micro-batch, and
-    streaming/jobs.py:cdc_apply_stream MERGEs each micro-batch into
-    the parquet snapshot inside foreachBatch. The oracle is the pure
-    batch SQL replay of the whole feed — the equality holds BECAUSE
-    last-writer-wins is decided by the feed's sequence numbers, never
-    by arrival order, so the final state is invariant to micro-batch
-    boundaries (the property tests/test_streaming.py forces through
-    adversarial batchings). This face pins the streaming MERGE path
-    end-to-end in the driver contract; at 100 TB the same loop is a
-    foreachBatch MERGE INTO a table format, state bounded by the
-    snapshot, not the stream."""
+    streaming/jobs.py:cdc_apply_stream_seq MERGEs each micro-batch
+    into the parquet snapshot inside foreachBatch. The oracle is the
+    pure batch SQL replay of the whole feed — the equality holds
+    BECAUSE the snapshot carries (__seq, __deleted) per key: a change
+    applies only if its seq beats the stored one and deletes tombstone
+    rather than drop, so the final state is invariant to micro-batch
+    boundaries AND arrival order (reversed-order gate in
+    tests/test_streaming.py — the plain target-schema
+    cdc_apply_stream is only order-invariant within a batch). This
+    face pins the streaming MERGE path end-to-end in the driver
+    contract; at 100 TB the same loop is a foreachBatch MERGE INTO a
+    table format, state bounded by the snapshot, not the stream."""
     import os
 
-    from mobility_etl_spark.streaming.jobs import cdc_apply_stream
+    from mobility_etl_spark.streaming.jobs import (
+        cdc_apply_stream_seq,
+        init_cdc_state,
+        read_cdc_state,
+    )
 
     out = _CDC_STATE_CACHE.get(sf_dir)
     if out is None:
@@ -435,7 +441,7 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = tempfile.mkdtemp(prefix="cdc_stream_")
         state = os.path.join(root, "state")
         feed_dir = os.path.join(root, "feed")
-        target.write.parquet(state)
+        init_cdc_state(target, state)
         for i, b in enumerate((b1, b2, b3)):
             b.coalesce(1).write.parquet(os.path.join(feed_dir, f"b{i}"))
 
@@ -445,7 +451,7 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{feed_dir}/*")
         )
-        cdc_apply_stream(
+        cdc_apply_stream_seq(
             spark,
             feed,
             state,
@@ -455,4 +461,4 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = state
         _CDC_STATE_CACHE[sf_dir] = out
-    return spark.read.parquet(out)
+    return read_cdc_state(spark, out)

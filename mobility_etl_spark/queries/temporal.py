@@ -27,7 +27,7 @@ from mobility_etl_spark.registry import register
         FROM events
     ),
     flags AS (
-        SELECT user_id, s, e,
+        SELECT user_id, event_id, s, e,
                CASE WHEN s <= MAX(e) OVER (
                         PARTITION BY user_id ORDER BY s, e, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
@@ -36,7 +36,8 @@ from mobility_etl_spark.registry import register
     ),
     spans AS (
         SELECT user_id, s, e,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+               SUM(brk) OVER (PARTITION BY user_id
+                              ORDER BY s, e, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS span_id
         FROM flags
@@ -82,7 +83,7 @@ def temporal_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).otherwise(F.lit(1)),
     )
-    w2 = Window.partitionBy("user_id").orderBy("s", "e")
+    w2 = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
     spans = flags.withColumn(
         "span_id",
         F.sum("brk").over(w2.rowsBetween(Window.unboundedPreceding, 0)),

@@ -16,7 +16,7 @@ key arrival rate), not by stream length.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -435,3 +435,96 @@ def tws_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def cdc_apply_stream_seq(
+    spark: SparkSession,
+    feed: DataFrame,
+    state_path: str,
+    keys: list[str],
+    seq_col: str,
+    checkpoint: str,
+    op_col: str = "op",
+) -> None:
+    """Streaming MERGE resolved on the feed's sequence numbers ACROSS
+    micro-batches, not just within one — the property
+    :func:`cdc_apply_stream` only has per-batch.
+
+    ``cdc_apply_stream`` keeps target-schema state, so once a batch is
+    applied its seq is forgotten and cross-batch conflicts fall back to
+    arrival order (fine when the source delivers in order — the file
+    stream's mtime ordering — wrong under reordering or replay of an
+    older batch). Here the snapshot carries two metadata columns:
+
+    * ``__seq`` — the sequence number that produced the row; a change
+      applies only if its seq is STRICTLY greater, so replaying an old
+      batch is a no-op and batches commute.
+    * ``__deleted`` — deletes tombstone the key (keeping its seq)
+      instead of dropping the row, so a reordered lower-seq update
+      cannot resurrect a deleted key.
+
+    Result: the final state is invariant to micro-batch BOUNDARIES and
+    ORDER (gated with reversed batches in tests/test_streaming.py).
+    This is exactly the merge rule table formats implement for
+    out-of-order CDC; readers filter ``__deleted`` (see
+    ``read_cdc_state``). Tombstones are garbage-collected by any
+    retention pass that knows the source's replay horizon.
+    """
+
+    def _apply(batch_df: DataFrame, _epoch: int) -> None:
+        if not batch_df.take(1):
+            return
+        state = spark.read.parquet(state_path)
+        data_cols = [
+            c for c in state.columns if c not in ("__seq", "__deleted")
+        ]
+        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        cur = state.select(*keys, F.col("__seq").alias("__cur_seq"))
+        eff = (
+            latest.join(cur, keys, "left")
+            .filter(
+                F.col("__cur_seq").isNull()
+                | (F.col(seq_col) > F.col("__cur_seq"))
+            )
+            .drop("__cur_seq")
+        )
+        new_rows = eff.select(
+            *data_cols,
+            F.col(seq_col).cast("long").alias("__seq"),
+            (F.col(op_col) == "D").alias("__deleted"),
+        )
+        survivors = state.join(eff.select(*keys), keys, "left_anti")
+        new = survivors.unionByName(new_rows)
+        new.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def init_cdc_state(target: DataFrame, path: str) -> None:
+    """Write ``target`` as the seq-resolved CDC snapshot (seq 0, no
+    tombstones) for :func:`cdc_apply_stream_seq`."""
+    (
+        target.withColumn("__seq", F.lit(0).cast("long"))
+        .withColumn("__deleted", F.lit(False))
+        .write.parquet(path)
+    )
+
+
+def read_cdc_state(spark: SparkSession, path: str) -> DataFrame:
+    """Visible rows of a seq-resolved CDC snapshot: tombstones
+    filtered, metadata dropped."""
+    state = spark.read.parquet(path)
+    return state.filter(~F.col("__deleted")).drop("__seq", "__deleted")

@@ -36,19 +36,21 @@ def test_span_dedup_spans_are_real_duplicates_and_maximal(spark, sf_dir):
         for r in load_table(spark, sf_dir, "documents").collect()
     }
     counts: dict[str, int] = {}
-    positions: dict[int, list[int]] = {}
+    doc_hashes: dict[int, list[str]] = {}
     for doc_id, toks in docs.items():
-        for i in range(len(toks) - W + 1):
-            sh = hashlib.md5(" ".join(toks[i : i + W]).encode()).hexdigest()
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + W]).encode()).hexdigest()
+            for i in range(len(toks) - W + 1)
+        ]
+        doc_hashes[doc_id] = hs
+        for sh in hs:
             counts[sh] = counts.get(sh, 0) + 1
-            positions.setdefault(doc_id, []).append(i + 1)  # 1-based
 
     dup_pos: dict[int, list[int]] = {}
-    for doc_id, toks in docs.items():
-        for i in range(len(toks) - W + 1):
-            sh = hashlib.md5(" ".join(toks[i : i + W]).encode()).hexdigest()
+    for doc_id, hs in doc_hashes.items():
+        for i, sh in enumerate(hs):
             if counts[sh] >= 2:
-                dup_pos.setdefault(doc_id, []).append(i + 1)
+                dup_pos.setdefault(doc_id, []).append(i + 1)  # 1-based
 
     expected = set()
     for doc_id, pos_list in dup_pos.items():
@@ -95,7 +97,6 @@ def test_url_normalize_is_idempotent_and_total(spark, sf_dir):
     path = F.regexp_extract(
         "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
     )
-    query = F.regexp_extract("url", r"[?]([^#]*)", 1)
     path_stripped = F.regexp_replace(path, r"/+$", "")
     q_sorted = F.expr(
         "array_join(array_sort(filter(split("
@@ -118,8 +119,6 @@ def test_url_normalize_is_idempotent_and_total(spark, sf_dir):
     )
     changed = canon.filter(renorm != F.col("url")).count()
     assert changed == 0
-    # suppress unused warning for the expression built above
-    _ = query
 
 
 # ------------------------------------------------------------- ndcg metrics

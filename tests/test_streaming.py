@@ -554,3 +554,63 @@ def test_ledger_stream_writer_epoch_manifests(spark, tmp_path):
     assert {(r["station_id"], r["obs_day"], r["obs_hour"]) for r in rows} == {
         (i, h // 24 + 1, h % 24) for i in range(5) for h in range(12)
     }
+
+
+def test_cdc_apply_stream_seq_order_invariant(spark, tmp_path):
+    """streaming/jobs.py:cdc_apply_stream_seq — the same change feed
+    applied in FILE order and in REVERSED order must settle to the
+    same state: seq-resolved conflicts (a replayed or reordered lower
+    seq never overwrites) and tombstoned deletes (a reordered earlier
+    update cannot resurrect a deleted key — the failure mode the
+    target-schema cdc_apply_stream has under reordering)."""
+    import os
+    import time
+
+    from mobility_etl_spark.streaming.jobs import (
+        cdc_apply_stream_seq,
+        init_cdc_state,
+        read_cdc_state,
+    )
+
+    schema = "id int, v string, seq int, op string"
+    batches = [
+        [(1, "b0-upd", 1, "U"), (2, "b0-upd", 1, "U")],
+        [(5, "x", 2, "D"), (11, "b1-ins", 2, "I")],
+        [(1, "b2-upd", 3, "U"), (11, "x", 3, "D")],
+    ]
+    want = [(2, "b0-upd"), (1, "b2-upd")] + [
+        (k, f"v{k}") for k in (3, 4, 6, 7)
+    ]
+
+    results = []
+    for tag, order in (("fwd", (0, 1, 2)), ("rev", (2, 1, 0))):
+        state = str(tmp_path / f"state_{tag}")
+        feed_dir = str(tmp_path / f"feed_{tag}")
+        os.makedirs(feed_dir)
+        target = spark.createDataFrame(
+            [(k, f"v{k}") for k in range(1, 8)], "id int, v string"
+        )
+        init_cdc_state(target, state)
+        for file_pos, batch_idx in enumerate(order):
+            spark.createDataFrame(
+                batches[batch_idx], schema
+            ).coalesce(1).write.parquet(f"{feed_dir}/b{file_pos}")
+            time.sleep(1.1)  # distinct mtimes -> deterministic order
+        feed = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed_dir}/*")
+        )
+        cdc_apply_stream_seq(
+            spark, feed, state, ["id"], "seq",
+            str(tmp_path / f"ckpt_{tag}"),
+        )
+        results.append(
+            sorted(map(tuple, read_cdc_state(spark, state).collect()))
+        )
+
+    assert results[0] == results[1] == sorted(want)
+    # key 5 (deleted seq 2) and key 11 (inserted seq 2, deleted seq 3)
+    # must be absent in BOTH orders — tombstones block resurrection.
+    for rows in results:
+        assert all(r[0] not in (5, 11) for r in rows)
