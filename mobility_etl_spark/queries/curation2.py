@@ -475,3 +475,73 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+#: Fractional repeat factors per source (the "epochs" of each corpus
+#: slice in the training mixture).
+_REPEAT_PERMILLE = {"src0": 2300, "src1": 1000, "src2": 1700, "src3": 500}
+
+
+@register(
+    "resample_upsample_repeat",
+    oracle=f"""
+    WITH rates(source, permille) AS (
+        VALUES {", ".join(f"('{s}', {p})" for s, p in sorted(_REPEAT_PERMILLE.items()))}
+    ),
+    base AS (
+        SELECT d.doc_id, d.source, r.permille,
+               (({{h}}) < r.permille % 1000) AS extra
+        FROM documents d JOIN rates r ON d.source = r.source
+    ),
+    copies AS (
+        SELECT doc_id, source,
+               CAST(permille // 1000 + CASE WHEN extra THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_copies
+        FROM base
+    )
+    SELECT doc_id, source, CAST(u.i AS BIGINT) AS copy_id
+    FROM copies, LATERAL UNNEST(range(0, n_copies)) u(i)
+    """.format(
+        h="((doc_id % 1000003) * 2654435761) % 1000000007 % 1000"
+    ),
+    tags=("N7", "N12"),
+)
+def resample_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch corpus repetition — the pretraining-mixture op
+    "repeat this slice 2.3 epochs": every doc of a source emits
+    floor(epochs) copies, plus one more for the deterministic
+    hash-selected fraction (the SAME portable integer hash family as
+    operators/sampling.py, so membership in the fractional epoch is a
+    pure function of doc_id — reproducible across runs, layouts and
+    engines, and consistent with every other sampling face). Spark
+    side: broadcast the 4-row rate table, compute n_copies as a pure
+    projection, explode a generated sequence — map-only (no shuffle at
+    all; plan-gated map-only in the signature canary). The oracle
+    replays the identical arithmetic with a LATERAL range. copy_id is
+    emitted so downstream packing/sharding can decorrelate repeats
+    (mix (doc_id, copy_id), not doc_id)."""
+    from mobility_etl_spark.operators.sampling import hash_bucket
+
+    rates = spark.createDataFrame(
+        sorted(_REPEAT_PERMILLE.items()), "source string, permille int"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    n_copies = (
+        (F.col("permille") / 1000).cast("long")
+        + F.when(
+            hash_bucket(F.col("doc_id"), 1000) < F.col("permille") % 1000,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    ).alias("n_copies")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("doc_id", "source", n_copies)
+        # sequence(0, -1) would DESCEND, not be empty — zero-copy docs
+        # must drop before the explode.
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(0, n_copies - 1)")).alias("copy_id"),
+        )
+    )

@@ -360,3 +360,38 @@ def test_markov_rows_conserve_transitions_and_probability(spark, sf_dir):
     for src, rs in by_src.items():
         p_sum = sum(r.p_fx for r in rs)
         assert 1_000_000_000 - len(rs) < p_sum <= 1_000_000_000
+
+
+# ---------------------------------------------------------------- upsampling
+
+
+def test_upsample_repeat_copy_structure_and_rate(spark, sf_dir):
+    """Per doc: copy_ids are exactly 0..n-1 with n in
+    {floor(epochs), ceil(epochs)}; per source: the total copy count
+    equals floor-copies plus the deterministic hash-selected extras
+    (recomputed with the same portable hash), so the fractional epoch
+    is exact, not approximate."""
+    from mobility_etl_spark.queries.curation2 import _REPEAT_PERMILLE
+
+    rows = SPECS["resample_upsample_repeat"].builder(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    src_of: dict[int, str] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.copy_id)
+        src_of[r.doc_id] = r.source
+    for doc_id, copies in per_doc.items():
+        pm = _REPEAT_PERMILLE[src_of[doc_id]]
+        assert sorted(copies) == list(range(len(copies)))
+        assert len(copies) in (pm // 1000, pm // 1000 + 1)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source").collect()
+    for src, pm in _REPEAT_PERMILLE.items():
+        ids = [d.doc_id for d in docs if d.source == src]
+        extras = sum(
+            1
+            for i in ids
+            if ((i % 1000003) * 2654435761) % 1000000007 % 1000 < pm % 1000
+        )
+        want = (pm // 1000) * len(ids) + extras
+        got = sum(len(per_doc.get(i, [])) for i in ids)
+        assert got == want
