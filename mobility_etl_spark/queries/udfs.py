@@ -411,3 +411,72 @@ def sql_variables_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "sql_scripting_bisect_median",
+    oracle="""
+    WITH k AS (
+        SELECT CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) AS need FROM orders
+    ),
+    ranked AS (
+        SELECT o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn
+        FROM orders
+    ),
+    pk AS (
+        SELECT MIN(o_totalprice) AS p
+        FROM ranked WHERE rn = (SELECT need FROM k)
+    )
+    SELECT CAST(FLOOR(p) + 1 AS BIGINT) AS thresh,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice < FLOOR(p) + 1) AS n_below,
+           (SELECT need FROM k) AS need
+    FROM pk
+    """,
+    tags=("E13", "E21"),
+)
+def sql_scripting_bisect_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 SQL scripting (BEGIN/END compound statements, DECLARE,
+    WHILE, scalar-subquery SET) running a REAL iterative algorithm
+    over data: binary search for the smallest integer price threshold
+    whose strict-below count reaches half the table — a scripted
+    median bracket, ~20 data-driven loop iterations where each
+    re-query refines the bound. The oracle is the CLOSED FORM the
+    bisection must converge to (floor(k-th smallest) + 1, k = ceil(n/2)
+    — smallest integer strictly above at least k prices), so the
+    equality proves the control flow, the loop-variable updates, and
+    the scalar-subquery reads all compose correctly. Scripting is the
+    procedural replacement for driver-side Python loops around
+    spark.sql; each iteration is one count aggregate (a control-plane
+    scalar), the classic shape of any iterative-refinement job."""
+    from mobility_etl_spark.io import load_table
+
+    view = "scripting_orders_v"
+    load_table(spark, sf_dir, "orders").select(
+        "o_totalprice"
+    ).createOrReplaceTempView(view)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(f"""
+    BEGIN
+      DECLARE need BIGINT;
+      DECLARE lo BIGINT DEFAULT 0;
+      DECLARE hi BIGINT DEFAULT 1000000;
+      DECLARE mid BIGINT;
+      DECLARE c BIGINT;
+      SET need = (SELECT CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) FROM {view});
+      WHILE hi - lo > 1 DO
+        SET mid = (lo + hi) DIV 2;
+        SET c = (SELECT COUNT(*) FROM {view} WHERE o_totalprice < mid);
+        IF c >= need THEN
+          SET hi = mid;
+        ELSE
+          SET lo = mid;
+        END IF;
+      END WHILE;
+      SELECT hi AS thresh,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM {view}
+              WHERE o_totalprice < hi) AS n_below,
+             need;
+    END
+    """)
