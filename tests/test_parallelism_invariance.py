@@ -30,6 +30,9 @@ FACES = (
     "timeseries_ewma_users",     # group-local sequential fold
     "shortest_paths_bfs",        # iterative frontier loop (level-exact)
     "dedup_cluster_components",  # iterative min-label fixpoint
+    "span_dedup_ngram_docs",     # digest groupBy + semi-join + window (r5)
+    "pareto_frontier_parts",     # segmented prefix-max sweep (r5)
+    "timeseries_cusum_events",   # group-local nonlinear fold (r5)
 )
 
 SPECS = load_all()
