@@ -601,3 +601,95 @@ def sql_null_semantics_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_if(F.nullif("value", "value").isNull()).alias("n_nullif"),
     )
+
+
+@register(
+    "psi_drift_events",
+    oracle="""
+    WITH bucketed AS (
+        SELECT event_type,
+               CAST(LEAST(9, GREATEST(0,
+                   FLOOR(COALESCE(value, 0) / 50.0))) AS BIGINT) AS bkt,
+               event_id % 2 AS half
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, bkt,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cnt_ref,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cnt_cur
+        FROM bucketed GROUP BY event_type, bkt
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(cnt_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(cnt_cur) AS BIGINT) AS n_cur
+        FROM cells GROUP BY event_type
+    ),
+    terms AS (
+        SELECT c.event_type, t.n_ref, t.n_cur,
+               CAST(FLOOR(
+                   ((c.cnt_ref + 1) / CAST(t.n_ref + 10 AS DOUBLE)
+                    - (c.cnt_cur + 1) / CAST(t.n_cur + 10 AS DOUBLE))
+                   * ln(((c.cnt_ref + 1) / CAST(t.n_ref + 10 AS DOUBLE))
+                        / ((c.cnt_cur + 1) / CAST(t.n_cur + 10 AS DOUBLE)))
+                   * 1e9) AS BIGINT) AS term_fx
+        FROM cells c JOIN tot t ON c.event_type = t.event_type
+    )
+    SELECT event_type,
+           CAST(SUM(term_fx) AS BIGINT) AS psi_fx,
+           MIN(n_ref) AS n_ref,
+           MIN(n_cur) AS n_cur
+    FROM terms GROUP BY event_type
+    """,
+    tags=("E13", "N5"),
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the ML-monitoring drift metric —
+    between a deterministic reference/current split (event_id parity)
+    of each event type's value distribution over 10 fixed-width
+    buckets, add-one smoothed so empty cells stay finite. PSI =
+    Σ (p−q)·ln(p/q): each term is two exact integer-ratio divisions,
+    one ln, one product — floored to 1e-9 fixed point so the per-type
+    reduction is an exact integer sum at any parallelism (the same
+    cross-engine ln discipline as text_token_entropy and
+    mutual_information_tokens). Plan: one scan, one (type, bucket)
+    aggregation, a per-type roll-up joined back — all shuffles are
+    |types|·|buckets|-sized, nothing fact-scale after the first
+    aggregate. The drift monitor every production training pipeline
+    runs daily against its feature store."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) / 50.0),
+            ),
+        )
+        .cast("long")
+        .alias("bkt"),
+        (F.col("event_id") % 2).alias("half"),
+    )
+    cells = ev.groupBy("event_type", "bkt").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cnt_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cnt_cur"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("cnt_ref").alias("n_ref"), F.sum("cnt_cur").alias("n_cur")
+    )
+    p = (F.col("cnt_ref") + 1) / (F.col("n_ref") + 10).cast("double")
+    q = (F.col("cnt_cur") + 1) / (F.col("n_cur") + 10).cast("double")
+    term_fx = F.floor((p - q) * F.log(p / q) * 1e9).cast("long")
+    return (
+        cells.join(F.broadcast(tot), "event_type")
+        .select("event_type", "n_ref", "n_cur", term_fx.alias("term_fx"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("term_fx").alias("psi_fx"),
+            F.min("n_ref").alias("n_ref"),
+            F.min("n_cur").alias("n_cur"),
+        )
+        .select("event_type", "psi_fx", "n_ref", "n_cur")
+    )

@@ -395,3 +395,23 @@ def test_upsample_repeat_copy_structure_and_rate(spark, sf_dir):
         want = (pm // 1000) * len(ids) + extras
         got = sum(len(per_doc.get(i, [])) for i in ids)
         assert got == want
+
+
+# --------------------------------------------------------------------- psi
+
+
+def test_psi_nonnegative_and_conserves_counts(spark, sf_dir):
+    """Every (p-q)*ln(p/q) term is >= 0 (the factors share sign), so
+    PSI is >= 0; and the two halves partition each event type."""
+    rows = SPECS["psi_drift_events"].builder(spark, sf_dir).collect()
+    per_type = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert len(rows) == len(per_type)
+    for r in rows:
+        assert r.psi_fx >= 0
+        assert r.n_ref + r.n_cur == per_type[r.event_type]
