@@ -362,3 +362,126 @@ def streaming_snapshot_sink(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------- catalog
+
+_CATDIR = "_catalog"
+
+
+def _cat_dir(catalog_path: str) -> pathlib.Path:
+    return pathlib.Path(catalog_path) / _CATDIR
+
+
+def _cat_versions(catalog_path: str) -> list[int]:
+    d = _cat_dir(catalog_path)
+    if not d.is_dir():
+        return []
+    out = []
+    for f in d.glob("v*.catalog.json"):
+        try:
+            out.append(int(f.name[1:].split(".", 1)[0]))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def commit_catalog(
+    catalog_path: str,
+    tables: dict[str, tuple[str, int]],
+    note: str = "",
+) -> int:
+    """Atomically bind a set of tables to specific snapshot versions:
+    ``tables`` maps name -> (table_path, snapshot_version). This is the
+    multi-table transaction a single-table manifest cannot give you —
+    e.g. committing a fact table and its dimension together so no
+    reader ever joins new facts against old dims. Protocol is the same
+    optimistic put-if-absent loop as commit_snapshot (stage, hard-link,
+    retry on EEXIST), one level up: per-table snapshots commit first
+    (each atomic on its own), then ONE catalog manifest makes the pair
+    visible — readers resolving through the catalog see the old set or
+    the new set, never a mix. Every referenced snapshot is validated to
+    exist before staging, so a catalog version can never dangle."""
+    for name, (tpath, tver) in tables.items():
+        if tver not in _list_versions(tpath):
+            raise FileNotFoundError(
+                f"catalog commit references {name}@v{tver} but "
+                f"{tpath} has versions {_list_versions(tpath)}"
+            )
+    d = _cat_dir(catalog_path)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".tmp-{uuid.uuid4().hex[:12]}"
+    try:
+        for _ in range(100):
+            version = (_cat_versions(catalog_path) or [0])[-1] + 1
+            manifest = {
+                "version": version,
+                "note": note,
+                "tables": {
+                    name: {"path": tpath, "version": tver}
+                    for name, (tpath, tver) in sorted(tables.items())
+                },
+            }
+            tmp.write_text(json.dumps(manifest, indent=1))
+            try:
+                os.link(tmp, d / f"v{version}.catalog.json")
+                return version
+            except FileExistsError:
+                continue  # lost the race; retry against the new tip
+        raise RuntimeError(
+            f"commit_catalog: lost 100 consecutive commit races at "
+            f"{catalog_path}"
+        )
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def read_catalog_table(
+    spark: SparkSession,
+    catalog_path: str,
+    name: str,
+    catalog_version: int | None = None,
+    where: tuple[str, object, object] | None = None,
+) -> DataFrame:
+    """Read ``name`` AS OF a catalog version (latest when None): the
+    catalog pins the table to the snapshot it was committed with, so a
+    multi-table reader that resolves every table through the SAME
+    catalog version gets a transactionally consistent set, regardless
+    of newer per-table snapshots that have not been bound yet."""
+    versions = _cat_versions(catalog_path)
+    if not versions:
+        raise FileNotFoundError(f"no catalog commits at {catalog_path}")
+    v = versions[-1] if catalog_version is None else catalog_version
+    if v not in versions:
+        raise FileNotFoundError(f"catalog v{v} not found (have {versions})")
+    manifest = json.loads(
+        (_cat_dir(catalog_path) / f"v{v}.catalog.json").read_text()
+    )
+    entry = manifest["tables"].get(name)
+    if entry is None:
+        raise KeyError(
+            f"table {name!r} not in catalog v{v} "
+            f"(has {sorted(manifest['tables'])})"
+        )
+    return read_snapshot(
+        spark, entry["path"], entry["version"], where=where
+    )
+
+
+def catalog_log(catalog_path: str) -> list[dict]:
+    """One summary dict per catalog commit."""
+    out = []
+    for v in _cat_versions(catalog_path):
+        m = json.loads(
+            (_cat_dir(catalog_path) / f"v{v}.catalog.json").read_text()
+        )
+        out.append(
+            {
+                "version": m["version"],
+                "note": m["note"],
+                "tables": {
+                    n: e["version"] for n, e in m["tables"].items()
+                },
+            }
+        )
+    return out

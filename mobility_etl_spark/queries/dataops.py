@@ -188,3 +188,115 @@ def observed_metrics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["sum_total"], m["n_high"], m["n_null_cust"])],
         "n_rows bigint, sum_total double, n_high bigint, n_null_cust bigint",
     )
+
+
+#: Per-process cache: sf_dir -> catalog root (two tables, two catalog
+#: versions, built once per process).
+_CATALOG_CACHE: dict[str, str] = {}
+
+
+@register(
+    "snapshot_catalog_read",
+    oracle="""
+    WITH v1 AS (
+        SELECT CAST(1 AS BIGINT) AS catalog_version,
+               CAST(COUNT(*) AS BIGINT) AS n_joined,
+               CAST(SUM(e.event_id * m.mult) AS BIGINT) AS weighted_ids
+        FROM (SELECT * FROM events WHERE event_id < 400) e
+        JOIN (SELECT DISTINCT event_type,
+                     CAST(1 AS BIGINT) AS mult FROM events) m
+          ON e.event_type = m.event_type
+    ),
+    v2 AS (
+        SELECT CAST(2 AS BIGINT) AS catalog_version,
+               CAST(COUNT(*) AS BIGINT) AS n_joined,
+               CAST(SUM(e.event_id * m.mult) AS BIGINT) AS weighted_ids
+        FROM (SELECT * FROM events WHERE event_id < 800) e
+        JOIN (SELECT DISTINCT event_type,
+                     CAST(2 AS BIGINT) AS mult FROM events) m
+          ON e.event_type = m.event_type
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+    tags=("N13", "E2"),
+)
+def snapshot_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table transactional reads through the catalog layer
+    (operators/snapshots.py:commit_catalog): facts and a dimension
+    evolve together — day 1 commits (facts<400, mult=1 dims) as
+    catalog v1, day 2 commits (facts<800, mult=2 dims) as catalog v2 —
+    and the face joins facts to dims resolving BOTH tables through
+    each catalog version. The oracle recomputes both versions
+    closed-form from the id ranges, so the equality proves the catalog
+    pins a consistent (facts, dims) pair per version: a reader can
+    never join day-2 facts against day-1 multipliers. This is the
+    cross-table atomicity single-table snapshot manifests cannot give;
+    the per-table gates (reader-atomic compaction, put-if-absent
+    races) live in tests/test_snapshots.py."""
+    import json
+    import os
+    import tempfile
+
+    from mobility_etl_spark.operators.snapshots import (
+        _data_files,
+        commit_catalog,
+        commit_snapshot,
+        read_catalog_table,
+    )
+
+    cat = _CATALOG_CACHE.get(sf_dir)
+    if cat is None:
+        cat = tempfile.mkdtemp(prefix="snap_cat_")
+        facts = os.path.join(cat, "facts")
+        dims = os.path.join(cat, "dims")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type"
+        )
+        types = ev.select("event_type").distinct()
+
+        ev.filter(F.col("event_id") < 400).write.parquet(facts)
+        f1 = commit_snapshot(spark, facts, note="facts day1")
+        types.withColumn("mult", F.lit(1).cast("long")).write.parquet(dims)
+        d1 = commit_snapshot(spark, dims, note="dims day1")
+        commit_catalog(
+            cat, {"facts": (facts, f1), "dims": (dims, d1)}, note="day1"
+        )
+
+        ev.filter(
+            (F.col("event_id") >= 400) & (F.col("event_id") < 800)
+        ).write.mode("append").parquet(facts)
+        f2 = commit_snapshot(spark, facts, note="facts day2")
+        types.withColumn("mult", F.lit(2).cast("long")).write.mode(
+            "append"
+        ).parquet(dims)
+        # day-2 dims REPLACE day-1: commit only the new files
+        with open(
+            os.path.join(dims, "_snapshots", f"v{d1}.manifest.json")
+        ) as fh:
+            d1_files = set(json.load(fh)["files"])
+        new_files = [f for f in _data_files(dims) if f not in d1_files]
+        d2 = commit_snapshot(spark, dims, note="dims day2", files=new_files)
+        commit_catalog(
+            cat, {"facts": (facts, f2), "dims": (dims, d2)}, note="day2"
+        )
+        _CATALOG_CACHE[sf_dir] = cat
+
+    def agg(cv: int) -> DataFrame:
+        f = read_catalog_table(spark, cat, "facts", catalog_version=cv)
+        d = read_catalog_table(spark, cat, "dims", catalog_version=cv)
+        return (
+            f.join(F.broadcast(d), "event_type")
+            .agg(
+                F.count("*").alias("n_joined"),
+                F.sum(F.col("event_id") * F.col("mult")).alias(
+                    "weighted_ids"
+                ),
+            )
+            .select(
+                F.lit(cv).cast("long").alias("catalog_version"),
+                "n_joined",
+                "weighted_ids",
+            )
+        )
+
+    return agg(1).unionAll(agg(2))

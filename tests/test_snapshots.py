@@ -216,3 +216,96 @@ def test_manifest_stats_prune_files_soundly(spark, sf_dir):
     # a column without committed stats never prunes
     unpruned = read_snapshot(spark, path, v, where=("user_id", 0, 1))
     assert len(unpruned.inputFiles()) == n_files_full
+
+
+# ------------------------------------------------------------- catalog layer
+
+
+def test_catalog_commit_binds_tables_atomically(spark, tmp_path):
+    """A catalog version pins BOTH tables to the snapshots it was
+    committed with: after a newer per-table snapshot lands WITHOUT a
+    catalog commit, catalog readers still see the old consistent pair
+    (no torn fact/dim read); binding the new pair in one catalog
+    commit flips both together."""
+    from mobility_etl_spark.operators.snapshots import (
+        catalog_log,
+        commit_catalog,
+        commit_snapshot,
+        read_catalog_table,
+    )
+
+    cat = str(tmp_path)
+    facts = str(tmp_path / "facts")
+    dims = str(tmp_path / "dims")
+    spark.range(10).write.parquet(facts)
+    f1 = commit_snapshot(spark, facts, note="facts day1")
+    spark.createDataFrame([(0, "d1")], "k long, v string").write.parquet(dims)
+    d1 = commit_snapshot(spark, dims, note="dims day1")
+    cv1 = commit_catalog(cat, {"facts": (facts, f1), "dims": (dims, d1)})
+
+    # day-2 facts land and snapshot, but the catalog is NOT committed
+    spark.range(10, 25).write.mode("append").parquet(facts)
+    f2 = commit_snapshot(spark, facts, note="facts day2")
+    assert read_catalog_table(spark, cat, "facts").count() == 10
+    assert read_catalog_table(spark, cat, "dims").collect()[0].v == "d1"
+
+    # bind day-2 facts WITH the matching day-2 dims in one commit
+    spark.createDataFrame(
+        [(0, "d2")], "k long, v string"
+    ).write.mode("append").parquet(dims)
+    d2 = commit_snapshot(spark, dims, note="dims day2")
+    cv2 = commit_catalog(cat, {"facts": (facts, f2), "dims": (dims, d2)})
+    assert cv2 == cv1 + 1
+    assert read_catalog_table(spark, cat, "facts").count() == 25
+    # time travel: the old catalog version still reads the old pair
+    assert (
+        read_catalog_table(spark, cat, "facts", catalog_version=cv1).count()
+        == 10
+    )
+    log = catalog_log(cat)
+    assert [e["version"] for e in log] == [cv1, cv2]
+    assert log[0]["tables"] == {"facts": f1, "dims": d1}
+
+
+def test_catalog_commit_rejects_dangling_and_survives_races(spark, tmp_path):
+    """A catalog commit referencing a snapshot that does not exist
+    fails before staging anything; a lost put-if-absent race retries
+    at the next version instead of overwriting the winner."""
+    import json
+    import pathlib
+
+    import pytest
+
+    from mobility_etl_spark.operators.snapshots import (
+        commit_catalog,
+        commit_snapshot,
+        read_catalog_table,
+    )
+
+    cat = str(tmp_path)
+    t = str(tmp_path / "t")
+    spark.range(5).write.parquet(t)
+    v1 = commit_snapshot(spark, t)
+
+    with pytest.raises(FileNotFoundError):
+        commit_catalog(cat, {"t": (t, v1 + 99)})
+
+    cv1 = commit_catalog(cat, {"t": (t, v1)})
+    # simulate a rival committer winning version cv1+1
+    d = pathlib.Path(cat) / "_catalog"
+    rival = {
+        "version": cv1 + 1,
+        "note": "rival",
+        "tables": {"t": {"path": t, "version": v1}},
+    }
+    (d / f"v{cv1 + 1}.catalog.json").write_text(json.dumps(rival))
+    cv_next = commit_catalog(cat, {"t": (t, v1)}, note="retried")
+    assert cv_next == cv1 + 2  # did not clobber the rival
+    assert (
+        json.loads((d / f"v{cv1 + 1}.catalog.json").read_text())["note"]
+        == "rival"
+    )
+    assert read_catalog_table(spark, cat, "t").count() == 5
+    # a stale staged tmp file (crash simulation) is invisible to readers
+    (d / ".tmp-deadbeef").write_text("{ partial")
+    assert read_catalog_table(spark, cat, "t").count() == 5
