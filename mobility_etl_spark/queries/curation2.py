@@ -152,6 +152,47 @@ def _raw_url_sql(cast_str: str) -> str:
     )
 
 
+def url_canonical(url_col: str) -> F.Column:
+    """Canonical form of a URL column — the single source the face and
+    every test reuse (idempotence is gated over an adversarial grammar
+    in tests/test_round5_faces.py): lower-cased scheme and host,
+    default port stripped (443 for https, 80 for http), trailing
+    slashes collapsed (bare root becomes '/'), fragment dropped,
+    tracking params (utm_*/ref=) removed, surviving query params
+    sorted. Pure codegen string expressions."""
+    scheme = F.lower(
+        F.regexp_extract(url_col, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    path = F.regexp_extract(
+        url_col, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    host_n = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    path_stripped = F.regexp_replace(path, r"/+$", "")
+    path_n = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
+    q_sorted = F.expr(
+        f"array_join(array_sort(filter(split("
+        f"regexp_extract({url_col}, '[?]([^#]*)', 1), '&'),"
+        " p -> p != '' AND substr(p, 1, 4) != 'utm_'"
+        " AND substr(p, 1, 4) != 'ref=')), '&')"
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host_n,
+        path_n,
+        F.when(q_sorted == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), q_sorted)
+        ),
+    )
+
+
 @register(
     "url_normalize_dedup",
     oracle=f"""
@@ -214,51 +255,8 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.expr(_raw_url_sql("STRING")).alias("url")
     )
-    scheme = F.lower(
-        F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    )
-    hostport = F.lower(
-        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
-    path = F.regexp_extract(
-        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
-    )
-    query = F.regexp_extract("url", r"[?]([^#]*)", 1)
-
-    parts = raw.select(
-        "o_orderkey",
-        scheme.alias("scheme"),
-        hostport.alias("hostport"),
-        path.alias("path"),
-        query.alias("query"),
-    )
-    host_n = (
-        F.when(
-            F.col("scheme") == "https",
-            F.regexp_replace("hostport", r":443$", ""),
-        )
-        .when(
-            F.col("scheme") == "http",
-            F.regexp_replace("hostport", r":80$", ""),
-        )
-        .otherwise(F.col("hostport"))
-    )
-    path_stripped = F.regexp_replace("path", r"/+$", "")
-    path_n = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
-    q_sorted = F.expr(
-        "array_join(array_sort(filter(split(query, '&'),"
-        " p -> p != '' AND substr(p, 1, 4) != 'utm_'"
-        " AND substr(p, 1, 4) != 'ref=')), '&')"
-    )
-    canon = F.concat(
-        F.col("scheme"),
-        F.lit("://"),
-        host_n,
-        path_n,
-        F.when(q_sorted == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_sorted)),
-    )
     return (
-        parts.select("o_orderkey", canon.alias("canonical_url"))
+        raw.select("o_orderkey", url_canonical("url").alias("canonical_url"))
         .groupBy("canonical_url")
         .agg(
             F.count("*").alias("n_raw"),

@@ -87,37 +87,10 @@ def test_url_normalize_is_idempotent_and_total(spark, sf_dir):
     n_orders = load_table(spark, sf_dir, "orders").count()
     assert sum(r.n_raw for r in rows) == n_orders
 
+    from mobility_etl_spark.queries.curation2 import url_canonical
+
     canon = out.select(F.col("canonical_url").alias("url"))
-    scheme = F.lower(
-        F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
-    )
-    hostport = F.lower(
-        F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    )
-    path = F.regexp_extract(
-        "url", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
-    )
-    path_stripped = F.regexp_replace(path, r"/+$", "")
-    q_sorted = F.expr(
-        "array_join(array_sort(filter(split("
-        "regexp_extract(url, '[?]([^#]*)', 1), '&'),"
-        " p -> p != '' AND substr(p, 1, 4) != 'utm_'"
-        " AND substr(p, 1, 4) != 'ref=')), '&')"
-    )
-    renorm = F.concat(
-        scheme,
-        F.lit("://"),
-        F.when(
-            scheme == "https", F.regexp_replace(hostport, r":443$", "")
-        )
-        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
-        .otherwise(hostport),
-        F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped),
-        F.when(q_sorted == "", F.lit("")).otherwise(
-            F.concat(F.lit("?"), q_sorted)
-        ),
-    )
-    changed = canon.filter(renorm != F.col("url")).count()
+    changed = canon.filter(url_canonical("url") != F.col("url")).count()
     assert changed == 0
 
 
@@ -415,3 +388,41 @@ def test_psi_nonnegative_and_conserves_counts(spark, sf_dir):
     for r in rows:
         assert r.psi_fx >= 0
         assert r.n_ref + r.n_cur == per_type[r.event_type]
+
+
+def test_url_normalizer_idempotent_on_adversarial_grammar(spark):
+    """Fuzz the normalizer over a seeded adversarial URL grammar far
+    wider than the face's fixture (mixed-case schemes/hosts, both
+    default and explicit non-default ports, deep and empty paths, runs
+    of trailing slashes, shuffled tracking/real params, empty params,
+    fragments with separators) and assert the defining property:
+    normalize(normalize(u)) == normalize(u) for every URL."""
+    import itertools
+
+    schemes = ["http", "HTTP", "https", "HTTPS", "hTTpS"]
+    hosts = ["A.B.example.COM", "x.example.com:443", "x.example.com:8443",
+             "Y.example.ORG:80", "z.example.net"]
+    paths = ["", "/", "/a/b/c", "/a//", "/a/b///", "/UPPER/Case"]
+    queries = ["", "?a=1", "?utm_source=x", "?b=2&a=1&utm_b=3&ref=h&c=3",
+               "?&&a=1&", "?ref=only", "?z=9&y=8&x=7"]
+    frags = ["", "#f", "#a?b&c"]
+    urls = [
+        s + "://" + h + p + q + f
+        for s, h, p, q, f in itertools.product(
+            schemes, hosts, paths, queries, frags
+        )
+    ]
+    from mobility_etl_spark.queries.curation2 import url_canonical
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(url_canonical("url").alias("url"))
+    twice = once.select(url_canonical("url").alias("url"))
+    diff = [
+        (a, b)
+        for a, b in zip(
+            sorted(r.url for r in once.collect()),
+            sorted(r.url for r in twice.collect()),
+        )
+        if a != b
+    ]
+    assert diff == [], f"normalizer not idempotent, e.g. {diff[:3]}"
