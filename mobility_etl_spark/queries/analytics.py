@@ -458,3 +458,98 @@ def user_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_fx"),
     )
+
+
+@register(
+    "user_pattern_match_cep",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS s
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    g AS (SELECT * FROM ev WHERE event_type = 'signup'),
+    p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+    cand AS (
+        SELECT g.user_id, g.s AS signup_s, g.event_id AS gid,
+               p.s AS purchase_s, p.event_id AS pid
+        FROM g JOIN p ON p.user_id = g.user_id
+         AND (p.s > g.s OR (p.s = g.s AND p.event_id > g.event_id))
+         AND p.s <= g.s + 3600
+        WHERE NOT EXISTS (
+            SELECT 1 FROM g g2
+            WHERE g2.user_id = g.user_id
+              AND (g2.s > g.s OR (g2.s = g.s AND g2.event_id > g.event_id))
+              AND (g2.s < p.s OR (g2.s = p.s AND g2.event_id < p.event_id))
+        )
+    )
+    SELECT user_id, signup_s, purchase_s,
+           purchase_s - signup_s AS latency_s
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, gid
+                               ORDER BY purchase_s, pid) = 1
+    """,
+    tags=("E18", "E33"),
+)
+def user_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match — SQL's MATCH_RECOGNIZE
+    workload (neither engine has the clause) expressed two genuinely
+    different ways: for every signup, the FIRST purchase by the same
+    user within one hour with no newer signup in between (each
+    purchase attributes to its LATEST preceding signup; each signup
+    matches at most once). Spark runs the streaming-friendly
+    single-pass shape: one per-user window carries the last-seen
+    signup (ignorenulls last() over the (s, event_id) total order), a
+    filter applies the time bound, and a rank-1 window picks the first
+    purchase per signup — O(events) with one shuffle, the exact state
+    layout a transformWithState CEP operator would keep. The oracle is
+    the declarative join form: candidates by time-bounded
+    tuple-ordered join, an intervening-signup NOT EXISTS, QUALIFY
+    rn=1 — quadratic per user, correct by construction. Equality
+    proves the window pass implements the pattern semantics."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("s"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "s",
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("s")),
+            ignorenulls=True,
+        )
+        .over(wb)
+        .alias("sig_s"),
+        F.last(
+            F.when(F.col("event_type") == "signup", F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(wb)
+        .alias("sig_id"),
+    )
+    matches = tagged.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("sig_s").isNotNull()
+        & (F.col("s") - F.col("sig_s") <= 3600)
+    )
+    wr = Window.partitionBy("user_id", "sig_id").orderBy("s", "event_id")
+    return (
+        matches.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("sig_s").alias("signup_s"),
+            F.col("s").alias("purchase_s"),
+            (F.col("s") - F.col("sig_s")).alias("latency_s"),
+        )
+    )
