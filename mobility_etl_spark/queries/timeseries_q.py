@@ -297,3 +297,145 @@ def timeseries_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(fold, "user_id long, n_events long, cusum_fx long")
     )
+
+
+#: 1e-3 fixed point for ACF inputs — value ≤ ~600 and ≤ ~100 rows/series
+#: in the driver data, so every moment term below stays far inside
+#: BIGINT: Sk ≤ n·v² ≈ 1e2·(6e5)² ≈ 3.6e13, n²·Sk ≈ 3.6e17,
+#: n·S1·A ≈ 3.6e17, (n−k)·S1² ≈ 3.6e17 — worst-case |num| ≲ 1.5e18
+#: < 2⁶³. Series length does not grow with corpus size (users scale
+#: with rows), so the bound holds at 100 TB.
+_ACF_SCALE = 1_000
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_oracle() -> str:
+    lead_cols = ",\n               ".join(
+        f"LEAD(v, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        f" AS v{k}"
+        for k in _ACF_LAGS
+    )
+    agg_cols = ",\n               ".join(
+        f"SUM(v * v{k}) AS sk{k},\n               "
+        f"SUM(CASE WHEN v{k} IS NOT NULL THEN v END) AS a{k},\n"
+        f"               SUM(v{k}) AS b{k}"
+        for k in _ACF_LAGS
+    )
+    branches = "\n        UNION ALL\n".join(
+        f"""        SELECT user_id, CAST({k} AS BIGINT) AS lag,
+               n * n * sk{k} - n * s1 * a{k} - n * s1 * b{k}
+                   + (n - {k}) * s1 * s1 AS acf_num,
+               n * n * s2 - n * s1 * s1 AS acf_den
+        FROM g WHERE n > {k}"""
+        for k in _ACF_LAGS
+    )
+    return f"""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * {_ACF_SCALE}) AS BIGINT) AS v
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    w AS (
+        SELECT user_id, v,
+               {lead_cols}
+        FROM s
+    ),
+    g AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(v) AS s1,
+               SUM(v * v) AS s2,
+               {agg_cols}
+        FROM w
+        GROUP BY user_id
+    ),
+    l AS (
+{branches}
+    )
+    SELECT user_id, lag,
+           CAST(acf_num AS BIGINT) AS acf_num,
+           CAST(acf_den AS BIGINT) AS acf_den,
+           CAST(FLOOR(1000000.0 * CAST(acf_num AS DOUBLE)
+                      / CAST(acf_den AS DOUBLE)) AS BIGINT) AS acf_mfx
+    FROM l
+    WHERE acf_den > 0
+    """
+
+
+@register(
+    "timeseries_autocorr_events",
+    oracle=_acf_oracle(),
+    tags=("E13", "E18", "N15"),
+)
+def timeseries_autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation r_k per series at lags 1..3 — the
+    standard seasonality/burstiness diagnostic for the reference's
+    hourly delay/weather feeds (dags/weather.py:1, dags/warsaw-delays.py:1
+    produce exactly these per-key observation streams).
+
+    Exact-integer formulation so the cross-engine hash matches without
+    tolerance: values floor to 1e-3 fixed point, then with S1=Σv,
+    S2=Σv², Sk=Σ v_t·v_{t+k}, A_k=Σ_{t≤n−k} v_t, B_k=Σ_{t>k} v_t the
+    mean-centred numerator/denominator scale by n² to clear the
+    rational mean:
+
+        num_k = n²·Sk − n·S1·(A_k + B_k) + (n−k)·S1²
+        den   = n²·S2 − n·S1²          (r_k = num_k / den)
+
+    A_k is Σv over rows whose lead survives, B_k is Σ lead_k — both
+    fall out of the same single window pass, so the whole face is one
+    keyed shuffle shared by the lead window and the groupBy, then a
+    map-side stack() expand to (user, lag) rows. The ratio is emitted
+    both as the exact integer pair and as a 1e-6-floored double ratio
+    (identical IEEE expression on both engines)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * _ACF_SCALE).cast("bigint").alias("v"),
+        )
+    )
+    for k in _ACF_LAGS:
+        s = s.withColumn(f"v{k}", F.lead("v", k).over(w))
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    ]
+    for k in _ACF_LAGS:
+        aggs += [
+            F.sum(F.col("v") * F.col(f"v{k}")).alias(f"sk{k}"),
+            F.sum(F.when(F.col(f"v{k}").isNotNull(), F.col("v"))).alias(
+                f"a{k}"
+            ),
+            F.sum(f"v{k}").alias(f"b{k}"),
+        ]
+    g = s.groupBy("user_id").agg(*aggs)
+    stack_args = ", ".join(
+        f"{k}L, n * n * sk{k} - n * s1 * a{k} - n * s1 * b{k}"
+        f" + (n - {k}) * s1 * s1, IF(n > {k}, 1, 0)"
+        for k in _ACF_LAGS
+    )
+    l = g.selectExpr(
+        "user_id",
+        "n * n * s2 - n * s1 * s1 AS acf_den",
+        f"stack({len(_ACF_LAGS)}, {stack_args}) AS (lag, acf_num, ok)",
+    ).filter("ok = 1 AND acf_den > 0")
+    return l.select(
+        "user_id",
+        "lag",
+        "acf_num",
+        "acf_den",
+        F.floor(
+            1000000.0
+            * F.col("acf_num").cast("double")
+            / F.col("acf_den").cast("double")
+        )
+        .cast("bigint")
+        .alias("acf_mfx"),
+    )

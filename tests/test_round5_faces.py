@@ -426,3 +426,45 @@ def test_url_normalizer_idempotent_on_adversarial_grammar(spark):
         if a != b
     ]
     assert diff == [], f"normalizer not idempotent, e.g. {diff[:3]}"
+
+
+# ----------------------------------------------------------- autocorrelation
+
+
+def test_autocorr_matches_numpy_definition(spark, sf_dir):
+    """Third-engine recompute: the exact-integer (num, den) rational of
+    timeseries_autocorr_events must equal the textbook sample ACF
+    computed by numpy on the same 1e-3 fixed-point series — pins the
+    n²-scaling algebra (not just Spark-vs-DuckDB agreeing on it)."""
+    import numpy as np
+
+    rows = _run("timeseries_autocorr_events", spark, sf_dir).collect()
+    assert rows, "face returned no rows"
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    )
+    series: dict[int, list[tuple]] = {}
+    for r in raw:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    for r in rows:
+        xs = np.array(
+            [
+                float(np.floor(v * 1000.0))
+                for _, _, v in sorted(series[r.user_id])
+            ]
+        )
+        n, k = len(xs), r.lag
+        assert n > k and r.acf_den > 0
+        c = xs - xs.mean()
+        num = float(np.dot(c[:-k], c[k:]))
+        den = float(np.dot(c, c))
+        got = r.acf_num / r.acf_den
+        want = num / den
+        assert abs(got - want) < 1e-9, (r.user_id, k, got, want)
+        assert -1.0 - 1e-9 <= got <= 1.0 + 1e-9
+        assert r.acf_mfx == int(
+            np.floor(1e6 * float(r.acf_num) / float(r.acf_den))
+        )
