@@ -77,6 +77,107 @@ def balanced_sample(
     )
 
 
+def bucketed_global_rank(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    rank_col: str = "grank",
+    num_buckets: int = 32,
+) -> tuple[DataFrame, int]:
+    """Exact global row_number over ``(order_col, tiebreak_col)``
+    WITHOUT a single-partition window — the distributed-ranking
+    pattern (range-bucket, count, offset) that scales to 100 TB where
+    ``row_number() OVER (ORDER BY ...)`` funnels the corpus through
+    one task.
+
+    1. Approximate quantile boundaries of ``order_col`` (one bounded
+       collect of ``num_buckets - 1`` scalars). Boundary *placement*
+       only affects bucket balance, never correctness.
+    2. Bucket id = #boundaries strictly below the value — a pure,
+       deterministic, monotone function of the row value, so every
+       job/stage recomputes identical buckets with no caching or
+       cross-job shuffle-reuse assumptions (unlike
+       ``repartitionByRange``, whose sampled boundaries can differ
+       between the count pass and the rank pass).
+    3. Per-bucket counts (one bounded collect of ``<= num_buckets``
+       scalars) -> cumulative offsets, embedded as a literal map.
+    4. ``row_number`` over ``Window.partitionBy(bucket)`` (state
+       bounded by the bucket, never global) + offset = exact global
+       rank.
+
+    Ties in ``order_col`` share a bucket (the bucket function must be
+    monotone in the sort key), so a single massively-repeated value is
+    a hot bucket — the same caveat as any range partitioner; for such
+    data widen the sort key before bucketing.
+
+    Returns ``(df_with_rank_col, total_row_count)``.
+    """
+    quantiles = [i / num_buckets for i in range(1, num_buckets)]
+    bounds_row = df.agg(
+        F.percentile_approx(order_col, quantiles, 10000).alias("b")
+    ).collect()  # control-plane: num_buckets-1 scalars
+    bounds = sorted(set(bounds_row[0]["b"] or []))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda x: x < F.col(order_col)))
+    else:
+        bucket = F.lit(0)
+    tagged = df.withColumn("_rb", bucket)
+    counts = {
+        r["_rb"]: r["cnt"]
+        for r in tagged.groupBy("_rb").agg(F.count("*").alias("cnt")).collect()
+    }  # control-plane: <= num_buckets scalars, exact + deterministic
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+        offset = F.element_at(omap, F.col("_rb"))
+    else:
+        offset = F.lit(0)
+    w = Window.partitionBy("_rb").orderBy(order_col, tiebreak_col)
+    ranked = tagged.withColumn(
+        rank_col,
+        (offset.cast("long") + F.row_number().over(w)).alias(rank_col),
+    ).drop("_rb")
+    return ranked, total
+
+
+def partitioned_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_col: str,
+    tiebreak_col: str,
+    col: str = "phase",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """``NTILE(n) OVER (ORDER BY order_col, tiebreak_col)`` with exact
+    SQL semantics but zero unpartitioned windows: global rank from
+    :func:`bucketed_global_rank`, then the NTILE size formula applied
+    as a map-only expression. With ``n`` rows total, the first
+    ``n % n_tiles`` tiles hold ``n div n_tiles + 1`` rows and the rest
+    ``n div n_tiles`` — exactly SQL NTILE's row distribution, so the
+    result hash-matches the window form while the plan's only Window
+    is partitioned by range bucket."""
+    ranked, total = bucketed_global_rank(
+        df, order_col, tiebreak_col, rank_col="_grank", num_buckets=num_buckets
+    )
+    base, rem = divmod(total, n_tiles)
+    big = base + 1
+    head = rem * big  # rows covered by the (base+1)-sized tiles
+    r0 = F.col("_grank") - 1
+    phase = F.when(
+        r0 < F.lit(head), F.lit(1) + (r0 - r0 % big) / big
+    ).otherwise(
+        F.lit(1 + rem) + ((r0 - head) - (r0 - head) % max(base, 1)) / max(base, 1)
+    )
+    return ranked.withColumn(col, phase.cast("int")).drop("_grank")
+
+
 def kfold_assign(df: DataFrame, key: str, k: int, col: str = "fold") -> DataFrame:
     """Deterministic k-fold assignment: fold = portable hash of the key
     mod k — membership is a pure function of the key, so every worker,

@@ -19,7 +19,7 @@ All names sort after "minhash_near_dup" (driver-window rule).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mobility_etl_spark.functions.compat import DEC
@@ -126,14 +126,19 @@ def training_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTILE — the schedule used by staged pretraining. Deterministic
     tiebreak (doc_id) makes phase membership a pure function of the
     data, so the per-phase stats (count, char range, mean) are
-    hash-exact. The global NTILE is a single-partition window over
-    (proxy, id) pairs only — at 100 TB swap in the range-partitioned
-    percentile cut (operators/sampling.py hash buckets are the
-    membership mechanism; this face gates the schedule shape)."""
+    hash-exact. The NTILE is computed by
+    :func:`operators.sampling.partitioned_ntile` — range-bucketed
+    global rank (two bounded control-plane collects) + the NTILE size
+    formula as a map-only expression — so the plan's only Window is
+    partitioned by range bucket and NOTHING funnels through one task
+    at 100 TB. ``tests/test_sampling.py`` parity-gates this against
+    the literal ``F.ntile`` window form and plan-gates the absence of
+    unpartitioned WindowExec."""
+    from mobility_etl_spark.operators.sampling import partitioned_ntile
+
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    ranked = docs.select(
-        "doc_id", "n_chars", F.ntile(4).over(w).alias("phase")
+    ranked = partitioned_ntile(
+        docs.select("doc_id", "n_chars"), 4, "n_chars", "doc_id", col="phase"
     )
     return ranked.groupBy("phase").agg(
         F.count("*").alias("n_docs"),

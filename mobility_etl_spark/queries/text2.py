@@ -105,21 +105,19 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitters sketch (at web scale the exact vocab aggregate is
     replaced by token_heavy_hitters_mg's Misra-Gries summary; the
     broadcast probe below is unchanged). Vocabulary is broadcast —
-    the document side never shuffles for the membership probe."""
+    the document side never shuffles for the membership probe. The
+    top-K head is taken with ``orderBy().limit(K)`` →
+    TakeOrderedAndProject (per-partition heaps of K, driver merge of
+    K·partitions), NOT a row_number window over the full distinct-token
+    aggregate — a web-scale vocabulary is 10^7-10^8 tokens and must
+    never sort through one task (same pattern as text_bm25_topk)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    from pyspark.sql import Window
-
     vocab = (
         tok.groupBy("token")
         .agg(F.count("*").alias("cnt"))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("token"))
-            ),
-        )
-        .filter(F.col("rn") <= _VOCAB_K)
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(_VOCAB_K)
         .select("token", F.lit(True).alias("in_vocab"))
     )
     scoped = tok.filter(F.col("doc_id") < _DOC_SCOPE)

@@ -245,10 +245,12 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with the maximum half-year revenue
-    — a scalar subquery over an aggregated view. Implemented as an
-    empty-frame window max over the aggregate (one extra exchange of
-    the tiny per-supplier rollup, not of lineitem); the equality
-    compares exact decimals so ties behave identically to the oracle."""
+    — a scalar subquery over an aggregated view. The scalar max is a
+    one-row global aggregate broadcast-crossJoined back onto the
+    per-supplier rollup (partial+final agg, never a single-partition
+    window — the rollup is bounded by |suppliers| but the plan should
+    not depend on that); the equality compares exact decimals so ties
+    behave identically to the oracle."""
     t = load_tables(spark, sf_dir, "lineitem", "supplier")
     revenue = (
         t["lineitem"]
@@ -258,9 +260,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(F.expr(_REVENUE).cast("decimal(20,6)")).alias("total_revenue"))
     )
-    best = revenue.withColumn(
-        "max_revenue", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_revenue"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    best = revenue.crossJoin(F.broadcast(max_rev)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
     return (
         F.broadcast(best)
         .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))

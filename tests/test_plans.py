@@ -352,3 +352,51 @@ def test_decontaminate_eval_side_broadcasts(spark, sf_dir):
     plan = _plan(spark, "text_decontaminate_ngram", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide global-window inventory (VERDICT r5 item 3)
+# ---------------------------------------------------------------------------
+
+#: Every registered face whose physical plan may contain a Window-family
+#: node with an EMPTY partitionSpec. Each entry's window input is bounded
+#: by construction (justification beside it); ANY other face acquiring an
+#: unpartitioned window is a scale regression and fails the sweep below.
+GLOBAL_WINDOW_ALLOWLIST = {
+    # one row per price bucket (O(price_range / bucket)), curation2.py
+    "pareto_frontier_parts",
+    # rank windows run over the two <=100-row TakeOrderedAndProject
+    # outputs and their <=200-row RRF union, retrieval.py
+    "rag_hybrid_retrieval",
+    # rank window over the orderBy().limit(50) head, corpus_prep.py
+    "text_bm25_topk",
+    # windows over O(shuffle_partitions * k) merged Misra-Gries
+    # partials, operators/sketch.py
+    "token_heavy_hitters_mg",
+}
+
+
+def test_no_unbounded_global_windows(spark, sf_dir):
+    """Walk EVERY registered query's physical plan (subqueries included)
+    and assert the set of faces containing an unpartitioned
+    Window-family node is EXACTLY the allowlist above — each of whose
+    window inputs is provably bounded. This is the gate that keeps the
+    round-5 defects (global NTILE in training_curriculum_phases, full
+    vocab rank in text_oov_rate, q15's empty-frame window max) from
+    coming back: all three now plan without any global window."""
+    from mobility_etl_spark.registry import load_all
+    from tools.audit_windows import unpartitioned_windows
+
+    flagged: dict[str, list[str]] = {}
+    for name, spec in sorted(load_all().items()):
+        hits = unpartitioned_windows(spec.builder(spark, sf_dir))
+        if hits:
+            flagged[name] = hits
+    unexpected = {n: h for n, h in flagged.items()
+                  if n not in GLOBAL_WINDOW_ALLOWLIST}
+    stale = GLOBAL_WINDOW_ALLOWLIST - flagged.keys()
+    assert not unexpected, f"new unpartitioned global windows: {unexpected}"
+    assert not stale, (
+        f"allowlist entries no longer have global windows (prune them "
+        f"so the inventory stays exact): {stale}"
+    )

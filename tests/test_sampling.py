@@ -93,3 +93,48 @@ def test_bucket_range_and_determinism(spark):
     # same key -> same bucket across independent evaluations
     again = spark.range(0, 5000).withColumn("b", hash_bucket("id", 100))
     assert df.exceptAll(again).count() == 0
+
+
+def test_partitioned_ntile_matches_window_ntile(spark, sf_dir):
+    """Exact-semantics gate: the bucketed global-rank NTILE must agree
+    row-for-row with the literal single-partition window form (which it
+    replaced in training_curriculum_phases), across tile counts that
+    exercise both the remainder (n % t != 0) and clean-division paths —
+    and its plan's only Window must be partitioned (by range bucket)."""
+    from pyspark.sql import Window
+
+    from mobility_etl_spark.operators.sampling import partitioned_ntile
+    from tools.audit_windows import unpartitioned_windows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    for t in (4, 7):
+        got = partitioned_ntile(docs, t, "n_chars", "doc_id", col="phase")
+        ref = docs.select(
+            "doc_id",
+            "n_chars",
+            F.ntile(t).over(Window.orderBy("n_chars", "doc_id")).alias("phase"),
+        )
+        assert got.exceptAll(ref).union(ref.exceptAll(got)).count() == 0
+        assert unpartitioned_windows(got) == [], "global window leaked back"
+
+
+def test_partitioned_ntile_skewed_and_tiny(spark):
+    """Degenerate shapes: constant sort key (every row in one range
+    bucket — correctness must not depend on bucket balance) and n <
+    tiles (SQL NTILE gives each row its own tile)."""
+    from pyspark.sql import Window
+
+    from mobility_etl_spark.operators.sampling import partitioned_ntile
+
+    const = spark.range(0, 97).select(
+        F.col("id").alias("k"), F.lit(5).alias("v")
+    )
+    got = partitioned_ntile(const, 4, "v", "k", col="p")
+    ref = const.select(
+        "k", "v", F.ntile(4).over(Window.orderBy("v", "k")).alias("p")
+    )
+    assert got.exceptAll(ref).union(ref.exceptAll(got)).count() == 0
+
+    tiny = spark.range(0, 3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    got = partitioned_ntile(tiny, 5, "v", "k", col="p")
+    assert [r["p"] for r in got.orderBy("k").collect()] == [1, 2, 3]
