@@ -303,7 +303,12 @@ def timeseries_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: in the driver data, so every moment term below stays far inside
 #: BIGINT: Sk ≤ n·v² ≈ 1e2·(6e5)² ≈ 3.6e13, n²·Sk ≈ 3.6e17,
 #: n·S1·A ≈ 3.6e17, (n−k)·S1² ≈ 3.6e17 — worst-case |num| ≲ 1.5e18
-#: < 2⁶³. Series length does not grow with corpus size (users scale
+#: < 2⁶³. The regime is ENFORCED at runtime, not assumed: acf_lags
+#: fuses a per-series guard (4·n³·max|v|² < 9.0e18, derived from the
+#: term bounds above) into the output so out-of-regime series raise
+#: with a targeted message instead of wrapping (non-ANSI deployments)
+#: or raw-overflowing mid-plan (ANSI, the session default).
+#: Series length does not grow with corpus size (users scale
 #: with rows), so the bound holds at 100 TB.
 _ACF_SCALE = 1_000
 _ACF_LAGS = (1, 2, 3)
@@ -389,7 +394,13 @@ def timeseries_autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side stack() expand to (user, lag) rows. The ratio is emitted
     both as the exact integer pair and as a 1e-6-floored double ratio
     (identical IEEE expression on both engines)."""
-    events = load_table(spark, sf_dir, "events")
+    return acf_lags(load_table(spark, sf_dir, "events"))
+
+
+def acf_lags(events: DataFrame) -> DataFrame:
+    """Exact-integer sample-ACF body of timeseries_autocorr_events,
+    exposed so tests can feed synthetic series — in particular
+    out-of-regime ones that must trip the BIGINT-headroom guard."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = (
         events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
@@ -406,6 +417,7 @@ def timeseries_autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("v").alias("s1"),
         F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.max(F.abs(F.col("v"))).alias("maxabs"),
     ]
     for k in _ACF_LAGS:
         aggs += [
@@ -416,6 +428,36 @@ def timeseries_autocorr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(f"v{k}").alias(f"b{k}"),
         ]
     g = s.groupBy("user_id").agg(*aggs)
+    # Runtime regime guard: every moment term is bounded by 4·n³·v_max²
+    # (|n²·Sk| ≤ n³v², |n·S1·(A+B)| ≤ 2n³v², |(n−k)·S1²| ≤ n³v²), so
+    # requiring 4·n³·v_max² < 9.0e18 keeps the BIGINT arithmetic exact.
+    # Spark (non-ANSI) would WRAP silently past 2⁶³ while the DuckDB
+    # oracle computes in HUGEINT — out-of-regime series must therefore
+    # fail LOUDLY, not return plausible garbage. The guard is fused
+    # into acf_den (a column every output row consumes, so pruning
+    # can't drop it); driver data sits ~15× inside the bound at sf0.1.
+    in_regime = (
+        F.pow(F.col("n").cast("double"), F.lit(3.0))
+        * F.pow(F.col("maxabs").cast("double"), F.lit(2.0))
+        * 4.0
+        < 9.0e18
+    )
+    g = g.withColumn(
+        "n",
+        F.when(in_regime, F.col("n")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "timeseries_autocorr_events: series exceeds the "
+                        "1e-3 fixed-point BIGINT regime (4*n^3*max|v|^2 "
+                        ">= 9.0e18) for user_id "
+                    ),
+                    F.col("user_id").cast("string"),
+                    F.lit(" — recompute this series' moments in DECIMAL"),
+                )
+            ).cast("long")
+        ),
+    )
     stack_args = ", ".join(
         f"{k}L, n * n * sk{k} - n * s1 * a{k} - n * s1 * b{k}"
         f" + (n - {k}) * s1 * s1, IF(n > {k}, 1, 0)"

@@ -468,3 +468,30 @@ def test_autocorr_matches_numpy_definition(spark, sf_dir):
         assert r.acf_mfx == int(
             np.floor(1e6 * float(r.acf_num) / float(r.acf_den))
         )
+
+
+def test_autocorr_regime_guard_trips_on_overflow_data(spark, sf_dir):
+    """ADVICE r5: Spark (non-ANSI) silently wraps BIGINT while the
+    DuckDB oracle computes in HUGEINT, so series outside the documented
+    1e-3 fixed-point regime must RAISE, not return plausible garbage.
+    Feed a synthetic series with 4*n^3*max|v|^2 >= 9e18 and expect the
+    fused raise_error; a comfortably in-regime series still computes."""
+    import pytest as _pytest
+
+    from mobility_etl_spark.queries.timeseries_q import acf_lags
+
+    def mk(scale):
+        return spark.createDataFrame(
+            [(1, float(i), i, float((i % 4 + 1) * scale)) for i in range(10)],
+            "user_id long, ts double, event_id long, value double",
+        )
+
+    # v_fx = 1e8, n = 10: every RAW aggregate stays inside int64
+    # (s2 = n*v^2 = 1e17) so ANSI's own overflow check stays silent,
+    # but the combined moments would not (4*n^3*v^2 = 4e19 >= 9e18):
+    # exactly the regime the guard exists for — it must fire BEFORE
+    # the moment arithmetic wraps (non-ANSI) or raw-raises (ANSI).
+    with _pytest.raises(Exception, match="fixed-point BIGINT regime"):
+        acf_lags(mk(1.0e5)).collect()
+    # in-regime control: same shape, small values
+    assert len(acf_lags(mk(42.5)).collect()) == 3  # lags 1..3
