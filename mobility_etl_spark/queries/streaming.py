@@ -462,3 +462,101 @@ def streaming_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = state
         _CDC_STATE_CACHE[sf_dir] = out
     return read_cdc_state(spark, out)
+
+
+#: Per-process cache: (sf_dir) -> decisions dir for the streaming
+#: near-dup probe (stream drained once per process).
+_NDUP_STREAM_CACHE: dict[str, str] = {}
+
+
+def build_near_dup_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vector stream for the online near-dup face, in
+    ascending vec_id (= arrival) order:
+
+    * 300–499: novel vectors (the rest of the embeddings table) —
+      near-orthogonal to everything, all should be accepted;
+    * 100000–100059: jittered copies of ALREADY-INDEXED vectors 0–59
+      (cos ≈ 0.94 to their source) — rejected against the index;
+    * 200300–200359: jittered copies of STREAM vectors 300–359 —
+      rejected against earlier-accepted stream members, exercising the
+      cross-micro-batch index append.
+    """
+    from mobility_etl_spark.queries.similarity import _JITTER
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    novel = emb.filter(F.col("vec_id") >= 300).select("vec_id", "embedding")
+    dup_index = emb.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(_JITTER).alias("embedding"),
+    )
+    dup_stream = (
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 360))
+        .select(
+            (F.col("vec_id") + 200000).alias("vec_id"),
+            F.expr(_JITTER).alias("embedding"),
+        )
+    )
+    return novel.unionByName(dup_index).unionByName(dup_stream)
+
+
+def run_near_dup_stream(
+    spark: SparkSession, sf_dir: str, chunks: list[tuple[int, int]]
+) -> DataFrame:
+    """Drive build_near_dup_feed through near_dup_stream_ingest with
+    the given (lo, hi) vec_id chunking (one file = one micro-batch,
+    written in stream order), returning the decisions table."""
+    import os
+
+    from mobility_etl_spark.streaming.jobs import (
+        init_near_dup_index,
+        near_dup_stream_ingest,
+    )
+
+    root = tempfile.mkdtemp(prefix="ndup_stream_")
+    index = os.path.join(root, "index")
+    decisions = os.path.join(root, "decisions")
+    feed_dir = os.path.join(root, "feed")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init_near_dup_index(emb.filter(F.col("vec_id") < 300), index)
+
+    feed_df = build_near_dup_feed(spark, sf_dir)
+    for i, (lo, hi) in enumerate(chunks):
+        feed_df.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(os.path.join(feed_dir, f"c{i:02d}"))
+
+    schema = spark.read.parquet(f"{feed_dir}/*").schema
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed_dir}/*")
+    )
+    near_dup_stream_ingest(
+        spark, feed, index, decisions, os.path.join(root, "ckpt")
+    )
+    return spark.read.parquet(decisions)
+
+
+@register("streaming_near_dup_probe", oracle=None, tags=("N2", "N6", "E30", "E37"))
+def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online near-duplicate admission driven through the REAL
+    streaming engine (streaming/jobs.py:near_dup_stream_ingest): a
+    4-micro-batch vector feed probes the LSH-indexed corpus inside
+    foreachBatch; accepted vectors append to the index snapshot and
+    gate later arrivals. Rows-only driver check (LSH candidates are
+    recall-bounded, and the greedy admission is order-defined, not
+    SQL-expressible); tests/test_streaming.py gates (a) decisions are
+    invariant to micro-batch boundaries (1-file vs 4-file vs 8-file
+    runs identical) and (b) parity with a batch-side sequential replay
+    of the same probe graph."""
+    out = _NDUP_STREAM_CACHE.get(sf_dir)
+    if out is None:
+        dec = run_near_dup_stream(
+            spark,
+            sf_dir,
+            [(300, 400), (400, 100000), (100000, 200000), (200000, 300000)],
+        )
+        _NDUP_STREAM_CACHE[sf_dir] = dec
+        out = dec
+    return out.orderBy("vec_id")

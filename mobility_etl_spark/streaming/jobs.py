@@ -528,3 +528,115 @@ def read_cdc_state(spark: SparkSession, path: str) -> DataFrame:
     filtered, metadata dropped."""
     state = spark.read.parquet(path)
     return state.filter(~F.col("__deleted")).drop("__seq", "__deleted")
+
+
+def init_near_dup_index(corpus: DataFrame, path: str) -> None:
+    """Write the already-indexed corpus (vec_id, embedding) as the
+    near-dup index snapshot for :func:`near_dup_stream_ingest`."""
+    corpus.select("vec_id", "embedding").write.parquet(path)
+
+
+def near_dup_stream_ingest(
+    spark: SparkSession,
+    feed: DataFrame,
+    index_path: str,
+    decisions_path: str,
+    checkpoint: str,
+    threshold: float = 0.9,
+) -> None:
+    """Online near-duplicate admission over a vector stream — the
+    streaming face of ``operators/similarity.py:near_dup_probe``, the
+    loop every continuously-ingesting corpus runs: each arriving
+    vector is ACCEPTED (and indexed) iff it is not within ``threshold``
+    cosine of anything accepted before it in stream order.
+
+    Per micro-batch (foreachBatch, like ``cdc_apply_stream_seq``):
+
+    1. Sign the batch with the deterministic hyperplanes and probe it
+       against the CURRENT index (``near_dup_probe`` — only
+       increment×index bucket collisions are scored, so per-batch cost
+       tracks the batch, never the corpus square) AND against itself
+       (banded self-pairs via ``near_dup_pairs``; identical
+       hyperplanes, so the candidate set for a (j, i) pair is the same
+       whether j landed in this batch or an earlier one).
+    2. The greedy chain walks the batch in vec_id (stream) order: i is
+       rejected iff some ACCEPTED j < i collides — probe hits and
+       same-batch hits POOLED, best match by (sim, then lowest id) —
+       exactly what a one-item-per-batch stream would produce, which
+       is what makes BOTH the accept/reject status and the match
+       attribution invariant to micro-batch boundaries (gated in
+       tests/test_streaming.py: 1-file vs n-file runs identical).
+       The walk runs driver-side over the batch's COLLISION PAIRS —
+       control-plane by construction (a micro-batch is bounded, and
+       pairs are LSH-bucket collisions within it, not batch²).
+    3. Accepted rows append to the index snapshot (visible to the next
+       micro-batch's probe); every row appends one decision
+       (vec_id, accepted, match_id, sim_fx) to the decisions sink.
+
+    At 100 TB the index side is a table-format table with the
+    (band, bucket) index precomputed and the append is MERGE/commit —
+    same loop, same per-batch cost profile.
+    """
+    from mobility_etl_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_probe,
+    )
+
+    def _apply(batch_df: DataFrame, _epoch: int) -> None:
+        if not batch_df.take(1):
+            return
+        index = spark.read.parquet(index_path)
+        # control-plane collects, all bounded by the micro-batch (see
+        # docstring): batch ids, batch×index probe hits, intra-batch
+        # LSH collision pairs. Probe hits and same-batch hits are
+        # POOLED before choosing the best match — an item colliding
+        # with both an earlier-batch acceptee (probe) and a same-batch
+        # acceptee (pairs) must attribute identically no matter where
+        # the micro-batch boundary fell.
+        batch_ids = sorted(
+            r["vec_id"] for r in batch_df.select("vec_id").collect()
+        )
+        probe_hits = near_dup_probe(
+            batch_df, index, threshold=threshold
+        ).collect()
+        pairs = near_dup_pairs(batch_df, threshold=threshold).collect()
+        adj: dict[int, list[tuple[int, float]]] = {}
+        for p in probe_hits:
+            adj.setdefault(p["inc_id"], []).append(
+                (p["corp_id"], p["cos_sim"])
+            )
+        intra: dict[int, list[tuple[int, float]]] = {}
+        for p in pairs:
+            intra.setdefault(p["b_id"], []).append((p["a_id"], p["cos_sim"]))
+        accepted: list[int] = []
+        acc_set: set[int] = set()
+        decisions: list[tuple] = []
+        for i in batch_ids:
+            hits = list(adj.get(i, ())) + [
+                (j, s) for (j, s) in intra.get(i, ()) if j in acc_set
+            ]
+            if hits:
+                m, s = max(hits, key=lambda t: (t[1], -t[0]))
+                decisions.append((i, 0, m, int(round(s * 1e6))))
+            else:
+                accepted.append(i)
+                acc_set.add(i)
+                decisions.append((i, 1, None, None))
+        acc_rows = spark.createDataFrame(
+            [(i,) for i in accepted] or [], "vec_id long"
+        )
+        batch_df.join(acc_rows, "vec_id").select(
+            "vec_id", "embedding"
+        ).write.mode("append").parquet(index_path)
+        spark.createDataFrame(
+            decisions,
+            "vec_id long, accepted int, match_id long, sim_fx long",
+        ).write.mode("append").parquet(decisions_path)
+
+    q = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -614,3 +614,85 @@ def test_cdc_apply_stream_seq_order_invariant(spark, tmp_path):
     # must be absent in BOTH orders — tombstones block resurrection.
     for rows in results:
         assert all(r[0] not in (5, 11) for r in rows)
+
+
+# ------------------------------------------------- streaming near-dup probe
+
+
+def test_near_dup_stream_invariant_to_batch_boundaries(spark, sf_dir):
+    """The online admission decisions — accept/reject AND match
+    attribution — must be identical whether the feed arrives as one
+    micro-batch or eight: the defining correctness property of the
+    foreachBatch index-append loop (a boundary-dependent result would
+    mean the probe pool and the intra-batch chain disagree)."""
+    from mobility_etl_spark.queries.streaming import run_near_dup_stream
+
+    one = run_near_dup_stream(spark, sf_dir, [(300, 300000)])
+    many = run_near_dup_stream(
+        spark,
+        sf_dir,
+        [
+            (300, 340), (340, 380), (380, 420), (420, 100000),
+            (100000, 100030), (100030, 200000),
+            (200000, 200330), (200330, 300000),
+        ],
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, many.collect())
+    )
+
+
+def test_near_dup_stream_matches_batch_sequential_replay(spark, sf_dir):
+    """Parity with the batch probe: replay the same candidate graph —
+    near_dup_probe(feed, initial index) for feed×index hits and
+    near_dup_pairs(feed) for feed×feed hits (identical hyperplanes,
+    so identical LSH candidates) — through the greedy rule in plain
+    Python, and require decision-for-decision equality with the
+    streaming run, planted dups rejected and novel vectors accepted."""
+    from mobility_etl_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_probe,
+    )
+    from mobility_etl_spark.queries.streaming import (
+        build_near_dup_feed,
+        run_near_dup_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = emb.filter(F.col("vec_id") < 300)
+    feed = build_near_dup_feed(spark, sf_dir)
+
+    probe = near_dup_probe(feed, init, threshold=0.9).collect()
+    pairs = near_dup_pairs(feed, threshold=0.9).collect()
+    idx_hits: dict[int, list] = {}
+    for p in probe:
+        idx_hits.setdefault(p.inc_id, []).append((p.corp_id, p.cos_sim))
+    feed_hits: dict[int, list] = {}
+    for p in pairs:
+        feed_hits.setdefault(p.b_id, []).append((p.a_id, p.cos_sim))
+
+    expected = []
+    acc: set[int] = set()
+    for i in sorted(r.vec_id for r in feed.select("vec_id").collect()):
+        hits = list(idx_hits.get(i, ())) + [
+            (j, s) for (j, s) in feed_hits.get(i, ()) if j in acc
+        ]
+        if hits:
+            m, s = max(hits, key=lambda t: (t[1], -t[0]))
+            expected.append((i, 0, m, int(round(s * 1e6))))
+        else:
+            acc.add(i)
+            expected.append((i, 1, None, None))
+
+    got = sorted(
+        map(tuple, run_near_dup_stream(spark, sf_dir, [(300, 100000),
+                                                       (100000, 300000)])
+            .collect())
+    )
+    assert got == sorted(expected)
+    by_id = dict((t[0], t) for t in got)
+    # every planted dup rejected against its source; novel accepted
+    for src in range(60):
+        assert by_id[100000 + src][1] == 0
+    for i in range(360, 500):
+        assert by_id[i][1] == 1
