@@ -305,3 +305,96 @@ def snapshot_catalog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(1).unionAll(agg(2))
+
+
+#: Per-process cache: sf_dir -> catalog root for the concurrent-commit
+#: face (the 8-writer race runs once per process).
+_CONCURRENT_CAT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "snapshot_catalog_concurrent",
+    oracle="""
+    SELECT CAST(o_orderkey % 8 AS BIGINT) AS writer_id,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderkey % 8
+    """,
+    tags=("N13", "E2"),
+)
+def snapshot_catalog_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog commits under REAL multi-writer concurrency: 8
+    thread-pool writers each land their own orders slice as an
+    independent snapshot table, then race ``commit_catalog`` on one
+    catalog root with zero external coordination. The put-if-absent
+    protocol must linearize them — the face asserts versions came out
+    contiguous 1..8 with all 8 writers present exactly once — and then
+    reads EVERY writer's slice back through the catalog version that
+    writer won. The output (writer_id, n_rows, sum_key) is a pure
+    function of the data even though version assignment is a true
+    race, which is exactly the point: concurrency decides only the
+    ORDER of the log, never its contents. DuckDB recomputes the slices
+    closed-form, so a lost/clobbered/torn commit breaks the hash.
+    Thread-pool linearizability drills (racing snapshot commits,
+    manifest integrity, no tmp leakage) live in tests/test_snapshots.py."""
+    import os
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mobility_etl_spark.operators.snapshots import (
+        catalog_log,
+        commit_catalog,
+        commit_snapshot,
+        read_catalog_table,
+    )
+
+    n = 8
+    cat = _CONCURRENT_CAT_CACHE.get(sf_dir)
+    if cat is None:
+        cat = tempfile.mkdtemp(prefix="snap_cat_race_")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") < 4000
+        )
+
+        def writer(i: int) -> int:
+            # own table dir -> data writes are safe to run concurrently
+            # (no shared _temporary staging); only the CATALOG commit
+            # races, which is the protocol under drill
+            t = os.path.join(cat, f"slice_{i}")
+            orders.filter(F.col("o_orderkey") % n == i).select(
+                "o_orderkey"
+            ).write.parquet(t)
+            sv = commit_snapshot(spark, t, note=f"slice {i}")
+            return commit_catalog(
+                cat, {"slice": (t, sv)}, note=f"writer-{i}"
+            )
+
+        with ThreadPoolExecutor(max_workers=n) as pool:
+            versions = list(pool.map(writer, range(n)))
+        if sorted(versions) != list(range(1, n + 1)):
+            raise RuntimeError(
+                f"catalog race lost a commit: versions {sorted(versions)}"
+            )
+        _CONCURRENT_CAT_CACHE[sf_dir] = cat
+
+    notes = {e["version"]: e["note"] for e in catalog_log(cat)}
+    if sorted(notes) != list(range(1, n + 1)) or len(set(notes.values())) != n:
+        raise RuntimeError(f"catalog log not linearized: {notes}")
+    out = None
+    for cv, note in sorted(notes.items()):
+        wid = int(note.rsplit("-", 1)[1])
+        part = (
+            read_catalog_table(spark, cat, "slice", catalog_version=cv)
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("sum_key"),
+            )
+            .select(
+                F.lit(wid).cast("long").alias("writer_id"),
+                "n_rows",
+                "sum_key",
+            )
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
