@@ -129,3 +129,149 @@ def tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_batches,
         "doc_id long, n_words long, n_subwords long, subword_sample string",
     )
+
+
+def learn_bpe_reference(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side reference BPE TRAINER (Sennrich get_stats/merge
+    loop): the third engine for tokenizer_train_bpe, run by the test
+    suite over collected word counts. Overlapping adjacent positions
+    all count (the standard counting rule); ties break on
+    (weight desc, left asc, right asc) — mirrored exactly by the
+    distributed top-pair selection."""
+    vocab = {w: list(w) for w in word_counts}
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + c
+        if not stats:
+            break
+        (left, right), weight = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((rank, left, right, weight))
+        for w, syms in vocab.items():
+            j, merged = 0, []
+            while j < len(syms):
+                if (
+                    j + 1 < len(syms)
+                    and syms[j] == left
+                    and syms[j + 1] == right
+                ):
+                    merged.append(left + right)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            vocab[w] = merged
+    return out
+
+
+def learn_bpe_merges(
+    docs: DataFrame, n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
+    """DISTRIBUTED BPE trainer — the map-reduce loop that LEARNS the
+    merge table tokenize_bpe_docs only applies (the missing half of
+    the tokenizer lifecycle). Per merge round:
+
+    1. adjacent symbol pairs explode from the DISTINCT-WORD vocabulary
+       weighted by word count — the working set is |vocab| rows (Zipf:
+       ~10^6-10^7 at web scale), never the corpus; the corpus is
+       touched exactly once, by the initial word-count aggregation
+    2. one weighted groupBy(pair) + deterministic argmax
+       (weight desc, pair asc) via orderBy().limit(1) —
+       TakeOrderedAndProject, then a ONE-ROW collect (control-plane)
+    3. the winning pair merges into the vocabulary with a vectorized
+       pandas UDF (greedy left-to-right, the encoder's rule), and the
+       vocab localCheckpoints — the same bounded-working-set iteration
+       discipline as operators/components.py (lineage truncated per
+       round; without it round k re-executes rounds 1..k-1)
+
+    Returns [(rank, left, right, pair_weight)] — pure function of the
+    corpus. tests/test_round6_faces.py replays learn_bpe_reference
+    over driver-collected word counts and requires the exact same
+    merge sequence.
+    """
+    from pyspark.sql import functions as F
+
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .select("cnt", F.split("w", "").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+
+    def merge_udf(left: str, right: str):
+        @F.pandas_udf("array<string>")
+        def merge(col: pd.Series) -> pd.Series:
+            out = []
+            for syms in col:
+                j, merged = 0, []
+                n = len(syms)
+                while j < n:
+                    if (
+                        j + 1 < n
+                        and syms[j] == left
+                        and syms[j + 1] == right
+                    ):
+                        merged.append(left + right)
+                        j += 2
+                    else:
+                        merged.append(syms[j])
+                        j += 1
+                out.append(merged)
+            return pd.Series(out)
+
+        return merge
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2), "
+                        "i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("w"))
+        )
+        top = (
+            pairs.orderBy(F.col("w").desc(), "l", "r").limit(1).collect()
+        )  # control-plane: exactly one row per round
+        if not top:
+            break
+        left, right, weight = top[0]["l"], top[0]["r"], int(top[0]["w"])
+        merges.append((rank, left, right, weight))
+        vocab = vocab.withColumn(
+            "syms", merge_udf(left, right)(F.col("syms"))
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@register("tokenizer_train_bpe", oracle=None, tags=("N5", "N8", "E38"))
+def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges from the documents corpus with the
+    distributed trainer (:func:`learn_bpe_merges`). Rows-only driver
+    check (the trainer is an iterative argmax loop, not
+    SQL-expressible); exactness gates in tests/test_round6_faces.py:
+    the merge sequence equals the driver-side reference trainer's
+    exactly, and pair weights are non-increasing in rank (each round's
+    argmax can only shrink — merging never creates a pair heavier than
+    the one it consumed)."""
+    merges = learn_bpe_merges(load_table(spark, sf_dir, "documents"), 8)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_weight long"
+    )

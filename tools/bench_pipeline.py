@@ -40,6 +40,24 @@ QUERIES = (
     "span_dedup_ngram_docs",
     "url_normalize_dedup",
     "tokenize_bpe_docs",
+    # round-5/6 temporal + eval + catalog faces (VERDICT r5 item 4:
+    # measured scaling evidence, not just the shuffle-shape audit).
+    # The snapshot/catalog/streaming faces build their fixture state
+    # once per process (per-process caches), so the timed pass
+    # measures the READ/replay path — noted in SCALING.md.
+    "user_pattern_match_cep",
+    "window_rolling_median_events",
+    "timeseries_cusum_events",
+    "timeseries_autocorr_events",
+    "user_markov_transitions",
+    "psi_drift_events",
+    "temporal_interval_coalesce",
+    "timeseries_interpolate_linear",
+    "ndcg_eval_retrieval",
+    "pareto_frontier_parts",
+    "snapshot_catalog_read",
+    "snapshot_catalog_concurrent",
+    "streaming_near_dup_probe",
 )
 
 
