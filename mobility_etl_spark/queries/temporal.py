@@ -292,3 +292,76 @@ def window_groups_frame_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("hb").alias("hour_s"),
         F.sum("val_fx").over(wg).alias("grp_sum_fx"),
     )
+
+
+@register(
+    "temporal_overlap_join",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, event_id AS a_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS a_s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 + (event_id % 240) * 60 AS a_e
+        FROM events WHERE event_id % 7 = 1 AND ts IS NOT NULL
+    ),
+    b AS (
+        SELECT user_id, event_id AS b_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS b_s,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 + (event_id % 240) * 60 AS b_e
+        FROM events WHERE event_id % 7 = 2 AND ts IS NOT NULL
+    )
+    SELECT a.user_id, a_id, b_id,
+           LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS overlap_s
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a_s <= b_e AND b_s <= a_e
+    """,
+    tags=("E11", "E12", "N15"),
+)
+def temporal_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join per key — the temporal-join shape
+    behind concurrency analysis (which sessions ran at the same
+    time?), resource contention, and medication/episode overlap
+    queries. A naive plan is a per-key theta join (every a×b pair per
+    user tested); Spark would sort-merge on user_id and explode
+    per-key pairs. The scale-correct plan used here is GRID BUCKETING:
+    each interval (5 min - 4.3 h here) explodes to the 300-s grid cells it covers (cells
+    are `sequence(s div 300, e div 300)` — complete for ANY duration,
+    since an overlap instant t lies in a cell both sides cover), the
+    join is a pure EQUI-join on (user_id, cell), and a distinct on
+    (a_id, b_id) removes the ≤2-cell double matches before the exact
+    overlap test re-verifies candidates. Candidate fan-in is bounded
+    by per-cell density — the same argument as spatial_grid_join's
+    3×3 proof, in one dimension. The oracle is DuckDB's literal theta
+    join, so the hash equality PROVES the bucketed rewrite exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+    def side(mod: int, tag: str) -> DataFrame:
+        s = F.floor(F.unix_timestamp("ts")).cast("long")
+        return ev.filter(F.col("event_id") % 7 == mod).select(
+            "user_id",
+            F.col("event_id").alias(f"{tag}_id"),
+            s.alias(f"{tag}_s"),
+            (s + 300 + (F.col("event_id") % 240) * 60).alias(f"{tag}_e"),
+        )
+
+    cells = lambda t: F.explode(
+        F.sequence(
+            F.col(f"{t}_s") - F.col(f"{t}_s") % 300,
+            F.col(f"{t}_e") - F.col(f"{t}_e") % 300,
+            F.lit(300),
+        )
+    ).alias("cell")
+    a = side(1, "a").select("user_id", "a_id", "a_s", "a_e", cells("a"))
+    b = side(2, "b").select("user_id", "b_id", "b_s", "b_e", cells("b"))
+    return (
+        a.join(b, ["user_id", "cell"])
+        .filter(
+            (F.col("a_s") <= F.col("b_e")) & (F.col("b_s") <= F.col("a_e"))
+        )
+        .groupBy("user_id", "a_id", "b_id")
+        .agg(
+            (
+                F.least(F.first("a_e"), F.first("b_e"))
+                - F.greatest(F.first("a_s"), F.first("b_s"))
+            ).alias("overlap_s")
+        )
+    )
