@@ -101,3 +101,53 @@ def balanced_label_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_sample(docs, label="lang", key="doc_id", k=40).select(
         "doc_id", "lang", "rn"
     )
+
+
+_EPOCHS = (1, 2)
+_SHUF_KEY = {
+    e: sql_hash_bucket(f"(doc_id + {e} * 7919)", 1000000007)
+    for e in _EPOCHS
+}
+
+
+@register(
+    "training_epoch_shuffle",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT CAST({e} AS BIGINT) AS epoch, doc_id,
+           ROW_NUMBER() OVER (ORDER BY {_SHUF_KEY[e]}, doc_id) AS rank
+    FROM documents"""
+        for e in _EPOCHS
+    ),
+    tags=("N7", "E17"),
+)
+def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle order — the data-loader
+    contract for multi-epoch training: each epoch's permutation is a
+    pure function of (doc_id, epoch) via the portable integer hash, so
+    every worker, restart, and engine derives the identical order with
+    zero coordination, and distinct epochs get materially different
+    permutations. The global rank is computed by
+    ``operators/sampling.bucketed_global_rank`` over the hash key
+    (near-uniform, so range buckets are balanced by construction) —
+    NOT a single-partition row_number window, which is how a naive
+    epoch shuffle dies at 100 TB; the oracle's literal global
+    ROW_NUMBER proves the bucketed form exact. Epoch count is a tiny
+    constant (the loop unrolls as a union), never a data axis."""
+    from mobility_etl_spark.operators.sampling import (
+        bucketed_global_rank,
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for e in _EPOCHS:
+        keyed = docs.withColumn(
+            "skey", hash_bucket(F.col("doc_id") + e * 7919, 1000000007)
+        )
+        ranked, _n = bucketed_global_rank(keyed, "skey", "doc_id", "rank")
+        part = ranked.select(
+            F.lit(e).cast("long").alias("epoch"), "doc_id", "rank"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

@@ -82,3 +82,22 @@ def test_bpe_trainer_learned_merges_drive_the_encoder(spark, sf_dir):
         if len(enc) < len(w):
             compressed += 1
     assert compressed >= 10, f"learned merges barely fire: {merges}"
+
+
+# ---------------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_true_permutations_that_differ(spark, sf_dir):
+    """Each epoch's rank column is a complete permutation 1..n of the
+    corpus, and the two epochs' permutations are materially different
+    (an epoch shuffle that repeats itself defeats its purpose)."""
+    rows = _run("training_epoch_shuffle", spark, sf_dir).collect()
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.rank
+    assert set(by_epoch) == {1, 2}
+    n = len(by_epoch[1])
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(1, n + 1)), f"epoch {e}"
+    same = sum(1 for d in by_epoch[1] if by_epoch[1][d] == by_epoch[2][d])
+    assert same < n * 0.05, f"{same}/{n} positions identical across epochs"
