@@ -5,8 +5,10 @@ Arrow-batched ``mapInPandas`` stages over opaque ``binary`` payloads.
 Decode is REAL for binary PPM (P6) — :func:`decode_ppm` is a pure
 numpy parser, and :func:`decode_resize_images` runs an actual
 decode → nearest-neighbor resize → channel statistics pipeline,
-oracle-checked pixel-for-pixel (``multimodal_ppm_decode``). Codecs
-that genuinely need external libraries (JPEG/PNG/audio/video) stay
+oracle-checked pixel-for-pixel (``multimodal_ppm_decode``) — and REAL
+for COMPRESSED PNG via pure stdlib zlib (:func:`decode_png`: DEFLATE
+inflate, CRC-32 validation, all five scanline filter reconstructions).
+Codecs that genuinely need external libraries (JPEG/MP3/H.264) stay
 behind the honest :func:`fake_decode` stub: it derives deterministic
 media dimensions from the payload bytes so every downstream stage —
 batch iteration, schemas, partitioning, output contracts — is still
@@ -511,3 +513,164 @@ def y4m_frame_stats(payloads: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(run, Y4M_SCHEMA)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, doc_id: int) -> bytes:
+    """A REAL PNG (8-bit RGB, color type 2): the same closed-form
+    pixel pattern as :func:`encode_ppm`, DEFLATE-compressed with
+    scanline filters CYCLING through all five types (None/Sub/Up/
+    Average/Paeth by ``y % 5``) so the decoder's full filter
+    reconstruction is exercised, chunked as IHDR/IDAT/IEND with real
+    CRC-32s. Pure stdlib (zlib, struct, binascii) — PNG is the one
+    compressed image format this container can round-trip for real."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    img[:, :, 0] = (3 * x + 7 * y + doc_id) % 256
+    img[:, :, 1] = (x * y + doc_id) % 256
+    img[:, :, 2] = (x + 2 * y) % 256
+
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for yy in range(height):
+        line = img[yy].tobytes()
+        ftype = yy % 5
+        raw.append(ftype)
+        if ftype == 0:  # None
+            raw += line
+        elif ftype == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(len(line))
+            )
+        elif ftype == 2:  # Up
+            raw += bytes(
+                (line[i] - prev[i]) % 256 for i in range(len(line))
+            )
+        elif ftype == 3:  # Average
+            raw += bytes(
+                (
+                    line[i]
+                    - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2
+                )
+                % 256
+                for i in range(len(line))
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                % 256
+                for i in range(len(line))
+            )
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """REAL compressed-image decode, pure stdlib: parse the chunk
+    stream (validating every CRC-32), require 8-bit RGB (color type
+    2, no interlace), zlib-INFLATE the concatenated IDAT data, and
+    reconstruct all five scanline filters (None/Sub/Up/Average/Paeth)
+    byte-exactly per RFC 2083. Returns ((h, w, 3) uint8 array,
+    filter-type list) — the filters are surfaced so tests can prove
+    the hard paths actually ran. This is the honest counterweight to
+    :func:`fake_decode`: DEFLATE + filter reconstruction is a genuine
+    compressed codec; JPEG/MP3/H.264 still need libraries this
+    container doesn't have and stay stubbed."""
+    import binascii
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if binascii.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(f"unsupported PNG shape {ihdr}")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, width * 3
+    if len(raw) != height * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    filters = []
+    for yy in range(height):
+        off = yy * (stride + 1)
+        ftype = raw[off]
+        filters.append(ftype)
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) % 256
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) % 256
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) % 256
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) % 256
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype} on row {yy}")
+        out[yy * stride : (yy + 1) * stride] = line
+        prev = bytes(line)
+    img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, 3)
+    return img, filters

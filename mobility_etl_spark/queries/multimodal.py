@@ -5,10 +5,13 @@ Pattern for image/audio/video at 100 TB: payloads are opaque
 ``binary`` columns (or pointers: URI + hash, loaded inside the UDF),
 metadata is a typed struct, and decode/feature-extraction runs in
 Arrow-batched ``mapInPandas`` — the only place Python belongs in the
-hot path. The decode step itself is STUBBED here (no image/audio libs
-in this container, by design); everything Spark-side — schema, batch
-iteration, partitioning, output contract — is real and oracle-checked
-because the stub features (byte length, sha256) are deterministic.
+hot path. Decode is REAL for PPM (image), WAV (audio), Y4M (video)
+and — compressed, via pure stdlib zlib — PNG; codecs that genuinely
+need external libraries (JPEG/MP3/H.264) are STUBBED here (no media
+libs in this container, by design) and everything Spark-side —
+schema, batch iteration, partitioning, output contract — is still
+real and oracle-checked because the stub features (byte length,
+sha256) are deterministic.
 """
 
 from __future__ import annotations
@@ -386,9 +389,11 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane sums — the real counterpart of the stubbed ``sample_frames``
     stage for compressed codecs. The oracle recomputes every plane
     value from the closed form, so header parsing, frame segmentation
-    and plane math are value-checked cross-engine. With PPM (image)
-    and WAV (audio), all three media modalities now have a REAL
-    container decode path; only compressed codecs remain stubbed."""
+    and plane math are value-checked cross-engine. With PPM/PNG
+    (image), WAV (audio) and Y4M (video), all three media modalities
+    now have a REAL container decode path — PNG a real COMPRESSED one
+    (multimodal_png_decode); only library-bound codecs (JPEG/MP3/
+    H.264) remain stubbed."""
     from mobility_etl_spark.operators.multimodal import (
         encode_y4m,
         y4m_frame_stats,
@@ -409,3 +414,97 @@ def multimodal_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
     return y4m_frame_stats(payloads)
+
+
+@register(
+    "multimodal_png_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 11 AS w,
+               8 + doc_id % 6 AS h
+        FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+               (3 * xs.x + 7 * ys.y + d.doc_id) % 256 AS r,
+               (xs.x * ys.y + d.doc_id) % 256 AS g,
+               (xs.x + 2 * ys.y) % 256 AS b
+        FROM dims d
+        JOIN generate_series(0, 18) AS xs(x) ON xs.x < d.w
+        JOIN generate_series(0, 13) AS ys(y) ON ys.y < d.h
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS INTEGER) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(LEAST(MIN(h), 5) AS INTEGER) AS n_filter_kinds
+    FROM px GROUP BY doc_id
+    """,
+    tags=("N4", "E39"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-image decode, pure stdlib (no media library):
+    each doc gets a genuine PNG — DEFLATE-compressed scanlines cycling
+    through all five PNG filter types, CRC-32-chunked — and
+    operators/multimodal.py:decode_png inflates the IDAT stream,
+    validates every chunk CRC, and reconstructs Sub/Up/Average/Paeth
+    filtering byte-exactly, inside Arrow-batched mapInPandas. The
+    oracle recomputes every statistic from the closed-form pixel
+    pattern, so the INFLATE path, all five filter reconstructions
+    (n_filter_kinds proves they all ran), and the batch plumbing are
+    value-checked cross-engine. This upgrades the 'compressed codecs
+    stubbed' boundary: PNG is now a real decode; JPEG/MP3/H.264 still
+    require external libraries and keep the honest stub."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_png(8 + int(d) % 11, 8 + int(d) % 6, int(d))
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_px": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "n_filter_kinds": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img, filters = decode_png(bytes(payload))
+                out["doc_id"].append(int(d))
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["n_px"].append(img.shape[0] * img.shape[1])
+                out["sum_r"].append(int(img[:, :, 0].sum()))
+                out["sum_g"].append(int(img[:, :, 1].sum()))
+                out["sum_b"].append(int(img[:, :, 2].sum()))
+                out["n_filter_kinds"].append(len(set(filters)))
+            yield pd.DataFrame(out)
+
+    # payload crosses a real DataFrame boundary as a binary column
+    # (the pointer-not-payload discipline still applies upstream; see
+    # multimodal_pointer_load) before an independent decode stage —
+    # the same two-stage plumbing as the PPM face
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        dec,
+        "doc_id long, width int, height int, n_px int, sum_r bigint, "
+        "sum_g bigint, sum_b bigint, n_filter_kinds int",
+    )

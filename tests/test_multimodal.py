@@ -162,3 +162,49 @@ def test_y4m_rejects_unsupported_and_truncated():
     with pytest.raises(ValueError):
         # truncated mid-frame: frombuffer must not silently shrink
         decode_y4m(raw[:-7])
+
+
+# --------------------------------------------------------------- PNG codec
+
+
+def test_png_roundtrip_equals_pattern_and_exercises_all_filters():
+    """decode(encode(w, h, id)) reproduces the closed-form pixel array
+    exactly (same pattern as PPM, so decode_ppm doubles as the
+    independent reference), across shapes that hit every filter type
+    and the 1-pixel edge case."""
+    import numpy as np
+
+    from mobility_etl_spark.operators.multimodal import (
+        decode_png,
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+    )
+
+    for (w, h, d) in [(8, 8, 0), (13, 9, 5), (1, 1, 7), (19, 13, 123)]:
+        img, filters = decode_png(encode_png(w, h, d))
+        assert np.array_equal(img, decode_ppm(encode_ppm(w, h, d)))
+        assert filters == [y % 5 for y in range(h)]
+        assert len(set(filters)) == min(h, 5)
+
+
+def test_png_decoder_rejects_corruption():
+    """A compressed codec must FAIL LOUDLY on bad input: flipped IDAT
+    bytes (CRC mismatch), a truncated stream, and a wrong signature
+    all raise instead of returning garbage pixels."""
+    import pytest
+
+    from mobility_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    good = encode_png(8, 8, 3)
+    corrupt = bytearray(good)
+    corrupt[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(Exception):
+        decode_png(good[: len(good) // 2])
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"notapng" + good)
