@@ -674,3 +674,55 @@ def decode_png(payload: bytes):
         prev = bytes(line)
     img = np.frombuffer(bytes(out), dtype=np.uint8).reshape(height, width, 3)
     return img, filters
+
+
+#: μ-law companding constants: 14-bit linear range, 33 = 2^5 + 1 bias.
+_ULAW_CLIP = 8159
+_ULAW_BIAS = 33
+
+
+def encode_ulaw(doc_id: int) -> bytes:
+    """A COMPRESSED audio payload: G.711-style μ-law companding (8-bit
+    logarithmic codes for 14-bit linear samples — a real 2:1 lossy
+    codec built from pure integer arithmetic, precisely specified here
+    so any engine can replay it closed-form). Samples are a closed
+    form of (doc_id, i); container is a minimal 'ULAW' header + one
+    code byte per sample.
+
+    Per sample s in [-8159, 8159]: sign bit; m = min(|s|, 8159) + 33;
+    segment e = bitlen(m) - 6 in [0, 7]; mantissa = the 4 bits below
+    the leading 1; code = sign<<7 | e<<4 | mantissa."""
+    import numpy as np
+
+    n = 50 + doc_id % 50
+    i = np.arange(n, dtype=np.int64)
+    s = (doc_id * 7919 + i * i * 31) % 16001 - 8000
+    sign = (s < 0).astype(np.int64)
+    m = np.minimum(np.abs(s), _ULAW_CLIP) + _ULAW_BIAS
+    bounds = 64 << np.arange(7, dtype=np.int64)  # 64,128,...,4096
+    e = np.searchsorted(bounds, m, side="right")
+    mantissa = (m >> (e + 1)) & 0xF
+    code = (sign << 7) | (e << 4) | mantissa
+    return b"ULAW" + n.to_bytes(4, "big") + bytes(code.astype(np.uint8))
+
+
+def decode_ulaw(payload: bytes):
+    """REAL compressed-audio decode: expand μ-law codes back to linear
+    samples with the midpoint reconstruction
+    ``m̂ = ((2·mantissa + 33) << e) − 33`` (the implied leading 1 plus
+    the midpoint of the e+1 truncated bits — the standard μ-law
+    expander shape). Returns an int64 numpy array; max quantization
+    error is bounded by half the segment step (2^e ≤ 128)."""
+    import numpy as np
+
+    if payload[:4] != b"ULAW":
+        raise ValueError("not a ULAW payload")
+    n = int.from_bytes(payload[4:8], "big")
+    code = np.frombuffer(payload, dtype=np.uint8, count=n, offset=8).astype(
+        np.int64
+    )
+    sign = 1 - 2 * (code >> 7)
+    e = (code >> 4) & 0x7
+    mantissa = code & 0xF
+    m_hat = ((2 * mantissa + 33) << e) - _ULAW_BIAS
+    return sign * m_hat

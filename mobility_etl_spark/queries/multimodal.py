@@ -508,3 +508,112 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, n_px int, sum_r bigint, "
         "sum_g bigint, sum_b bigint, n_filter_kinds int",
     )
+
+
+@register(
+    "multimodal_ulaw_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 50 + doc_id % 50 AS n
+        FROM documents WHERE doc_id < 200
+    ),
+    samp AS (
+        SELECT d.doc_id, ii.i,
+               (d.doc_id * 7919 + ii.i * ii.i * 31) % 16001 - 8000 AS s
+        FROM dims d
+        JOIN generate_series(0, 99) AS ii(i) ON ii.i < d.n
+    ),
+    comp AS (
+        SELECT doc_id, i, s,
+               CASE WHEN s < 0 THEN -1 ELSE 1 END AS sgn,
+               LEAST(ABS(s), 8159) + 33 AS m
+        FROM samp
+    ),
+    seg AS (
+        SELECT doc_id, i, s, sgn, m,
+               CASE WHEN m < 64 THEN 0 WHEN m < 128 THEN 1
+                    WHEN m < 256 THEN 2 WHEN m < 512 THEN 3
+                    WHEN m < 1024 THEN 4 WHEN m < 2048 THEN 5
+                    WHEN m < 4096 THEN 6 ELSE 7 END AS e
+        FROM comp
+    ),
+    dec AS (
+        SELECT doc_id, s,
+               sgn * (((2 * ((m >> (e + 1)) & 15) + 33) << e) - 33) AS d
+        FROM seg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_samples,
+           CAST(SUM(d) AS BIGINT) AS sum_dec,
+           CAST(MIN(d) AS BIGINT) AS min_dec,
+           CAST(MAX(d) AS BIGINT) AS max_dec,
+           CAST(MAX(ABS(d - (CASE WHEN s < -8159 THEN -8159
+                                  WHEN s > 8159 THEN 8159
+                                  ELSE s END))) AS BIGINT) AS max_abs_err
+    FROM dec GROUP BY doc_id
+    """,
+    tags=("N4", "E39"),
+)
+def multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-audio decode (G.711-style μ-law companding, 2:1
+    lossy, pure integer arithmetic): payloads carry 8-bit logarithmic
+    codes for 14-bit linear samples; operators/multimodal.py:
+    decode_ulaw expands them with the midpoint reconstruction
+    ((2·mantissa + 33) << e) − 33 inside Arrow-batched mapInPandas.
+    Because the companding law is closed-form integer math, the DuckDB
+    oracle replays encode AND decode per sample in SQL — a value-exact
+    cross-engine proof of a lossy codec, including the per-doc
+    max_abs_err column, which the segment geometry bounds by
+    2^e ≤ 128 (gated in tests/test_multimodal.py). With PNG (DEFLATE
+    image) this closes the compressed-decode gap for audio; only
+    library-bound codecs (JPEG/MP3/H.264) remain stubbed."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_ulaw,
+        encode_ulaw,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    ).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_ulaw(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "sum_dec": [],
+                "min_dec": [], "max_dec": [], "max_abs_err": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                dec_s = decode_ulaw(bytes(payload))
+                n = len(dec_s)
+                i = np.arange(n, dtype=np.int64)
+                ref = np.clip(
+                    (d * 7919 + i * i * 31) % 16001 - 8000, -8159, 8159
+                )
+                out["doc_id"].append(d)
+                out["n_samples"].append(n)
+                out["sum_dec"].append(int(dec_s.sum()))
+                out["min_dec"].append(int(dec_s.min()))
+                out["max_dec"].append(int(dec_s.max()))
+                out["max_abs_err"].append(int(np.abs(dec_s - ref).max()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        dec,
+        "doc_id long, n_samples int, sum_dec bigint, min_dec bigint, "
+        "max_dec bigint, max_abs_err bigint",
+    )

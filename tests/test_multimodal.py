@@ -208,3 +208,35 @@ def test_png_decoder_rejects_corruption():
         decode_png(good[: len(good) // 2])
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"notapng" + good)
+
+
+# -------------------------------------------------------------- μ-law codec
+
+
+def test_ulaw_error_bounded_by_segment_geometry():
+    """Companding is lossy but BOUNDED: |decode(encode(s)) − s| ≤ 2^e
+    for each sample's segment e (midpoint reconstruction of e+1
+    truncated bits), hence ≤ 128 globally; sign and zero are exact."""
+    import numpy as np
+
+    from mobility_etl_spark.operators.multimodal import (
+        decode_ulaw,
+        encode_ulaw,
+    )
+
+    for d in (0, 7, 123, 999):
+        n = 50 + d % 50
+        i = np.arange(n, dtype=np.int64)
+        s = np.clip((d * 7919 + i * i * 31) % 16001 - 8000, -8159, 8159)
+        dec = decode_ulaw(encode_ulaw(d))
+        m = np.minimum(np.abs(s), 8159) + 33
+        e = np.searchsorted(64 << np.arange(7, dtype=np.int64), m, "right")
+        assert (np.abs(dec - s) <= (1 << e)).all()
+        assert np.abs(dec - s).max() <= 128
+        nz = s != 0
+        assert (np.sign(dec[nz]) == np.sign(s[nz])).all()
+        assert (dec[s == 0] == 0).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="ULAW"):
+        decode_ulaw(b"WAVE" + b"\x00" * 16)
