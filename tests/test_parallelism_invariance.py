@@ -33,6 +33,13 @@ FACES = (
     "span_dedup_ngram_docs",     # digest groupBy + semi-join + window (r5)
     "pareto_frontier_parts",     # segmented prefix-max sweep (r5)
     "timeseries_cusum_events",   # group-local nonlinear fold (r5)
+    # r6: bucketed global rank — percentile_approx sketch merges (and
+    # hence bucket BOUNDARIES) legitimately vary with parallelism; the
+    # rank/NTILE result must not, by the offset-exactness argument
+    "training_curriculum_phases",
+    "training_epoch_shuffle",
+    "tokenizer_train_bpe",       # r6: iterative argmax over exact counts
+    "temporal_overlap_join",     # r6: grid-bucketed overlap join
 )
 
 SPECS = load_all()
