@@ -118,3 +118,44 @@ def test_decoded_dtypes_arrow_clean():
     assert img.dtype == np.uint8
     _, _, frames = decode_y4m(encode_y4m(7))
     assert all(f.dtype == np.uint8 for f in frames)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=18),
+    doc_id=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_fuzz(w, h, doc_id):
+    """Any (w, h, id): PNG decode(encode(...)) reproduces the PPM
+    reference decode bit-for-bit and reports the expected filter
+    cycle — DEFLATE + all five filter reconstructions fuzz-proven."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img, filters = decode_png(encode_png(w, h, doc_id))
+    assert np.array_equal(img, decode_ppm(encode_ppm(w, h, doc_id)))
+    assert filters == [y % 5 for y in range(h)]
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=40, deadline=None)
+def test_ulaw_error_bound_fuzz(doc_id):
+    """Any doc: every μ-law sample's reconstruction error is within
+    its segment step 2^e and sign is preserved."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_ulaw,
+        encode_ulaw,
+    )
+
+    n = 50 + doc_id % 50
+    i = np.arange(n, dtype=np.int64)
+    s = np.clip((doc_id * 7919 + i * i * 31) % 16001 - 8000, -8159, 8159)
+    dec = decode_ulaw(encode_ulaw(doc_id))
+    m = np.minimum(np.abs(s), 8159) + 33
+    e = np.searchsorted(64 << np.arange(7, dtype=np.int64), m, "right")
+    assert (np.abs(dec - s) <= (1 << e)).all()
+    nz = s != 0
+    assert (np.sign(dec[nz]) == np.sign(s[nz])).all()

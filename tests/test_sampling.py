@@ -138,3 +138,36 @@ def test_partitioned_ntile_skewed_and_tiny(spark):
     tiny = spark.range(0, 3).select(F.col("id").alias("k"), F.col("id").alias("v"))
     got = partitioned_ntile(tiny, 5, "v", "k", col="p")
     assert [r["p"] for r in got.orderBy("k").collect()] == [1, 2, 3]
+
+
+def test_partitioned_ntile_fuzz_vs_window_form(spark):
+    """Hypothesis fuzz of the flagship ranking operator: random value
+    multisets (heavy ties included), random tile counts and bucket
+    counts — the bucketed NTILE must equal the literal window NTILE on
+    every draw. Catches boundary-placement bugs (duplicate quantiles,
+    empty buckets, n < tiles) that fixed fixtures may miss."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from mobility_etl_spark.operators.sampling import partitioned_ntile
+
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=9), min_size=1, max_size=60
+        ),
+        t=st.integers(min_value=1, max_value=9),
+        nb=st.sampled_from([2, 5, 32]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def check(vals, t, nb):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, v long"
+        )
+        got = partitioned_ntile(df, t, "v", "k", col="p", num_buckets=nb)
+        ref = df.select(
+            "k", "v", F.ntile(t).over(Window.orderBy("v", "k")).alias("p")
+        )
+        assert got.exceptAll(ref).union(ref.exceptAll(got)).count() == 0
+
+    check()
