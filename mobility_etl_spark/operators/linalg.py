@@ -224,12 +224,17 @@ def kmeans_fit(
 
 
 def kmeans_assign(
-    df: DataFrame, vec_col: str, centroids, key_cols: tuple[str, ...]
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    key_cols: tuple[str, ...],
+    dist_col: str | None = None,
 ) -> DataFrame:
     """Tag each vector with its nearest fitted centroid — pure codegen:
     the k distances are broadcast-literal zip_with folds and the argmin
     is array_position of the array minimum; narrow map, no shuffle, no
-    Python."""
+    Python. ``dist_col`` optionally emits the squared distance to the
+    winning centroid (the SemDeDup representative-selection input)."""
     dists = F.array(
         *[
             F.aggregate(
@@ -245,12 +250,15 @@ def kmeans_assign(
             for cent in centroids
         ]
     )
-    return df.select(
+    cols = [
         *key_cols,
         (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(
             "cluster_id"
         ),
-    )
+    ]
+    if dist_col is not None:
+        cols.append(F.array_min(dists).alias(dist_col))
+    return df.select(*cols)
 
 
 def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:

@@ -428,3 +428,75 @@ def near_dup_probe_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vec_id", F.col("vec_id") + _DUP_OFFSET)
     )
     return near_dup_probe(increment, corpus, threshold=0.9)
+
+
+@register("vector_semantic_dedup", oracle=None, tags=("N2", "N3", "E39"))
+def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the corpus with distributed k-means, then WITHIN each
+    cluster drop every member that has a more-central similar
+    neighbor — drop i iff some j in the same cluster has
+    (d2_j, vec_id_j) < (d2_i, vec_id_i) and cos(i, j) ≥ 0.9. The rule
+    is deterministic and chain-free (centrality is a total order), and
+    it is the curation pass that removes SEMANTIC duplicates
+    exact/MinHash dedup can't see. Corpus is embeddings ∪ planted
+    jittered copies, so every planted pair loses exactly its
+    less-central member. Scale shape — the SemDeDup point: clustering
+    first bounds the pairwise comparison to Σ|cluster|², never
+    corpus²; centroids are k·d driver control state (data never
+    shuffles in kmeans_fit), assignment + distance is pure codegen,
+    and the in-cluster self-join shuffles on cluster_id. Rows-only
+    driver check (centroid float partials wobble last bits);
+    tests/test_similarity.py recomputes the drop rule in numpy and
+    requires decision-for-decision equality plus every planted pair
+    resolving to one survivor."""
+    from mobility_etl_spark.operators.linalg import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from mobility_etl_spark.operators.similarity import (
+        _dot_expr as _dot,
+        _sq_norm_expr as _sqn,
+    )
+
+    corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    cents, _ = kmeans_fit(corpus, "embedding", _GRAM_DIM, k=8, iters=4)
+    assigned = kmeans_assign(
+        corpus, "embedding", cents, ("vec_id",), dist_col="d2"
+    ).join(corpus, "vec_id")
+    a = assigned.select(
+        F.col("cluster_id").alias("cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("d2").alias("a_d2"),
+        F.col("embedding").alias("__avec"),
+    )
+    b = assigned.select(
+        F.col("cluster_id").alias("cid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("d2").alias("b_d2"),
+        F.col("embedding").alias("__bvec"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(
+            (F.col("a_d2") < F.col("b_d2"))
+            | (
+                (F.col("a_d2") == F.col("b_d2"))
+                & (F.col("a_id") < F.col("b_id"))
+            )
+        )
+        .filter(
+            _dot("__avec", "__bvec")
+            / F.sqrt(_sqn("__avec") * _sqn("__bvec"))
+            >= 0.9
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("__dropped", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.when(F.col("__dropped").isNull(), 1).otherwise(0).alias("kept"),
+    )

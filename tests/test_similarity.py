@@ -279,3 +279,62 @@ def test_sig_col_null_vectors_mid_frame(spark, sf_dir):
     assert set(a) == set(e)
     for vid in a:
         assert list(a[vid]) == list(e[vid])
+
+
+def test_semantic_dedup_matches_numpy_rule_and_resolves_pairs(spark, sf_dir):
+    """Decision-for-decision recompute of the SemDeDup drop rule in
+    numpy over the same cluster assignment: drop i iff some j in the
+    same cluster is more central ((d2, id) order) and cos(i, j) ≥ 0.9.
+    Also: ≥90% of planted (source, copy) pairs resolve to exactly one
+    survivor — the misses are pairs split across cluster boundaries,
+    the documented SemDeDup recall trade."""
+    import numpy as np
+
+    from mobility_etl_spark.registry import load_all
+
+    from mobility_etl_spark.operators.linalg import kmeans_assign, kmeans_fit
+    from mobility_etl_spark.queries.similarity import (
+        _DUP_OFFSET,
+        _GRAM_DIM,
+        _with_planted_dups,
+    )
+
+    corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    cents, _ = kmeans_fit(corpus, "embedding", _GRAM_DIM, k=8, iters=4)
+    rows = (
+        kmeans_assign(corpus, "embedding", cents, ("vec_id",), dist_col="d2")
+        .join(corpus, "vec_id")
+        .collect()
+    )
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    expected_kept: dict[int, int] = {}
+    for members in by_cluster.values():
+        members.sort(key=lambda r: (r.d2, r.vec_id))
+        vecs = [np.asarray(r.embedding, dtype=np.float64) for r in members]
+        norms = [np.linalg.norm(v) for v in vecs]
+        for i, r in enumerate(members):
+            dropped = any(
+                float(vecs[i] @ vecs[j]) / (norms[i] * norms[j]) >= 0.9
+                for j in range(i)
+            )
+            expected_kept[r.vec_id] = 0 if dropped else 1
+
+    got = {
+        r.vec_id: r.kept
+        for r in load_all()["vector_semantic_dedup"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected_kept
+
+    n_src = sum(1 for v in got if v < _DUP_OFFSET)
+    resolved = sum(
+        1
+        for v in got
+        if v < _DUP_OFFSET
+        and v + _DUP_OFFSET in got
+        and got[v] + got[v + _DUP_OFFSET] == 1
+    )
+    assert resolved >= 0.9 * n_src, f"{resolved}/{n_src} pairs resolved"
