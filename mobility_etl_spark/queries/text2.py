@@ -131,3 +131,82 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_oov / F.count("*").cast("double")).alias("oov_rate"),
         )
     )
+
+
+@register(
+    "text_index_incremental",
+    oracle="""
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' zzupdated' ELSE text END AS text
+        FROM documents WHERE doc_id % 11 != 0
+    ),
+    tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM v2
+    ),
+    postings AS (
+        SELECT token, doc_id, COUNT(*) AS tf
+        FROM tok WHERE LENGTH(token) > 0
+        GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf
+    FROM postings
+    GROUP BY token
+    HAVING COUNT(*) >= 20
+    """,
+    tags=("N5", "N16", "E13"),
+)
+def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance — the IVM loop every
+    search/RAG corpus runs nightly: starting from the v1 index, apply
+    DELETES (docs leaving the corpus), UPDATES (changed text), and
+    INSERTS (new docs) as a DELTA — retract the affected docs'
+    postings with ONE anti-join keyed on doc_id, tokenize ONLY the
+    changed/new docs, and union the fresh postings in. The v1 corpus
+    is never re-tokenized: per-night cost tracks the delta, which is
+    the entire point at 100 TB (re-indexing the corpus nightly is a
+    full scan + full shuffle; the delta path is |delta| work plus one
+    index-sized anti-join that a table format turns into file-level
+    deletes). The DuckDB oracle builds the v2 index FROM SCRATCH, so
+    the hash equality is the incremental-equals-rebuild proof.
+    Deterministic churn: deletes = doc_id % 11 == 0, updates append a
+    sentinel token to doc_id % 3 == 0, inserts = the % 13 == 0 docs
+    held out of v1."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def postings(df: DataFrame) -> DataFrame:
+        tok = df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.length("token") > 0)
+        return tok.groupBy("token", "doc_id").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+
+    v1 = docs.filter(F.col("doc_id") % 13 != 0)
+    postings_v1 = postings(v1)
+
+    v2_text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" zzupdated"))
+    ).otherwise(F.col("text"))
+    deleted = F.col("doc_id") % 11 == 0
+    updated = (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 13 != 0)
+    inserted = (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 11 != 0)
+
+    retract_keys = docs.filter(deleted | updated | inserted).select("doc_id")
+    delta_docs = docs.filter((updated | inserted) & ~deleted).select(
+        "doc_id", v2_text.alias("text")
+    )
+    incr = postings_v1.join(
+        F.broadcast(retract_keys), "doc_id", "left_anti"
+    ).unionByName(postings(delta_docs))
+    return (
+        incr.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+        .filter(F.col("n_docs") >= 20)
+    )
