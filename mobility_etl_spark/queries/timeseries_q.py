@@ -481,3 +481,94 @@ def acf_lags(events: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("acf_mfx"),
     )
+
+
+#: Holt smoothing weights: exact binary fractions, so both engines'
+#: multiplications round identically at every step of the fold.
+#: NOTE the oracle is a RECURSIVE CTE, not list_reduce: DuckDB 1.0's
+#: list_reduce over struct accumulators updates fields SEQUENTIALLY
+#: (the t-expression would see the already-overwritten acc.l), so a
+#: two-component fold is only well-defined through recursion, where
+#: every reference is to the previous row's immutable columns.
+_HOLT_NL = "0.5 * o.vfx + 0.5 * (h.l + h.t)"
+
+
+@register(
+    "timeseries_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(FLOOR(COALESCE(value, 0) * 1000000.0) AS BIGINT)
+                    AS DOUBLE) AS vfx
+        FROM events
+    ),
+    ord AS (
+        SELECT user_id, vfx,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM ev
+    ),
+    sizes AS (
+        SELECT user_id, MAX(rn) AS n FROM ord GROUP BY user_id
+    ),
+    holt(user_id, rn, l, t) AS (
+        SELECT user_id, 1, vfx, CAST(0.0 AS DOUBLE)
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT h.user_id, h.rn + 1,
+               {_HOLT_NL},
+               0.25 * (({_HOLT_NL}) - h.l) + 0.75 * h.t
+        FROM holt h
+        JOIN ord o ON o.user_id = h.user_id AND o.rn = h.rn + 1
+    )
+    SELECT h.user_id,
+           CAST(s.n AS BIGINT) AS n_events,
+           CAST(FLOOR(h.l) AS BIGINT) AS level_fx,
+           CAST(FLOOR(h.t) AS BIGINT) AS trend_fx
+    FROM holt h JOIN sizes s ON s.user_id = h.user_id AND h.rn = s.n
+    """,
+    tags=("E39", "E13", "N15"),
+)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double-exponential smoothing (final level
+    and trend per series, α=0.5 β=0.25): the forecasting primitive one
+    step past EWMA — TWO coupled state components, so no window frame
+    expresses it and the cross-engine proof needs a struct-typed fold.
+    Exactness discipline extends timeseries_cusum_events' technique:
+    values floor to 1e-6 fixed point; the weights are exact binary
+    fractions; DuckDB replays the identical fold as a RECURSIVE CTE
+    carrying (l, t) columns (the new level's expression is inlined
+    twice — bitwise the same computation), and Spark runs the same
+    IEEE ops in the same order inside an applyInPandas fold, so the
+    floored (level, trend) pair is bit-identical. At 100 TB: one
+    shuffle on the series key, O(1) state per group."""
+    events = load_table(spark, sf_dir, "events")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vfx = [
+            float(math.floor((v if pd.notna(v) else 0.0) * 1000000.0))
+            for v in pdf["value"]
+        ]
+        l, t = vfx[0], 0.0
+        for x in vfx[1:]:
+            nl = 0.5 * x + 0.5 * (l + t)
+            nt = 0.25 * (nl - l) + 0.75 * t
+            l, t = nl, nt
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(vfx)],
+                "level_fx": [int(math.floor(l))],
+                "trend_fx": [int(math.floor(t))],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            fold,
+            "user_id long, n_events long, level_fx long, trend_fx long",
+        )
+    )
