@@ -58,6 +58,15 @@ QUERIES = (
     "snapshot_catalog_read",
     "snapshot_catalog_concurrent",
     "streaming_near_dup_probe",
+    # round-6 capability pack
+    "tokenizer_train_bpe",
+    "training_epoch_shuffle",
+    "temporal_overlap_join",
+    "vector_semantic_dedup",
+    "text_index_incremental",
+    "timeseries_holt_linear",
+    "multimodal_png_decode",
+    "multimodal_ulaw_decode",
 )
 
 
