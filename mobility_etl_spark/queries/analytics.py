@@ -553,3 +553,87 @@ def user_pattern_match_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - F.col("sig_s")).alias("latency_s"),
         )
     )
+
+
+@register(
+    "outlier_mad_events",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vfx
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(MEDIAN(2 * vfx) AS BIGINT) AS med2
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, v.vfx, med.med2,
+               ABS(2 * v.vfx - med.med2) AS dev2
+        FROM v JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(MEDIAN(2 * dev2) AS BIGINT) AS mad4
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(d.med2) AS med2_fx,
+           MIN(mad.mad4) AS mad4_fx,
+           CAST(SUM(CASE WHEN 20000 * d.dev2 > 44478 * mad.mad4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("E13", "N15", "N16"),
+)
+def outlier_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median / MAD instead
+    of mean / stddev — the estimator that survives the very outliers
+    it hunts (z-scores explode their own baseline on dirty data; see
+    outlier_zscore_events for the contrast). Exactness discipline:
+    values floor to 1e-6 fixed point, and both medians ride the
+    2×-integer trick (window_rolling_median_events' proof) — the
+    interpolated median of doubled integers is itself an exact
+    integer — so med2 (scale 2), mad4 (scale 4) and the outlier rule
+    |x−med| > 3·1.4826·MAD, cross-multiplied to the all-integer
+    comparison 20000·dev2 > 44478·mad4, are hash-exact cross-engine
+    with zero float comparisons. Plan: two aggregate-then-broadcast
+    passes over one scan shape — the distributed two-pass
+    group-statistics pattern at any scale."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = events.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("vfx"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.median(2 * F.col("vfx")).cast("long").alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med2",
+        F.abs(2 * F.col("vfx") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median(2 * F.col("dev2")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("med2").alias("med2_fx"),
+            F.min("mad4").alias("mad4_fx"),
+            F.sum(
+                F.when(
+                    20000 * F.col("dev2") > 44478 * F.col("mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
