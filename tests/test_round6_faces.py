@@ -101,3 +101,29 @@ def test_epoch_shuffle_true_permutations_that_differ(spark, sf_dir):
         assert sorted(m.values()) == list(range(1, n + 1)), f"epoch {e}"
     same = sum(1 for d in by_epoch[1] if by_epoch[1][d] == by_epoch[2][d])
     assert same < n * 0.05, f"{same}/{n} positions identical across epochs"
+
+
+# ------------------------------------------------------ incremental index
+
+
+def test_index_incremental_sentinel_and_churn_accounting(spark, sf_dir):
+    """The update sentinel token appears with exactly one posting per
+    updated doc (sum_tf == n_docs == |{doc: doc%3==0, doc%11!=0}|),
+    and no deleted doc's id can satisfy the v2 membership — the
+    delete/update/insert bookkeeping the oracle equality rests on."""
+    docs = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    n_updated = sum(1 for d in docs if d % 3 == 0 and d % 11 != 0)
+    rows = {
+        r.token: r
+        for r in _run("text_index_incremental", spark, sf_dir).collect()
+    }
+    if n_updated >= 20:
+        sent = rows["zzupdated"]
+        assert sent.n_docs == n_updated == sent.sum_tf
+    for r in rows.values():
+        assert r.n_docs >= 20 and r.sum_tf >= r.n_docs
