@@ -560,3 +560,140 @@ def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NDUP_STREAM_CACHE[sf_dir] = dec
         out = dec
     return out.orderBy("vec_id")
+
+
+#: Per-process cache: sf_dir -> catalog root for the streaming
+#: corpus+index maintenance face.
+_IDX_STREAM_CACHE: dict[str, str] = {}
+
+#: Shared churn rule with text_index_incremental: v2 membership is
+#: doc_id % 11 != 0; docs with doc_id % 3 == 0 carry an appended
+#: sentinel token. The streaming feed below lands the SAME final
+#: state through three micro-batches (deletes, updates, inserts).
+_IDX_ORACLE = """
+    WITH v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' zzupdated' ELSE text END AS text
+        FROM documents WHERE doc_id % 11 != 0
+    ),
+    tok AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM v2
+    ),
+    postings AS (
+        SELECT token, doc_id, COUNT(*) AS tf
+        FROM tok WHERE LENGTH(token) > 0
+        GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf
+    FROM postings
+    GROUP BY token
+    HAVING COUNT(*) >= 20
+"""
+
+
+def run_index_maintenance_stream(spark: SparkSession, sf_dir: str) -> str:
+    """Build the v1 (corpus, index) catalog, write the 3-batch change
+    feed (deletes, updates, inserts), drain it through
+    corpus_index_stream_maintain, and return the catalog root."""
+    import os
+
+    from mobility_etl_spark.operators.snapshots import (
+        commit_catalog,
+        commit_snapshot,
+    )
+    from mobility_etl_spark.streaming.jobs import (
+        corpus_index_stream_maintain,
+    )
+
+    root = tempfile.mkdtemp(prefix="idx_stream_")
+    corpus_p = os.path.join(root, "corpus")
+    index_p = os.path.join(root, "index")
+    feed_dir = os.path.join(root, "feed")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def postings(df):
+        tok = df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.length("token") > 0)
+        return tok.groupBy("token", "doc_id").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+
+    v1 = docs.filter(F.col("doc_id") % 13 != 0)
+    v1.write.parquet(corpus_p)
+    cv = commit_snapshot(spark, corpus_p, note="v1")
+    postings(v1).write.parquet(index_p)
+    iv = commit_snapshot(spark, index_p, note="v1")
+    commit_catalog(
+        root, {"corpus": (corpus_p, cv), "index": (index_p, iv)}, note="v1"
+    )
+
+    v2_text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" zzupdated")),
+    ).otherwise(F.col("text"))
+    deletes = docs.filter(
+        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select("doc_id", F.lit(None).cast("string").alias("text"),
+             F.lit("D").alias("op"))
+    updates = docs.filter(
+        (F.col("doc_id") % 3 == 0)
+        & (F.col("doc_id") % 11 != 0)
+        & (F.col("doc_id") % 13 != 0)
+    ).select("doc_id", v2_text.alias("text"), F.lit("U").alias("op"))
+    inserts = docs.filter(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 11 != 0)
+    ).select("doc_id", v2_text.alias("text"), F.lit("I").alias("op"))
+    for i, b in enumerate((deletes, updates, inserts)):
+        b.coalesce(1).write.parquet(os.path.join(feed_dir, f"b{i}"))
+
+    schema = spark.read.parquet(f"{feed_dir}/*").schema
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed_dir}/*")
+    )
+    corpus_index_stream_maintain(
+        spark, feed, root, corpus_p, index_p, os.path.join(root, "ckpt")
+    )
+    return root
+
+
+@register(
+    "streaming_index_maintenance",
+    oracle=_IDX_ORACLE,
+    tags=("N13", "N16", "E37", "R7"),
+)
+def streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MULTI-TABLE transactional maintenance
+    (streaming/jobs.py:corpus_index_stream_maintain): a 3-micro-batch
+    change feed (deletes, updates, inserts) updates the corpus AND its
+    inverted index inside foreachBatch, each batch visible only
+    through ONE atomic catalog commit binding both tables — the
+    composition of text_index_incremental's delta rule (only changed
+    docs re-tokenize), the snapshot layer's REPLACE manifests, and the
+    catalog's cross-table atomicity. The DuckDB oracle builds the
+    final index FROM SCRATCH from the batch-equivalent v2 corpus, so
+    the hash equality proves three stacked claims at once: the delta
+    maintenance, the snapshot file accounting, and the catalog
+    resolution. Per-version corpus≡index consistency (no torn pair at
+    ANY catalog version) is gated in tests/test_streaming.py."""
+    from mobility_etl_spark.operators.snapshots import read_catalog_table
+
+    root = _IDX_STREAM_CACHE.get(sf_dir)
+    if root is None:
+        root = run_index_maintenance_stream(spark, sf_dir)
+        _IDX_STREAM_CACHE[sf_dir] = root
+    index = read_catalog_table(spark, root, "index")
+    return (
+        index.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+        .filter(F.col("n_docs") >= 20)
+    )

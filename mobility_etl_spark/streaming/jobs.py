@@ -640,3 +640,107 @@ def near_dup_stream_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def corpus_index_stream_maintain(
+    spark: SparkSession,
+    feed: DataFrame,
+    catalog_path: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming MULTI-TABLE maintenance: each micro-batch of document
+    changes (op ∈ I/U/D) updates the corpus table AND its inverted
+    index, then makes both visible in ONE catalog commit — the
+    transactional step single-table exactly-once sinks
+    (streaming_snapshot_sink) cannot give: a reader resolving corpus
+    and index through the same catalog version can never see a
+    document without its postings or postings for a vanished document.
+
+    Per micro-batch (foreachBatch):
+
+    1. resolve the CURRENT (corpus, index) pair through the latest
+       catalog version — never raw directory listings;
+    2. corpus' = corpus anti-join changed keys ∪ upserted docs;
+       index' = index anti-join changed keys ∪ postings(upserted
+       docs) — the text_index_incremental delta rule: only changed
+       docs re-tokenize;
+    3. land both as NEW data files under their table paths, commit a
+       snapshot per table listing exactly those files (REPLACE-style
+       manifests, same move as snapshot_catalog_read's day-2 dims),
+       then ONE commit_catalog binds the pair.
+
+    At 100 TB the rewrite step becomes file-level MERGE (rewrite only
+    files containing changed keys — the manifest machinery already
+    tracks per-file stats for that); the transaction shape is
+    identical. tests/test_streaming.py gates per-version consistency:
+    at EVERY catalog version, the committed index equals a rebuild
+    from the committed corpus, and the final state hash-matches the
+    batch oracle."""
+    import uuid as _uuid
+
+    from mobility_etl_spark.operators.snapshots import (
+        _data_files,
+        commit_catalog,
+        commit_snapshot,
+        read_catalog_table,
+    )
+
+    def postings(docs: DataFrame) -> DataFrame:
+        tok = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        ).filter(F.length("token") > 0)
+        return tok.groupBy("token", "doc_id").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+
+    def _apply(batch_df: DataFrame, _epoch: int) -> None:
+        if not batch_df.take(1):
+            return
+        corpus = read_catalog_table(spark, catalog_path, "corpus")
+        index = read_catalog_table(spark, catalog_path, "index")
+        keys = batch_df.select("doc_id").distinct()
+        upserts = batch_df.filter(F.col("op") != "D").select(
+            "doc_id", "text"
+        )
+        # pin column order: the USING-key join moves doc_id first, and
+        # a maintained table's schema must not drift across versions
+        new_corpus = (
+            corpus.join(keys, "doc_id", "left_anti")
+            .unionByName(upserts)
+            .select("doc_id", "text")
+        )
+        new_index = (
+            index.join(keys, "doc_id", "left_anti")
+            .unionByName(postings(upserts))
+            .select("token", "doc_id", "tf")
+        )
+        # land the new state as fresh files; manifests list ONLY them
+        tag = _uuid.uuid4().hex[:8]
+        versions = {}
+        for path, df in ((corpus_path, new_corpus), (index_path, new_index)):
+            before = set(_data_files(path))
+            df.localCheckpoint(eager=True).write.mode("append").parquet(
+                f"{path}/b{_epoch:04d}_{tag}"
+            )
+            mine = [f for f in _data_files(path) if f not in before]
+            versions[path] = commit_snapshot(
+                spark, path, note=f"batch {_epoch}", files=mine
+            )
+        commit_catalog(
+            catalog_path,
+            {
+                "corpus": (corpus_path, versions[corpus_path]),
+                "index": (index_path, versions[index_path]),
+            },
+            note=f"batch {_epoch}",
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

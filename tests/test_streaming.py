@@ -696,3 +696,54 @@ def test_near_dup_stream_matches_batch_sequential_replay(spark, sf_dir):
         assert by_id[100000 + src][1] == 0
     for i in range(360, 500):
         assert by_id[i][1] == 1
+
+
+# ------------------------------------------- streaming corpus+index catalog
+
+
+def test_index_maintenance_consistent_at_every_catalog_version(spark, sf_dir):
+    """The transactional claim, checked at EVERY point in history: for
+    each catalog version (v1 + one per micro-batch), the committed
+    index must equal a from-scratch rebuild of postings from the
+    corpus committed in the SAME version — i.e. no reader at any
+    version can observe a document without its postings or stale
+    postings for a changed document. Also: versions advance once per
+    non-empty batch, and the final corpus is exactly the v2 universe."""
+    from mobility_etl_spark.operators.snapshots import (
+        catalog_log,
+        read_catalog_table,
+    )
+    from mobility_etl_spark.queries.streaming import (
+        _IDX_STREAM_CACHE,
+        run_index_maintenance_stream,
+    )
+
+    root = _IDX_STREAM_CACHE.get(sf_dir)
+    if root is None:
+        root = run_index_maintenance_stream(spark, sf_dir)
+        _IDX_STREAM_CACHE[sf_dir] = root
+
+    log = catalog_log(root)
+    assert [e["version"] for e in log] == [1, 2, 3, 4]  # v1 + 3 batches
+
+    for v in (1, 2, 3, 4):
+        corpus = read_catalog_table(spark, root, "corpus", catalog_version=v)
+        index = read_catalog_table(spark, root, "index", catalog_version=v)
+        rebuilt = (
+            corpus.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("token")
+            )
+            .filter(F.length("token") > 0)
+            .groupBy("token", "doc_id")
+            .agg(F.count("*").cast("long").alias("tf"))
+        )
+        diff = index.exceptAll(rebuilt).union(rebuilt.exceptAll(index))
+        assert diff.count() == 0, f"catalog v{v}: index != rebuild(corpus)"
+
+    final = read_catalog_table(spark, root, "corpus")
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 != 0)
+        .count()
+    )
+    assert final.count() == expected
