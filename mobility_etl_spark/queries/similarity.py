@@ -430,6 +430,13 @@ def near_dup_probe_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_probe(increment, corpus, threshold=0.9)
 
 
+def _semdedup_k(n: int) -> int:
+    """Cluster count for semantic dedup: ~250 vectors per cluster,
+    clamped to [8, 256] — k must scale with the corpus or the
+    in-cluster pairwise term re-quadratizes."""
+    return max(8, min(256, n // 250))
+
+
 @register("vector_semantic_dedup", oracle=None, tags=("N2", "N3", "E39"))
 def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
@@ -445,7 +452,11 @@ def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first bounds the pairwise comparison to Σ|cluster|², never
     corpus²; centroids are k·d driver control state (data never
     shuffles in kmeans_fit), assignment + distance is pure codegen,
-    and the in-cluster self-join shuffles on cluster_id. Rows-only
+    and the in-cluster re-rank is ONE BLAS gram per cluster inside
+    applyInPandas (shuffled on cluster_id). k GROWS with
+    the corpus (_semdedup_k: ~250 vectors per cluster, the SemDeDup
+    deployment rule) so the in-cluster pair count stays ~n·c, never
+    n² — a fixed k would quietly re-quadratize at scale. Rows-only
     driver check (centroid float partials wobble last bits);
     tests/test_similarity.py recomputes the drop rule in numpy and
     requires decision-for-decision equality plus every planted pair
@@ -454,49 +465,34 @@ def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assign,
         kmeans_fit,
     )
-    from mobility_etl_spark.operators.similarity import (
-        _dot_expr as _dot,
-        _sq_norm_expr as _sqn,
-    )
 
     corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
-    cents, _ = kmeans_fit(corpus, "embedding", _GRAM_DIM, k=8, iters=4)
+    k = _semdedup_k(corpus.count())  # control-plane scalar
+    cents, _ = kmeans_fit(corpus, "embedding", _GRAM_DIM, k=k, iters=4)
     assigned = kmeans_assign(
         corpus, "embedding", cents, ("vec_id",), dist_col="d2"
     ).join(corpus, "vec_id")
-    a = assigned.select(
-        F.col("cluster_id").alias("cid"),
-        F.col("vec_id").alias("a_id"),
-        F.col("d2").alias("a_d2"),
-        F.col("embedding").alias("__avec"),
-    )
-    b = assigned.select(
-        F.col("cluster_id").alias("cid"),
-        F.col("vec_id").alias("b_id"),
-        F.col("d2").alias("b_d2"),
-        F.col("embedding").alias("__bvec"),
-    )
-    dropped = (
-        a.join(b, "cid")
-        .filter(
-            (F.col("a_d2") < F.col("b_d2"))
-            | (
-                (F.col("a_d2") == F.col("b_d2"))
-                & (F.col("a_id") < F.col("b_id"))
-            )
+
+    import numpy as np
+    import pandas as pd
+
+    def drop_in_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized in-cluster re-rank: one BLAS gram per cluster —
+        # the interpreted per-element dot lambda is ~100x slower here
+        # (the round-3 Arrow-signature lesson, applied again)
+        pdf = pdf.sort_values(["d2", "vec_id"]).reset_index(drop=True)
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        sim = x @ x.T
+        dropped = np.tril(sim >= 0.9, -1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cluster_id": pdf["cluster_id"],
+                "kept": (~dropped).astype("int32"),
+            }
         )
-        .filter(
-            _dot("__avec", "__bvec")
-            / F.sqrt(_sqn("__avec") * _sqn("__bvec"))
-            >= 0.9
-        )
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    return assigned.join(
-        dropped.withColumn("__dropped", F.lit(1)), "vec_id", "left"
-    ).select(
-        "vec_id",
-        "cluster_id",
-        F.when(F.col("__dropped").isNull(), 1).otherwise(0).alias("kept"),
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        drop_in_cluster, "vec_id long, cluster_id int, kept int"
     )

@@ -296,11 +296,14 @@ def test_semantic_dedup_matches_numpy_rule_and_resolves_pairs(spark, sf_dir):
     from mobility_etl_spark.queries.similarity import (
         _DUP_OFFSET,
         _GRAM_DIM,
+        _semdedup_k,
         _with_planted_dups,
     )
 
     corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
-    cents, _ = kmeans_fit(corpus, "embedding", _GRAM_DIM, k=8, iters=4)
+    cents, _ = kmeans_fit(
+        corpus, "embedding", _GRAM_DIM, k=_semdedup_k(corpus.count()), iters=4
+    )
     rows = (
         kmeans_assign(corpus, "embedding", cents, ("vec_id",), dist_col="d2")
         .join(corpus, "vec_id")
