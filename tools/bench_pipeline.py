@@ -67,6 +67,8 @@ QUERIES = (
     "timeseries_holt_linear",
     "multimodal_png_decode",
     "multimodal_ulaw_decode",
+    "outlier_mad_events",
+    "streaming_index_maintenance",
 )
 
 
