@@ -485,3 +485,64 @@ def catalog_log(catalog_path: str) -> list[dict]:
             }
         )
     return out
+
+
+def catalog_vacuum(catalog_path: str, keep_last: int = 2) -> dict:
+    """Retention GC one level up from :func:`vacuum`: drop catalog
+    manifests older than the last ``keep_last`` catalog versions, then
+    for every table referenced by ANY surviving catalog version, drop
+    the snapshot manifests no survivor references and the data files
+    no surviving snapshot references. The reference chain — catalog
+    version → (table, snapshot) → data files — is walked exactly, so
+    a reader of any SURVIVING catalog version is untouched, including
+    older per-table snapshots that a newer catalog never rebound.
+
+    Snapshot versions NEWER than anything the surviving catalog binds
+    are also retained (they may be mid-publication: committed but not
+    yet cataloged — deleting them would race an in-flight
+    commit_catalog that already validated their existence).
+
+    Returns ``{"catalog_versions_dropped", "snapshots_dropped",
+    "data_files_deleted"}``.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = _cat_versions(catalog_path)
+    if not versions:
+        raise FileNotFoundError(f"no catalog commits at {catalog_path}")
+    drop, keep = versions[:-keep_last], versions[-keep_last:]
+    d = _cat_dir(catalog_path)
+
+    # (table path) -> set of snapshot versions referenced by survivors
+    referenced: dict[str, set[int]] = {}
+    for v in keep:
+        m = json.loads((d / f"v{v}.catalog.json").read_text())
+        for entry in m["tables"].values():
+            referenced.setdefault(entry["path"], set()).add(entry["version"])
+
+    snapshots_dropped = 0
+    files_deleted = 0
+    for tpath, keep_snaps in referenced.items():
+        newest_bound = max(keep_snaps)
+        keep_files: set[str] = set()
+        for sv in sorted(_list_versions(tpath)):
+            if sv in keep_snaps or sv > newest_bound:
+                m = json.loads(
+                    (_snap_dir(tpath) / f"v{sv}.manifest.json").read_text()
+                )
+                keep_files.update(m["files"])
+            else:
+                (_snap_dir(tpath) / f"v{sv}.manifest.json").unlink()
+                snapshots_dropped += 1
+        root = pathlib.Path(tpath)
+        for f in _data_files(tpath):
+            if f not in keep_files:
+                (root / f).unlink()
+                files_deleted += 1
+    for v in drop:
+        (d / f"v{v}.catalog.json").unlink()
+    return {
+        "catalog_versions_dropped": len(drop),
+        "snapshots_dropped": snapshots_dropped,
+        "data_files_deleted": files_deleted,
+    }

@@ -405,3 +405,64 @@ def test_snapshot_commit_linearizes_racing_committers(spark, tmp_path):
         assert m["version"] == v
         notes.add(m["note"])
     assert notes == {f"w{i}" for i in range(n)}
+
+
+def test_catalog_vacuum_reclaims_only_unreachable_state(spark, tmp_path):
+    """Catalog-level GC walks the exact reference chain (catalog
+    version → table snapshot → data files): after keeping the last 2
+    of 3 catalog versions, (a) both surviving versions still read
+    correctly table-by-table, (b) the dropped version's exclusive
+    snapshot + data files are gone, (c) snapshot versions NEWER than
+    anything the surviving catalog binds survive (mid-publication
+    safety), and (d) vacuuming everything down to keep_last=1 still
+    leaves the latest version readable."""
+    import pathlib
+
+    import pytest
+
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        catalog_vacuum,
+        commit_catalog,
+        commit_snapshot,
+        read_catalog_table,
+        _data_files,
+    )
+
+    cat = str(tmp_path)
+    t = str(tmp_path / "t")
+
+    def land(lo, hi, note):
+        import json
+
+        before = set(_data_files(t)) if pathlib.Path(t).exists() else set()
+        spark.range(lo, hi).write.mode("append").parquet(t)
+        mine = [f for f in _data_files(t) if f not in before]
+        return commit_snapshot(spark, t, note=note, files=mine)
+
+    v1 = land(0, 5, "s1")
+    cv1 = commit_catalog(cat, {"t": (t, v1)}, note="c1")
+    v2 = land(100, 103, "s2")
+    cv2 = commit_catalog(cat, {"t": (t, v2)}, note="c2")
+    v3 = land(200, 210, "s3")
+    cv3 = commit_catalog(cat, {"t": (t, v3)}, note="c3")
+    v4 = land(300, 301, "s4")  # committed but never cataloged
+
+    stats = catalog_vacuum(cat, keep_last=2)
+    assert stats["catalog_versions_dropped"] == 1
+    assert stats["snapshots_dropped"] == 1  # v1 only
+    assert stats["data_files_deleted"] >= 1  # s1's exclusive file(s)
+
+    # survivors read intact, including the never-rebound newer snapshot
+    assert read_catalog_table(spark, cat, "t", catalog_version=cv2).count() == 3
+    assert read_catalog_table(spark, cat, "t", catalog_version=cv3).count() == 10
+    assert sorted(_list_versions(t)) == [v2, v3, v4]
+    with pytest.raises(FileNotFoundError):
+        read_catalog_table(spark, cat, "t", catalog_version=cv1)
+
+    catalog_vacuum(cat, keep_last=1)
+    assert read_catalog_table(spark, cat, "t", catalog_version=cv3).count() == 10
+    with pytest.raises(FileNotFoundError):
+        read_catalog_table(spark, cat, "t", catalog_version=cv2)
+    with pytest.raises(ValueError):
+        catalog_vacuum(cat, keep_last=0)
