@@ -726,3 +726,174 @@ def decode_ulaw(payload: bytes):
     mantissa = code & 0xF
     m_hat = ((2 * mantissa + 33) << e) - _ULAW_BIAS
     return sign * m_hat
+
+
+def encode_avi_rle8(doc_id: int) -> bytes:
+    """A REAL compressed video: minimal RIFF/AVI container wrapping
+    MS-RLE8 (BI_RLE8) frames — 8-bit palette-indexed, run-length
+    encoded scanlines stored bottom-up, with EOL/EOD escapes and
+    absolute-mode segments exercised on every third row. Frame pixels
+    and the per-doc palette are closed forms of (x, y, frame, doc_id)
+    so any engine recomputes every channel statistic from first
+    principles. Pure stdlib (struct)."""
+    import struct
+
+    w = 8 + doc_id % 9
+    h = 6 + doc_id % 5
+    n_frames = 2 + doc_id % 3
+
+    def pix(x: int, y: int, f: int) -> int:
+        return (3 * x + 7 * y + 11 * f + doc_id) % 256
+
+    frames = []
+    for f in range(n_frames):
+        data = bytearray()
+        for y in reversed(range(h)):  # bottom-up storage
+            row = [pix(x, y, f) for x in range(w)]
+            x = 0
+            if y % 3 == 0 and w >= 3:
+                # absolute-mode segment: 00 NN idx... (pad to word)
+                nn = min(w, 4) if min(w, 4) >= 3 else 3
+                data += bytes([0, nn]) + bytes(row[:nn])
+                if nn % 2:
+                    data.append(0)
+                x = nn
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                data += bytes([run, row[x]])
+                x += run
+            data += b"\x00\x00"  # EOL
+        data += b"\x00\x01"  # EOD
+        frames.append(bytes(data))
+
+    palette = bytearray()
+    for i in range(256):  # BGR0 entries
+        palette += bytes(
+            [(i * 11 + 2) % 256, (i * 7 + 1) % 256, (i * 5 + doc_id) % 256, 0]
+        )
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<14I", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"mrle", 0, 0, 0, 0, 1, 25, 0, n_frames, 0, 0, 0,
+        0, 0, w, h,
+    )
+    strf = (
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0, 0, 0, 256, 0)
+        + bytes(palette)
+    )  # biCompression=1 = BI_RLE8
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_rle8(payload: bytes):
+    """REAL compressed-video decode, pure stdlib: walk the RIFF chunk
+    tree (hdrl → avih dims, strl → strf BITMAPINFOHEADER + palette,
+    movi → 00dc frames), require biCompression=1 (MS-RLE8), and
+    decode every frame's run-length stream — encoded runs, EOL (00
+    00), EOD (00 01), delta (00 02 dx dy) and absolute mode (00 NN,
+    word-aligned) — into bottom-up palette indices, returned top-down.
+    Returns (frames: list[(h, w) uint8 index arrays], palette:
+    (256, 3) uint8 RGB array). Malformed streams (runs past row end,
+    missing EOD, truncated chunks) raise."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(buf: int, end: int):
+        chunks = []
+        pos = buf
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_at = pos + 8
+            if body_at + size > end:
+                raise ValueError(f"truncated {tag!r} chunk")
+            chunks.append((tag, body_at, size))
+            pos = body_at + size + (size % 2)
+        return chunks
+
+    w = h = None
+    palette = None
+    comp = None
+    frames_raw = []
+    for tag, at, size in walk(12, 8 + struct.unpack_from("<I", payload, 4)[0]):
+        if tag != b"LIST":
+            continue
+        kind = payload[at : at + 4]
+        inner = walk(at + 4, at + size)
+        if kind == b"hdrl":
+            for t2, a2, s2 in inner:
+                if t2 == b"avih":
+                    vals = struct.unpack_from("<14I", payload, a2)
+                    w, h = vals[8], vals[9]
+                elif t2 == b"LIST" and payload[a2 : a2 + 4] == b"strl":
+                    for t3, a3, s3 in walk(a2 + 4, a2 + s2):
+                        if t3 == b"strf":
+                            bi = struct.unpack_from("<IiiHHII", payload, a3)
+                            comp = bi[5]
+                            pal = np.frombuffer(
+                                payload, np.uint8, 256 * 4, a3 + 40
+                            ).reshape(256, 4)
+                            palette = pal[:, [2, 1, 0]].copy()  # BGR0 -> RGB
+        elif kind == b"movi":
+            for t2, a2, s2 in inner:
+                if t2 == b"00dc":
+                    frames_raw.append(payload[a2 : a2 + s2])
+    if w is None or palette is None:
+        raise ValueError("missing avih/strf headers")
+    if comp != 1:
+        raise ValueError(f"not MS-RLE8 (biCompression={comp})")
+
+    frames = []
+    for raw in frames_raw:
+        img = np.zeros((h, w), dtype=np.uint8)
+        x, y, pos, done = 0, 0, 0, False  # y in bottom-up space
+        while pos < len(raw):
+            b0, b1 = raw[pos], raw[pos + 1]
+            pos += 2
+            if b0 > 0:  # encoded run
+                if x + b0 > w:
+                    raise ValueError("run past row end")
+                img[y, x : x + b0] = b1
+                x += b0
+            elif b1 == 0:  # EOL
+                x, y = 0, y + 1
+            elif b1 == 1:  # EOD
+                done = True
+                break
+            elif b1 == 2:  # delta
+                x += raw[pos]
+                y += raw[pos + 1]
+                pos += 2
+            else:  # absolute mode
+                if x + b1 > w:
+                    raise ValueError("absolute run past row end")
+                img[y, x : x + b1] = np.frombuffer(
+                    raw, np.uint8, b1, pos
+                )
+                x += b1
+                pos += b1 + (b1 % 2)
+        if not done:
+            raise ValueError("frame missing EOD escape")
+        frames.append(img[::-1].copy())  # bottom-up -> top-down
+    return frames, palette

@@ -6,7 +6,8 @@ Pattern for image/audio/video at 100 TB: payloads are opaque
 metadata is a typed struct, and decode/feature-extraction runs in
 Arrow-batched ``mapInPandas`` — the only place Python belongs in the
 hot path. Decode is REAL for PPM (image), WAV (audio), Y4M (video)
-and — compressed, via pure stdlib zlib — PNG; codecs that genuinely
+and — COMPRESSED, via pure stdlib — PNG (DEFLATE), μ-law audio
+(companding) and MS-RLE8 AVI video (run-length); codecs that genuinely
 need external libraries (JPEG/MP3/H.264) are STUBBED here (no media
 libs in this container, by design) and everything Spark-side —
 schema, batch iteration, partitioning, output contract — is still
@@ -616,4 +617,94 @@ def multimodal_ulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec,
         "doc_id long, n_samples int, sum_dec bigint, min_dec bigint, "
         "max_dec bigint, max_abs_err bigint",
+    )
+
+
+@register(
+    "multimodal_avi_rle_frames",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + doc_id % 9 AS w,
+               6 + doc_id % 5 AS h,
+               2 + doc_id % 3 AS nf
+        FROM documents WHERE doc_id < 150
+    ),
+    px AS (
+        SELECT d.doc_id, ff.f, d.w, d.h,
+               (3 * xs.x + 7 * ys.y + 11 * ff.f + d.doc_id) % 256 AS idx
+        FROM dims d
+        JOIN generate_series(0, 4) AS ff(f) ON ff.f < d.nf
+        JOIN generate_series(0, 16) AS xs(x) ON xs.x < d.w
+        JOIN generate_series(0, 10) AS ys(y) ON ys.y < d.h
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame,
+           CAST(COUNT(*) AS INTEGER) AS n_px,
+           CAST(SUM((idx * 5 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((idx * 7 + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((idx * 11 + 2) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, f
+    """,
+    tags=("N4", "E39"),
+)
+def multimodal_avi_rle_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-video decode, pure stdlib: each doc gets a
+    genuine RIFF/AVI container wrapping MS-RLE8 frames (8-bit palette
+    indices, run-length scanlines stored bottom-up, EOL/EOD escapes,
+    absolute-mode segments on every third row), and
+    operators/multimodal.py:decode_avi_rle8 walks the chunk tree,
+    validates the BI_RLE8 header, decodes every escape class, and
+    palette-maps the indices — inside Arrow-batched mapInPandas with
+    the payload crossing a real binary-column boundary. The oracle
+    recomputes every per-frame channel sum from the closed-form pixel
+    + palette definitions. With PNG (DEFLATE image) and μ-law
+    (companded audio), ALL THREE modalities now have a real
+    compressed decode; only library-bound codecs (JPEG/MP3/H.264)
+    remain stubbed."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_avi_rle8(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame": [], "n_px": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, pal = decode_avi_rle8(bytes(payload))
+                pal = pal.astype(np.int64)
+                for f, img in enumerate(frames):
+                    rgb = pal[img]
+                    out["doc_id"].append(int(d))
+                    out["frame"].append(f)
+                    out["n_px"].append(img.size)
+                    out["sum_r"].append(int(rgb[:, :, 0].sum()))
+                    out["sum_g"].append(int(rgb[:, :, 1].sum()))
+                    out["sum_b"].append(int(rgb[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        dec,
+        "doc_id long, frame int, n_px int, sum_r bigint, sum_g bigint, "
+        "sum_b bigint",
     )

@@ -240,3 +240,67 @@ def test_ulaw_error_bounded_by_segment_geometry():
 
     with pytest.raises(ValueError, match="ULAW"):
         decode_ulaw(b"WAVE" + b"\x00" * 16)
+
+
+# ----------------------------------------------------------- MS-RLE8 video
+
+
+def test_avi_rle8_roundtrip_and_rejections():
+    """decode(encode(doc)) reproduces every frame's closed-form index
+    array and the palette exactly; a hand-built delta escape lands
+    pixels where (dx, dy) says; malformed input (run past row end,
+    bad magic, missing EOD) raises."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from mobility_etl_spark.operators.multimodal import (
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+
+    for d in (0, 5, 13, 777):
+        frames, pal = decode_avi_rle8(encode_avi_rle8(d))
+        w, h, n = 8 + d % 9, 6 + d % 5, 2 + d % 3
+        assert len(frames) == n and frames[0].shape == (h, w)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        for f, img in enumerate(frames):
+            assert np.array_equal(
+                img, ((3 * x + 7 * y + 11 * f + d) % 256).astype(np.uint8)
+            )
+        i = np.arange(256)
+        assert np.array_equal(pal[:, 0], (i * 5 + d) % 256)
+
+    # delta escape: hand-build a minimal 1-frame AVI whose stream
+    # skips (dx=2, dy=1) then paints 3 pixels of index 9
+    w, h = 8, 6
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<14I", 0, 0, 0, 0, 1, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strf = (
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, 0, 0, 0, 256, 0)
+        + bytes(1024)
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strf", strf)))
+    stream = bytes([0, 2, 2, 1]) + bytes([3, 9]) + b"\x00\x00\x00\x01"
+    movi = lst(b"movi", chunk(b"00dc", stream))
+    body = b"AVI " + hdrl + movi
+    frames, _ = decode_avi_rle8(b"RIFF" + struct.pack("<I", len(body)) + body)
+    img = frames[0]
+    assert (img[h - 2, 2:5] == 9).all()  # row 1 bottom-up == h-2 top-down
+    assert img.sum() == 3 * 9
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_rle8(b"RIFFxxxxWAVE")
+    bad = bytearray(encode_avi_rle8(3))
+    bad[-4] = 200
+    with pytest.raises(ValueError):
+        decode_avi_rle8(bytes(bad))
