@@ -897,3 +897,89 @@ def decode_avi_rle8(payload: bytes):
             raise ValueError("frame missing EOD escape")
         frames.append(img[::-1].copy())  # bottom-up -> top-down
     return frames, palette
+
+
+#: IMA-ADPCM tables (standard 89-entry step table, 8-entry index map).
+ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+ADPCM_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def adpcm_samples(doc_id: int):
+    """Closed-form source signal for the ADPCM face: a triangle wave
+    in [-4000, 4000] with |Δ| ≤ 397 per sample (differential codecs
+    track slope-bounded signals; a modulus sweep's wrap-around jumps
+    would defeat the adapter by construction, not by defect)."""
+    import numpy as np
+
+    n = 40 + doc_id % 40
+    i = np.arange(n, dtype=np.int64)
+    return np.abs((i * 397 + doc_id * 13) % 16000 - 8000) - 4000
+
+
+def encode_adpcm(doc_id: int) -> bytes:
+    """REAL differential audio compression: IMA-ADPCM (4-bit nibbles
+    for 16-bit samples — 4:1). The canonical quantize-and-adapt state
+    machine: per sample, the predictor error quantizes against the
+    current step (bits 4/2/1 by successive halving, bit 8 the sign),
+    the predictor integrates the dequantized delta, and the step index
+    walks the adaptation table. Container: 'ADPC' + n + packed
+    nibbles (low nibble first)."""
+    samples = adpcm_samples(doc_id)
+    pred, idx = 0, 0
+    nibs = []
+    for s in map(int, samples):
+        step = ADPCM_STEPS[idx]
+        diff = s - pred
+        sgn = 8 if diff < 0 else 0
+        ad = abs(diff)
+        b4 = 1 if ad >= step else 0
+        ad -= b4 * step
+        b2 = 1 if ad >= step // 2 else 0
+        ad -= b2 * (step // 2)
+        b1 = 1 if ad >= step // 4 else 0
+        nib = sgn | (b4 << 2) | (b2 << 1) | b1
+        d = step // 8 + b4 * step + b2 * (step // 2) + b1 * (step // 4)
+        pred = max(-32768, min(32767, pred + (-d if sgn else d)))
+        idx = max(0, min(88, idx + ADPCM_INDEX[nib & 7]))
+        nibs.append(nib)
+    if len(nibs) % 2:
+        nibs.append(0)  # pad nibble (beyond n, ignored by the decoder)
+    packed = bytes(
+        (nibs[i] | (nibs[i + 1] << 4)) for i in range(0, len(nibs), 2)
+    )
+    return b"ADPC" + len(samples).to_bytes(4, "big") + packed
+
+
+def decode_adpcm(payload: bytes):
+    """REAL differential-audio decode: replay the IMA-ADPCM state
+    machine over the packed nibbles. Returns (samples int64 array,
+    final_predictor, final_index). Wrong magic or a truncated nibble
+    stream raises."""
+    import numpy as np
+
+    if payload[:4] != b"ADPC":
+        raise ValueError("not an ADPC payload")
+    n = int.from_bytes(payload[4:8], "big")
+    need = 8 + (n + 1) // 2
+    if len(payload) < need:
+        raise ValueError("truncated ADPCM nibble stream")
+    out = np.empty(n, dtype=np.int64)
+    pred, idx = 0, 0
+    for i in range(n):
+        byte = payload[8 + i // 2]
+        nib = (byte >> 4) if i % 2 else (byte & 0xF)
+        step = ADPCM_STEPS[idx]
+        b4, b2, b1 = (nib >> 2) & 1, (nib >> 1) & 1, nib & 1
+        d = step // 8 + b4 * step + b2 * (step // 2) + b1 * (step // 4)
+        pred = max(-32768, min(32767, pred + (-d if nib & 8 else d)))
+        idx = max(0, min(88, idx + ADPCM_INDEX[nib & 7]))
+        out[i] = pred
+    return out, pred, idx

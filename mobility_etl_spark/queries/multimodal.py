@@ -708,3 +708,126 @@ def multimodal_avi_rle_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, frame int, n_px int, sum_r bigint, sum_g bigint, "
         "sum_b bigint",
     )
+
+
+def _adpcm_oracle() -> str:
+    from mobility_etl_spark.operators.multimodal import (
+        ADPCM_INDEX,
+        ADPCM_STEPS,
+    )
+
+    st = "[" + ",".join(map(str, ADPCM_STEPS)) + "]"
+    ix = "[" + ",".join(map(str, ADPCM_INDEX)) + "]"
+    return f"""
+    WITH RECURSIVE dims AS (
+        SELECT doc_id, 40 + doc_id % 40 AS n
+        FROM documents WHERE doc_id < 150
+    ),
+    ord AS (
+        SELECT d.doc_id, ii.i + 1 AS rn,
+               ABS((ii.i * 397 + d.doc_id * 13) % 16000 - 8000) - 4000 AS s
+        FROM dims d
+        JOIN generate_series(0, 79) AS ii(i) ON ii.i < d.n
+    ),
+    m(doc_id, rn, pred, idx, acc, mx) AS (
+        SELECT doc_id, 0, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM dims
+        UNION ALL
+        SELECT doc_id, rn, new_pred, new_idx, acc, mx FROM (
+            SELECT o.doc_id AS doc_id, o.rn AS rn,
+                   list_extract({{st}}, h.idx + 1) AS step,
+                   o.s - h.pred AS diff0,
+                   CASE WHEN diff0 < 0 THEN 1 ELSE 0 END AS sgn,
+                   ABS(diff0) AS ad,
+                   CASE WHEN ad >= step THEN 1 ELSE 0 END AS b4,
+                   ad - b4 * step AS ad2,
+                   CASE WHEN ad2 >= step // 2 THEN 1 ELSE 0 END AS b2,
+                   ad2 - b2 * (step // 2) AS ad3,
+                   CASE WHEN ad3 >= step // 4 THEN 1 ELSE 0 END AS b1,
+                   step // 8 + b4 * step + b2 * (step // 2)
+                       + b1 * (step // 4) AS d,
+                   GREATEST(-32768, LEAST(32767,
+                       h.pred + CASE WHEN sgn = 1 THEN -d ELSE d END))
+                       AS new_pred,
+                   GREATEST(0, LEAST(88, h.idx + list_extract(
+                       {{ix}}, b4 * 4 + b2 * 2 + b1 + 1))) AS new_idx,
+                   h.acc + new_pred AS acc,
+                   GREATEST(h.mx, ABS(new_pred - o.s)) AS mx
+            FROM m h JOIN ord o
+              ON o.doc_id = h.doc_id AND o.rn = h.rn + 1
+        )
+    )
+    SELECT m.doc_id,
+           CAST(d.n AS INTEGER) AS n_samples,
+           CAST(m.pred AS BIGINT) AS final_pred,
+           CAST(m.idx AS INTEGER) AS final_idx,
+           CAST(m.acc AS BIGINT) AS sum_dec,
+           CAST(m.mx AS BIGINT) AS max_abs_err
+    FROM m JOIN dims d USING (doc_id)
+    WHERE m.rn = d.n
+    """.replace("{st}", st).replace("{ix}", ix)
+
+
+@register("multimodal_adpcm_decode", oracle=_adpcm_oracle(), tags=("N4", "E39"))
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DIFFERENTIAL audio compression, decoded and proven
+    state-step-exact cross-engine: IMA-ADPCM packs 16-bit samples into
+    4-bit nibbles through a quantize-and-adapt state machine
+    (predictor integration + step-table walk). The payload crosses a
+    binary-column boundary and decodes in mapInPandas; the DuckDB
+    oracle replays ENCODE AND DECODE — the entire adaptive state
+    machine, step/index tables as SQL array literals — inside one
+    RECURSIVE CTE with lateral column aliases, so the hash equality
+    pins every predictor clamp, every table walk, and the exact lossy
+    error (max_abs_err) of a 4:1 compressed codec. Completes the
+    compressed-codec matrix: DEFLATE (PNG), companding (μ-law),
+    run-length (MS-RLE8 video), and now differential (ADPCM)."""
+    from mobility_etl_spark.operators.multimodal import (
+        adpcm_samples,
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_adpcm(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "final_pred": [],
+                "final_idx": [], "sum_dec": [], "max_abs_err": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                samples, pred, idx = decode_adpcm(bytes(payload))
+                src = adpcm_samples(d)
+                out["doc_id"].append(d)
+                out["n_samples"].append(len(samples))
+                out["final_pred"].append(int(pred))
+                out["final_idx"].append(int(idx))
+                out["sum_dec"].append(int(samples.sum()))
+                out["max_abs_err"].append(
+                    int(np.abs(samples - src).max())
+                )
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        dec,
+        "doc_id long, n_samples int, final_pred bigint, final_idx int, "
+        "sum_dec bigint, max_abs_err bigint",
+    )

@@ -304,3 +304,33 @@ def test_avi_rle8_roundtrip_and_rejections():
     bad[-4] = 200
     with pytest.raises(ValueError):
         decode_avi_rle8(bytes(bad))
+
+
+# ------------------------------------------------------------- IMA-ADPCM
+
+
+def test_adpcm_error_bounded_after_warmup_and_rejections():
+    """The 4:1 differential codec tracks the slope-bounded triangle
+    signal: after the 5-sample warmup, reconstruction error stays
+    under 1024 (~13% of the ±4000 range) on every fixture doc; wrong
+    magic and truncated nibble streams raise."""
+    import numpy as np
+    import pytest
+
+    from mobility_etl_spark.operators.multimodal import (
+        adpcm_samples,
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    for d in range(0, 150, 7):
+        dec, pred, idx = decode_adpcm(encode_adpcm(d))
+        src = adpcm_samples(d)
+        assert len(dec) == len(src)
+        assert np.abs(dec - src)[5:].max() <= 1024
+        assert 0 <= idx <= 88 and -32768 <= pred <= 32767
+    with pytest.raises(ValueError, match="ADPC"):
+        decode_adpcm(b"WAVE" + b"\x00" * 20)
+    good = encode_adpcm(3)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_adpcm(good[:10])

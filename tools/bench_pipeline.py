@@ -69,6 +69,8 @@ QUERIES = (
     "multimodal_ulaw_decode",
     "outlier_mad_events",
     "streaming_index_maintenance",
+    "multimodal_avi_rle_frames",
+    "multimodal_adpcm_decode",
 )
 
 
