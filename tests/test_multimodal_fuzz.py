@@ -159,3 +159,47 @@ def test_ulaw_error_bound_fuzz(doc_id):
     assert (np.abs(dec - s) <= (1 << e)).all()
     nz = s != 0
     assert (np.sign(dec[nz]) == np.sign(s[nz])).all()
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=30, deadline=None)
+def test_avi_rle8_roundtrip_fuzz(doc_id):
+    """Any doc id: AVI/MS-RLE8 decode reproduces every frame's
+    closed-form index array and the palette exactly."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_avi_rle8,
+        encode_avi_rle8,
+    )
+
+    frames, pal = decode_avi_rle8(encode_avi_rle8(doc_id))
+    w, h = 8 + doc_id % 9, 6 + doc_id % 5
+    assert len(frames) == 2 + doc_id % 3
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    for f, img in enumerate(frames):
+        assert np.array_equal(
+            img, ((3 * x + 7 * y + 11 * f + doc_id) % 256).astype(np.uint8)
+        )
+    i = np.arange(256)
+    assert np.array_equal(pal[:, 2], (i * 11 + 2) % 256)
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=30, deadline=None)
+def test_adpcm_fuzz_state_and_error_bounds(doc_id):
+    """Any doc id: ADPCM state stays in range, decode length matches,
+    and post-warmup error is bounded on the slope-limited signal."""
+    from mobility_etl_spark.operators.multimodal import (
+        adpcm_samples,
+        decode_adpcm,
+        encode_adpcm,
+    )
+
+    dec, pred, idx = decode_adpcm(encode_adpcm(doc_id))
+    src = adpcm_samples(doc_id)
+    assert len(dec) == len(src)
+    assert 0 <= idx <= 88 and -32768 <= pred <= 32767
+    # 8-sample warmup: the adapter needs ~8 steps to climb the step
+    # table for the worst starting phase (measured worst over the
+    # domain: 176 after 8, 2832 after 5)
+    assert np.abs(dec - src)[8:].max() <= 512
