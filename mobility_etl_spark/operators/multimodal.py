@@ -983,3 +983,163 @@ def decode_adpcm(payload: bytes):
         idx = max(0, min(88, idx + ADPCM_INDEX[nib & 7]))
         out[i] = pred
     return out, pred, idx
+
+
+def encode_gif(doc_id: int, pixels=None, size=None) -> bytes:
+    """A REAL dictionary-compressed image: GIF87a with a full LZW
+    encoder — variable-width codes (9→12 bits, LSB-first bit packing),
+    CLEAR/EOI control codes, growing string table — over the same
+    closed-form palette-indexed pattern family as the AVI face. Pure
+    stdlib."""
+    import struct
+
+    if size is None:
+        w, h = 10 + doc_id % 13, 8 + doc_id % 11
+    else:
+        w, h = size
+    if pixels is None:
+        pixels = [
+            (5 * x + 3 * y + doc_id) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+
+    mcs = 8  # min code size for 256-color
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    out_bits: list[int] = []
+    width = mcs + 1
+
+    def emit(code: int):
+        nonlocal width
+        for b in range(width):
+            out_bits.append((code >> b) & 1)
+
+    table: dict[tuple, int] = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit(clear)
+    cur: tuple = ()
+    for p in pixels:
+        cand = cur + (p,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        cur = (p,)
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+
+    data = bytearray()
+    for i in range(0, len(out_bits), 8):
+        byte = 0
+        for j, bit in enumerate(out_bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+
+    palette = bytearray()
+    for i in range(256):
+        palette += bytes(
+            [(i * 5 + doc_id) % 256, (i * 7 + 1) % 256, (i * 11 + 2) % 256]
+        )
+
+    hdr = b"GIF87a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + bytes(palette)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0) + bytes([mcs])
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunkb = data[i : i + 255]
+        blocks += bytes([len(chunkb)]) + chunkb
+    return hdr + img + bytes(blocks) + b"\x00" + b"\x3b"
+
+
+def decode_gif(payload: bytes):
+    """REAL LZW decode, pure stdlib: parse the GIF87a screen
+    descriptor + global color table + image descriptor, reassemble the
+    data sub-blocks, and run the full GIF-LZW decoder — LSB-first
+    variable-width codes, CLEAR resets, the KwKwK (code == next_code)
+    case, width growth at table fill, EOI termination. Returns
+    ((h, w) uint8 index array, (256, 3) palette). Malformed streams
+    (bad signature, out-of-range codes, pixel overflow/underflow,
+    missing EOI) raise."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if not flags & 0x80:
+        raise ValueError("missing global color table")
+    gct_n = 2 << (flags & 0x7)
+    pos = 13
+    palette = (
+        np.frombuffer(payload, np.uint8, gct_n * 3, pos)
+        .reshape(gct_n, 3)
+        .copy()
+    )
+    pos += gct_n * 3
+    while payload[pos] != 0x2C:  # skip extensions
+        if payload[pos] != 0x21:
+            raise ValueError(f"unexpected block 0x{payload[pos]:02x}")
+        pos += 2
+        while payload[pos]:
+            pos += payload[pos] + 1
+        pos += 1
+    _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF not supported")
+    pos += 10
+    mcs = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        n = payload[pos]
+        data += payload[pos + 1 : pos + 1 + n]
+        pos += n + 1
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+
+    out: list[int] = []
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width = mcs + 1
+    bitpos = 0
+    prev: bytes | None = None
+    total_bits = len(data) * 8
+    ended = False
+    while bitpos + width <= total_bits:
+        code = 0
+        for b in range(width):
+            code |= ((data[(bitpos + b) // 8] >> ((bitpos + b) % 8)) & 1) << b
+        bitpos += width
+        if code == clear:
+            table = table[: eoi + 1]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            ended = True
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first code after clear out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if not ended:
+        raise ValueError("missing EOI code")
+    if len(out) != iw * ih:
+        raise ValueError(f"decoded {len(out)} pixels, expected {iw * ih}")
+    return np.array(out, dtype=np.uint8).reshape(ih, iw), palette

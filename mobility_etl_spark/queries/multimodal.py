@@ -831,3 +831,89 @@ def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_samples int, final_pred bigint, final_idx int, "
         "sum_dec bigint, max_abs_err bigint",
     )
+
+
+@register(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               10 + doc_id % 13 AS w,
+               8 + doc_id % 11 AS h
+        FROM documents WHERE doc_id < 150
+    ),
+    px AS (
+        SELECT d.doc_id, d.w, d.h,
+               (5 * xs.x + 3 * ys.y + d.doc_id) % 256 AS idx
+        FROM dims d
+        JOIN generate_series(0, 22) AS xs(x) ON xs.x < d.w
+        JOIN generate_series(0, 18) AS ys(y) ON ys.y < d.h
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS INTEGER) AS width,
+           CAST(MIN(h) AS INTEGER) AS height,
+           CAST(COUNT(*) AS INTEGER) AS n_px,
+           CAST(SUM((idx * 5 + doc_id) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((idx * 7 + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((idx * 11 + 2) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("N4", "E39"),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DICTIONARY-compressed image decode, pure stdlib: each doc
+    gets a genuine GIF87a whose pixel stream is LZW-compressed with
+    variable-width codes (9→12 bits, LSB-first packing, CLEAR/EOI,
+    KwKwK case, width growth at table fill) — the fifth compression
+    family in the matrix after DEFLATE (PNG), companding (μ-law),
+    run-length (MS-RLE8) and differential (ADPCM).
+    operators/multimodal.py:decode_gif walks the screen descriptor,
+    global color table and sub-block chain, then runs the full LZW
+    decoder; the payload crosses a binary-column boundary before an
+    independent mapInPandas decode stage, and the DuckDB oracle
+    recomputes every palette-mapped channel sum from the closed
+    forms."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 150
+    ).select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_gif(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_px": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img, pal = decode_gif(bytes(payload))
+                rgb = pal.astype(np.int64)[img]
+                out["doc_id"].append(int(d))
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["n_px"].append(img.size)
+                out["sum_r"].append(int(rgb[:, :, 0].sum()))
+                out["sum_g"].append(int(rgb[:, :, 1].sum()))
+                out["sum_b"].append(int(rgb[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    payloads = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return payloads.mapInPandas(
+        dec,
+        "doc_id long, width int, height int, n_px int, sum_r bigint, "
+        "sum_g bigint, sum_b bigint",
+    )

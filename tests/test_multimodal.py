@@ -334,3 +334,37 @@ def test_adpcm_error_bounded_after_warmup_and_rejections():
     good = encode_adpcm(3)
     with pytest.raises(ValueError, match="truncated"):
         decode_adpcm(good[:10])
+
+
+# ---------------------------------------------------------------- GIF LZW
+
+
+def test_gif_decoder_handles_kwkwk_and_rejects_malformed():
+    """The KwKwK case (code == next table entry) decodes correctly on
+    a crafted run-heavy image; bad signature, clobbered code stream,
+    and a truncated sub-block chain raise."""
+    import numpy as np
+    import pytest
+
+    from mobility_etl_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    # constant image: runs force cScSc patterns, i.e. codes referencing
+    # the entry the decoder has not built yet (the KwKwK branch)
+    img, _ = decode_gif(encode_gif(7, pixels=[42] * 60, size=(10, 6)))
+    assert img.shape == (6, 10) and (img == 42).all()
+    # mixed runs and gradients
+    px = ([9] * 17 + list(range(40)) + [9] * 23) * 3
+    img2, _ = decode_gif(encode_gif(1, pixels=px, size=(48, 5)))
+    assert img2.flatten().tolist() == px
+
+    with pytest.raises(ValueError, match="GIF"):
+        decode_gif(b"BMP" + bytes(40))
+    good = bytearray(encode_gif(3))
+    good[-3] ^= 0x55
+    with pytest.raises(ValueError):
+        decode_gif(bytes(good))
+    with pytest.raises(Exception):
+        decode_gif(bytes(good[: len(good) // 2]))

@@ -203,3 +203,25 @@ def test_adpcm_fuzz_state_and_error_bounds(doc_id):
     # table for the worst starting phase (measured worst over the
     # domain: 176 after 8, 2832 after 5)
     assert np.abs(dec - src)[8:].max() <= 512
+
+
+@given(doc_id=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=30, deadline=None)
+def test_gif_lzw_roundtrip_fuzz(doc_id):
+    """Any doc id: GIF-LZW decode reproduces the closed-form index
+    array and palette exactly — variable-width growth, CLEAR/EOI and
+    bit packing fuzz-proven."""
+    from mobility_etl_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    img, pal = decode_gif(encode_gif(doc_id))
+    w, h = 10 + doc_id % 13, 8 + doc_id % 11
+    assert img.shape == (h, w)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert np.array_equal(
+        img, ((5 * x + 3 * y + doc_id) % 256).astype(np.uint8)
+    )
+    assert np.array_equal(pal[:, 1], (np.arange(256) * 7 + 1) % 256)

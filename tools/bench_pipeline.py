@@ -71,6 +71,7 @@ QUERIES = (
     "streaming_index_maintenance",
     "multimodal_avi_rle_frames",
     "multimodal_adpcm_decode",
+    "multimodal_gif_decode",
 )
 
 
