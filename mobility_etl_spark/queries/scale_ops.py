@@ -284,3 +284,64 @@ def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         _dsum(F.col("value"), "sum_value"),
     )
+
+
+@register(
+    "privacy_k_anonymity_orders",
+    oracle="""
+    WITH quasi AS (
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_band,
+               COUNT(*) AS grp_n
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus,
+                 CAST(FLOOR(o_totalprice / 50000) AS BIGINT)
+    )
+    SELECT CAST(k.k AS BIGINT) AS k,
+           CAST(COUNT(*) FILTER (WHERE grp_n < k.k) AS BIGINT)
+               AS n_violating_groups,
+           CAST(COALESCE(SUM(grp_n) FILTER (WHERE grp_n < k.k), 0)
+               AS BIGINT) AS n_exposed_rows,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size
+    FROM quasi CROSS JOIN (VALUES (2), (5), (10)) AS k(k)
+    GROUP BY k.k
+    """,
+    tags=("E13", "E15", "N16"),
+)
+def privacy_k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (priority,
+    status, coarse price band): for each candidate k, how many
+    equivalence classes are smaller than k and how many rows those
+    classes expose — the release-gate query every privacy review runs
+    before publishing a derived dataset, and the generalization-loop
+    driver (if violations remain, coarsen a quasi-identifier and
+    re-audit). One groupBy over the quasi tuple (the only shuffle —
+    the class histogram is tiny and the k-grid is a 3-row broadcast
+    cross join); at 100 TB identical shape to any low-cardinality
+    audit aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    quasi = orders.groupBy(
+        "o_orderpriority",
+        "o_orderstatus",
+        (F.col("o_totalprice") / 50000).cast("bigint").alias("price_band"),
+    ).agg(F.count("*").alias("grp_n"))
+    ks = spark.createDataFrame([(2,), (5,), (10,)], "k long")
+    return (
+        quasi.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("grp_n") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("grp_n") < F.col("k"), F.col("grp_n"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_exposed_rows"),
+            F.min("grp_n").cast("bigint").alias("min_group_size"),
+        )
+    )
