@@ -210,3 +210,138 @@ def text_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 20)
     )
+
+
+#: Kneser-Ney discount: an exact binary fraction, so both engines'
+#: probability expressions round identically.
+_KN_D = 0.75
+
+
+@register(
+    "text_kn_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS l
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT t.doc_id,
+               list_extract(t.l, g.i) AS w1,
+               list_extract(t.l, g.i + 1) AS w2
+        FROM toks t
+        JOIN generate_series(1, 400) AS g(i) ON g.i < len(t.l)
+        WHERE LENGTH(list_extract(t.l, g.i)) > 0
+          AND LENGTH(list_extract(t.l, g.i + 1)) > 0
+    ),
+    train AS (SELECT w1, w2 FROM bigrams WHERE doc_id % 5 != 0),
+    c12 AS (
+        SELECT w1, w2, COUNT(*) AS c FROM train GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, SUM(c) AS c1, COUNT(*) AS n1fw
+        FROM c12 GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, COUNT(*) AS contw FROM c12 GROUP BY w2
+    ),
+    nbb AS (SELECT COUNT(*) AS nbb FROM c12),
+    eval_bg AS (
+        SELECT doc_id, w1, w2 FROM bigrams
+        WHERE doc_id % 5 = 0 AND doc_id < 50
+    ),
+    scored AS (
+        SELECT e.doc_id,
+               CASE WHEN c1.c1 IS NOT NULL AND cont.contw IS NOT NULL
+                    THEN CAST(FLOOR(-1000000000.0 * ln(
+                        GREATEST(CAST(COALESCE(c12.c, 0) AS DOUBLE)
+                                 - {_KN_D}, 0.0)
+                          / CAST(c1.c1 AS DOUBLE)
+                        + ({_KN_D} * CAST(c1.n1fw AS DOUBLE)
+                           / CAST(c1.c1 AS DOUBLE))
+                          * (CAST(cont.contw AS DOUBLE)
+                             / CAST(nbb.nbb AS DOUBLE))
+                    )) AS BIGINT)
+                    ELSE NULL END AS nll_fx
+        FROM eval_bg e
+        LEFT JOIN c1 ON c1.w1 = e.w1
+        LEFT JOIN cont ON cont.w2 = e.w2
+        LEFT JOIN c12 ON c12.w1 = e.w1 AND c12.w2 = e.w2
+        CROSS JOIN nbb
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(nll_fx) AS BIGINT) AS n_scored,
+           CAST(COUNT(*) - COUNT(nll_fx) AS BIGINT) AS n_oov,
+           CAST(SUM(nll_fx) AS BIGINT) AS nll_sum_fx
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("N5", "N16", "E13"),
+)
+def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language-model scoring (d=0.75)
+    — the LM-quality filter one rung above unigram logprob
+    (text_unigram_logprob): held-out documents (doc_id % 5 == 0) score
+    under a model whose counts come ONLY from the train split, with
+    the KN continuation distribution (how many distinct contexts a
+    word completes) replacing raw unigram frequency for the backoff
+    mass. All model quantities are integer counts from two groupBys
+    over the train bigram stream; the probability is the identical
+    double expression on both engines (the discount is a binary
+    fraction), and each bigram's -ln P floors to 1e-9 fixed point
+    BEFORE the per-doc sum, so the reduction is an order-free integer
+    sum (the entropy/PSI technique). Bigrams never cross document
+    boundaries; eval bigrams with an unseen context or zero
+    continuation count are reported as n_oov, not silently smoothed.
+    At 100 TB: the model tables are vocabulary-sized aggregates
+    broadcast onto the eval stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("l")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(0, size(l) - 2), "
+                "i -> struct(l[i] AS w1, l[i + 1] AS w2)), "
+                "p -> length(p.w1) > 0 AND length(p.w2) > 0)"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    train = bigrams.filter(F.col("doc_id") % 5 != 0)
+    c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n1fw")
+    )
+    cont = c12.groupBy("w2").agg(F.count("*").alias("contw"))
+    nbb = c12.count()  # control-plane scalar: |distinct bigrams|
+    ev = bigrams.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 50)
+    )
+    d = F.lit(_KN_D)
+    p = (
+        F.greatest(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / F.col("c1").cast("double")
+        + (d * F.col("n1fw").cast("double") / F.col("c1").cast("double"))
+        * (F.col("contw").cast("double") / F.lit(float(nbb)))
+    )
+    scored = (
+        ev.join(F.broadcast(c1), "w1", "left")
+        .join(F.broadcast(cont), "w2", "left")
+        .join(F.broadcast(c12), ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c1").isNotNull() & F.col("contw").isNotNull(),
+                F.floor(-1000000000.0 * F.log(p)).cast("bigint"),
+            ).alias("nll_fx"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.count("nll_fx").cast("bigint").alias("n_scored"),
+        (F.count("*") - F.count("nll_fx")).cast("bigint").alias("n_oov"),
+        F.sum("nll_fx").cast("bigint").alias("nll_sum_fx"),
+    )

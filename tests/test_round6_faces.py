@@ -127,3 +127,56 @@ def test_index_incremental_sentinel_and_churn_accounting(spark, sf_dir):
         assert sent.n_docs == n_updated == sent.sum_tf
     for r in rows.values():
         assert r.n_docs >= 20 and r.sum_tf >= r.n_docs
+
+
+# ------------------------------------------------------------- KN bigram LM
+
+
+def test_kn_oracle_series_bound_covers_corpus(spark, sf_dir):
+    """Drift tripwire: the KN oracle enumerates bigram positions with
+    generate_series(1, 400); if a testdata regen ever produces docs
+    longer than 400 tokens the oracle would silently truncate while
+    Spark scores everything. Pin the headroom."""
+    mx = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(F.split("text", " ")).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert mx <= 400, f"docs grew to {mx} tokens; raise the oracle bound"
+
+
+def test_kn_model_is_a_proper_distribution_on_seen_contexts(spark, sf_dir):
+    """Σ_w2 P_KN(w2 | w1) == 1 for every seen context w1 when summed
+    over the full continuation vocabulary — the defining property of
+    interpolated KN (discount mass exactly re-distributed). Checked in
+    exact arithmetic over the train split for 25 contexts."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    from collections import Counter, defaultdict
+
+    c12: Counter = Counter()
+    for r in docs:
+        if r.doc_id % 5 == 0:
+            continue
+        toks = [t for t in r.text.lower().split(" ") if t]
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    n1fw: Counter = Counter()
+    cont: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1fw[a] += 1
+        cont[b] += 1
+    nbb = len(c12)
+    d = 0.75
+    for w1 in sorted(c1)[:25]:
+        total = 0.0
+        for w2, cw in cont.items():
+            c = c12.get((w1, w2), 0)
+            total += max(c - d, 0.0) / c1[w1] + (
+                d * n1fw[w1] / c1[w1]
+            ) * (cw / nbb)
+        assert math.isclose(total, 1.0, rel_tol=1e-9), (w1, total)
