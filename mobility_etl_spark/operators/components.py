@@ -126,3 +126,46 @@ def bfs_distances(
         dist = dist.unionByName(nxt)  # union of flat-lineage checkpoints
         frontier = nxt
     return dist
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """K-core of an undirected graph: iteratively peel nodes of degree
+    < k until the fixpoint — the density filter behind spam/bot
+    subgraph extraction and community seeding (what survives is the
+    maximal subgraph where every node keeps >= k neighbors).
+
+    ``edges`` is one row per undirected edge (u, v), u != v, deduped.
+    Per round: one degree aggregation over both endpoint columns, a
+    broadcast semi-join of surviving nodes back onto the edges, and a
+    one-scalar convergence collect — the same bounded-control-plane
+    loop as :func:`connected_components`, lineage truncated per round.
+    Peeling rounds are bounded by the graph's degeneracy ordering
+    depth (typically << |V|); ``max_iter`` is the runaway stop.
+
+    Returns the surviving nodes with their in-core degree
+    (node, degree) — every degree is >= k by construction (gated in
+    tests alongside a driver-side reference peel).
+    """
+    cur = edges.select("u", "v").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("degree"))
+        ).localCheckpoint(eager=True)
+        n_weak = deg.filter(F.col("degree") < k).count()  # control-plane
+        if n_weak == 0:
+            return deg
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        cur = (
+            cur.join(
+                F.broadcast(keep.select(F.col("node").alias("u"))), "u"
+            )
+            .join(F.broadcast(keep.select(F.col("node").alias("v"))), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            return deg.filter(F.lit(False))  # empty core, stable schema
+    raise RuntimeError(f"k_core: no fixpoint within {max_iter} rounds")

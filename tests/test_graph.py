@@ -84,3 +84,51 @@ def test_pagerank_bipartite_sf(spark, sf_dir):
     assert all(r.rank >= floor - 1e-12 for r in ranks)
     # suppliers aggregate many parts' mass: the max-ranked node is one
     assert max(ranks, key=lambda r: r.rank).node.startswith("s")
+
+
+def test_kcore_matches_reference_peel_and_fixpoint(spark, sf_dir):
+    """Third-engine recompute: peel the same sparsified edge set in
+    plain Python and require node-for-node, degree-for-degree equality
+    with the distributed k_core; every surviving degree >= 3 (fixpoint
+    invariant), and the core is non-trivial (something survived AND
+    something was peeled — a vacuous graph would gate nothing)."""
+    from collections import defaultdict
+
+    from mobility_etl_spark.io import load_table
+    from mobility_etl_spark.registry import load_all
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).collect()
+    by_order: dict[int, set] = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                if ((u * 100003 + v) % 1000003) * 2654435761 % 1000000007 % 23 == 0:
+                    edges.add((u, v))
+    n_nodes0 = len({n for e in edges for n in e})
+    while True:
+        deg: dict[int, int] = defaultdict(int)
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        weak = {n for n, d in deg.items() if d < 3}
+        if not weak:
+            break
+        edges = {
+            (u, v) for u, v in edges if u not in weak and v not in weak
+        }
+
+    got = {
+        r.node: r.degree
+        for r in load_all()["network_kcore_parts"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == dict(deg)
+    assert got and all(d >= 3 for d in got.values())
+    assert len(got) < n_nodes0, "nothing was peeled — vacuous fixture"
