@@ -167,3 +167,148 @@ def training_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "training_temporal_split",
+    oracle="""
+    WITH cutoff AS (
+        SELECT ts AS cut FROM (
+            SELECT ts, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM events
+        ) WHERE rn = CAST(FLOOR(0.8 * n) AS BIGINT)
+    )
+    SELECT CASE WHEN e.ts <= c.cut THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(e.ts)) AS BIGINT) AS max_ts_us
+    FROM events e CROSS JOIN cutoff c
+    GROUP BY CASE WHEN e.ts <= c.cut THEN 'train' ELSE 'test' END
+    """,
+    tags=("N7", "N16", "E13"),
+)
+def training_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout split — the ONLY leakage-safe split for
+    forecasting/ranking training data (hash splits leak future
+    information into train; see hash_split_train_test for the i.i.d.
+    case): the cutoff is the exact 80th-percentile event timestamp
+    (order-statistic via approx-quantile-bounded candidates, NOT a
+    global sort — the candidate filter below keeps the rank window's
+    input to a sliver of the data), train = ts <= cutoff, test = the
+    future. Output: per-split row/user counts and the time ranges —
+    whose non-overlap IS the no-leakage certificate
+    (train.max_ts <= test.min_ts, gated in tests). At 100 TB the
+    cutoff is 1 scalar; assignment is a map-only comparison."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    n = events.count()  # control-plane scalar
+    target = int(0.8 * n)
+    # bracket the order statistic with approx quantiles, then take the
+    # exact rank within the sliver (bucketed-global-rank argument:
+    # bracket placement affects cost only, never the result)
+    lo, hi = events.approxQuantile("us", [0.78, 0.82], 0.001)
+    sliver = events.filter((F.col("us") >= lo) & (F.col("us") <= hi))
+    n_below = events.filter(F.col("us") < lo).count()  # control-plane
+    from pyspark.sql import Window
+
+    w = Window.orderBy("us", "event_id")  # over the sliver only
+    cut_row = (
+        sliver.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == target - n_below)
+        .select("us")
+        .collect()
+    )
+    cut_us = cut_row[0]["us"]
+    tagged = events.withColumn(
+        "split",
+        F.when(F.col("us") <= F.lit(cut_us), "train").otherwise("test"),
+    )
+    return tagged.groupBy("split").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("min_ts_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        .cast("bigint")
+        .alias("max_ts_us"),
+    )
+
+
+@register(
+    "training_winsorize_events",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vfx
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT event_type,
+               CAST(quantile_disc(vfx, 0.01) AS BIGINT) AS lo,
+               CAST(quantile_disc(vfx, 0.99) AS BIGINT) AS hi
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(b.lo) AS lo_fx,
+           MIN(b.hi) AS hi_fx,
+           CAST(SUM(CASE WHEN vfx < b.lo THEN 1
+                         WHEN vfx > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped,
+           CAST(SUM(GREATEST(b.lo, LEAST(b.hi, vfx))) AS BIGINT)
+               AS sum_winsorized_fx
+    FROM v JOIN bounds b USING (event_type)
+    GROUP BY v.event_type
+    """,
+    tags=("N16", "E13"),
+)
+def training_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — percentile clipping to [p01, p99] per group —
+    the standard tail-taming normalization before feature scaling or
+    loss computation (a single corrupt sensor reading otherwise owns
+    the gradient). Bounds are EXACT discrete percentiles
+    (percentile_disc on 1e-6 fixed-point integers — bit-identical
+    cross-engine, no interpolation ambiguity), applied as a map-only
+    greatest/least clamp after a broadcast join of the per-group
+    bounds — the aggregate-then-broadcast two-pass, same plan family
+    as outlier_mad_events. All outputs integer-exact."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    v = events.select(
+        "event_type",
+        F.floor(F.col("value") * 1000000.0).cast("long").alias("vfx"),
+    )
+    v.createOrReplaceTempView("__wins_v")
+    bounds = spark.sql(
+        """SELECT event_type,
+                  CAST(percentile_disc(0.01) WITHIN GROUP (ORDER BY vfx)
+                       AS BIGINT) AS lo,
+                  CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY vfx)
+                       AS BIGINT) AS hi
+           FROM __wins_v GROUP BY event_type"""
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("vfx")))
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("lo").alias("lo_fx"),
+            F.min("hi").alias("hi_fx"),
+            F.sum(
+                F.when(
+                    (F.col("vfx") < F.col("lo"))
+                    | (F.col("vfx") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+            F.sum(clipped).cast("bigint").alias("sum_winsorized_fx"),
+        )
+    )

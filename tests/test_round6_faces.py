@@ -180,3 +180,23 @@ def test_kn_model_is_a_proper_distribution_on_seen_contexts(spark, sf_dir):
                 d * n1fw[w1] / c1[w1]
             ) * (cw / nbb)
         assert math.isclose(total, 1.0, rel_tol=1e-9), (w1, total)
+
+
+# ------------------------------------------------------- temporal holdout
+
+
+def test_temporal_split_no_leakage_and_sized(spark, sf_dir):
+    """The no-leakage certificate: train's max timestamp <= test's min
+    timestamp (strictly earlier future), the split covers every row,
+    and train holds ~80% (exact order-statistic, so between 79% and
+    81% with duplicate-timestamp slack)."""
+    rows = {
+        r.split: r
+        for r in _run("training_temporal_split", spark, sf_dir).collect()
+    }
+    assert set(rows) == {"train", "test"}
+    assert rows["train"].max_ts_us <= rows["test"].min_ts_us
+    n = rows["train"].n_rows + rows["test"].n_rows
+    total = load_table(spark, sf_dir, "events").count()
+    assert n == total
+    assert 0.79 <= rows["train"].n_rows / n <= 0.81
