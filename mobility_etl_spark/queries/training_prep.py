@@ -212,12 +212,17 @@ def training_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = events.approxQuantile("us", [0.78, 0.82], 0.001)
     sliver = events.filter((F.col("us") >= lo) & (F.col("us") <= hi))
     n_below = events.filter(F.col("us") < lo).count()  # control-plane
-    from pyspark.sql import Window
+    # exact rank WITHIN the sliver via the bucketed global rank — the
+    # sliver is a few % of the data, far too big for a single-partition
+    # window at 100 TB; bucketed_global_rank keeps every window
+    # partitioned by range bucket
+    from mobility_etl_spark.operators.sampling import bucketed_global_rank
 
-    w = Window.orderBy("us", "event_id")  # over the sliver only
+    ranked, _n = bucketed_global_rank(
+        sliver.select("us", "event_id"), "us", "event_id", "rank"
+    )
     cut_row = (
-        sliver.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == target - n_below)
+        ranked.filter(F.col("rank") == target - n_below)
         .select("us")
         .collect()
     )
