@@ -400,3 +400,42 @@ def test_no_unbounded_global_windows(spark, sf_dir):
         f"allowlist entries no longer have global windows (prune them "
         f"so the inventory stays exact): {stale}"
     )
+
+
+#: Source sites that construct a GLOBAL window (`Window.orderBy` with
+#: no partitionBy). Each is bounded by construction; the plan-level
+#: sweep above covers returned DataFrames, but SIDE computations
+#: (collects inside a builder) never reach it — this textual tripwire
+#: does. file -> expected count.
+GLOBAL_WINDOW_SOURCE_SITES = {
+    # O(partitions·k) merged Misra-Gries partials
+    "operators/sketch.py": 1,
+    # one row per skyline price bucket
+    "queries/curation2.py": 1,
+    # rank over the orderBy().limit(50) head
+    "queries/corpus_prep.py": 1,
+    # rank windows over two <=100-row TakeOrdered outputs + RRF union
+    "queries/retrieval.py": 2,
+}
+
+
+def test_global_window_source_sites_are_pinned():
+    """Grep-level inventory of `Window.orderBy(` construction without
+    partitionBy, covering code paths the physical-plan sweep cannot
+    see (windows executed in builder-side collects — exactly how the
+    temporal-split cutoff briefly reintroduced a single-partition
+    rank). New sites must be justified here or rewritten with
+    bucketed_global_rank / orderBy().limit(k)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "mobility_etl_spark"
+    found: dict[str, int] = {}
+    for f in root.rglob("*.py"):
+        n = 0
+        for line in f.read_text().splitlines():
+            if "Window.orderBy(" in line and "partitionBy" not in line:
+                n += 1
+        if n:
+            found[str(f.relative_to(root))] = n
+    assert found == GLOBAL_WINDOW_SOURCE_SITES, found
