@@ -169,6 +169,30 @@ def training_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_us_cutoff(events: DataFrame, frac: float, n: int) -> int:
+    """Exact order-statistic timestamp (unix micros) at rank
+    floor(frac*n), computed scale-correctly: approx-quantile bracket
+    around the target rank, then operators/sampling.bucketed_global_rank
+    INSIDE the sliver (every window partitioned by range bucket — a
+    single-partition rank over even a few-percent sliver is terabytes
+    through one task at 100 TB). ``events`` must carry (us, event_id).
+    Two bounded control-plane collects + one one-row collect."""
+    from mobility_etl_spark.operators.sampling import bucketed_global_rank
+
+    target = int(frac * n)
+    lo, hi = events.approxQuantile(
+        "us", [max(0.0, frac - 0.02), min(1.0, frac + 0.02)], 0.001
+    )
+    sliver = events.filter((F.col("us") >= lo) & (F.col("us") <= hi))
+    n_below = events.filter(F.col("us") < lo).count()  # control-plane
+    ranked, _n = bucketed_global_rank(
+        sliver.select("us", "event_id"), "us", "event_id", "rank"
+    )
+    return ranked.filter(F.col("rank") == target - n_below).select(
+        "us"
+    ).collect()[0]["us"]
+
+
 @register(
     "training_temporal_split",
     oracle="""
@@ -205,28 +229,7 @@ def training_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     n = events.count()  # control-plane scalar
-    target = int(0.8 * n)
-    # bracket the order statistic with approx quantiles, then take the
-    # exact rank within the sliver (bucketed-global-rank argument:
-    # bracket placement affects cost only, never the result)
-    lo, hi = events.approxQuantile("us", [0.78, 0.82], 0.001)
-    sliver = events.filter((F.col("us") >= lo) & (F.col("us") <= hi))
-    n_below = events.filter(F.col("us") < lo).count()  # control-plane
-    # exact rank WITHIN the sliver via the bucketed global rank — the
-    # sliver is a few % of the data, far too big for a single-partition
-    # window at 100 TB; bucketed_global_rank keeps every window
-    # partitioned by range bucket
-    from mobility_etl_spark.operators.sampling import bucketed_global_rank
-
-    ranked, _n = bucketed_global_rank(
-        sliver.select("us", "event_id"), "us", "event_id", "rank"
-    )
-    cut_row = (
-        ranked.filter(F.col("rank") == target - n_below)
-        .select("us")
-        .collect()
-    )
-    cut_us = cut_row[0]["us"]
+    cut_us = exact_us_cutoff(events, 0.8, n)
     tagged = events.withColumn(
         "split",
         F.when(F.col("us") <= F.lit(cut_us), "train").otherwise("test"),
@@ -317,3 +320,117 @@ def training_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clipped).cast("bigint").alias("sum_winsorized_fx"),
         )
     )
+
+
+_BT_FRACS = (0.6, 0.7, 0.8, 0.9)
+
+
+def _bt_fold_sql(i: int) -> str:
+    """One backtest fold of the oracle: train on ranks <= cut_i, test
+    on (cut_i, cut_{i+1}]; the baseline model is the per-user train
+    mean (decimal-exact), scored by 1e-6-floored absolute error."""
+    lo = f"c{i}"
+    hi = f"c{i + 1}" if i + 1 < len(_BT_FRACS) + 1 else None
+    hi_cond = f"AND e.rn <= cuts.{hi}" if hi else ""
+    return f"""
+        SELECT {i} AS fold,
+               CAST(t.n_train AS BIGINT) AS n_train,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(COUNT(m.mean_v) AS BIGINT) AS n_scored,
+               CAST(SUM(CASE WHEN m.mean_v IS NOT NULL THEN
+                   CAST(FLOOR(1000000.0 * ABS(e.value - m.mean_v))
+                        AS BIGINT) END) AS BIGINT) AS abs_err_fx
+        FROM ev e
+        CROSS JOIN cuts
+        CROSS JOIN (
+            SELECT COUNT(*) AS n_train FROM ev e2 CROSS JOIN cuts
+            WHERE e2.rn <= cuts.c{i}
+        ) t
+        LEFT JOIN (
+            SELECT e3.user_id,
+                   CAST(SUM(CAST(e3.value AS DECIMAL(20,6))) AS DOUBLE)
+                       / COUNT(*) AS mean_v
+            FROM ev e3 CROSS JOIN cuts
+            WHERE e3.rn <= cuts.c{i}
+            GROUP BY e3.user_id
+        ) m ON m.user_id = e.user_id
+        WHERE e.rn > cuts.c{i} {hi_cond}
+        GROUP BY t.n_train"""
+
+
+@register(
+    "training_backtest_folds",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    cuts AS (
+        SELECT CAST(FLOOR(0.6 * MAX(n)) AS BIGINT) AS c0,
+               CAST(FLOOR(0.7 * MAX(n)) AS BIGINT) AS c1,
+               CAST(FLOOR(0.8 * MAX(n)) AS BIGINT) AS c2,
+               CAST(FLOOR(0.9 * MAX(n)) AS BIGINT) AS c3,
+               CAST(MAX(n) AS BIGINT) AS c4
+        FROM ev
+    )
+    """ + "\n    UNION ALL\n".join(_bt_fold_sql(i) for i in range(4)),
+    tags=("N7", "N16", "E13"),
+)
+def training_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest — THE forecasting evaluation protocol:
+    four expanding train windows cut at the exact 60/70/80/90%
+    event-order statistics, each scored on the NEXT decile only, with
+    a per-user train-mean baseline (decimal-exact means; per-event
+    absolute errors floored to 1e-6 fixed point before the order-free
+    integer sum). Cold-start test events (user unseen in train) are
+    counted but not scored — reported, never silently imputed. The
+    cutoffs come from :func:`exact_us_cutoff` (approx bracket +
+    bucketed rank — zero global windows); each fold's model is one
+    aggregation + broadcast join. The oracle replays the whole
+    protocol from a literal global ROW_NUMBER, so the equality also
+    re-proves the cutoff machinery fold-for-fold."""
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+    )
+    n = events.count()  # control-plane scalar
+    cuts = [exact_us_cutoff(events, f, n) for f in _BT_FRACS]
+    out = None
+    for i, lo_us in enumerate(cuts):
+        train = events.filter(F.col("us") <= lo_us)
+        test = events.filter(F.col("us") > lo_us)
+        if i + 1 < len(cuts):
+            test = test.filter(F.col("us") <= cuts[i + 1])
+        model = train.groupBy("user_id").agg(
+            (
+                F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_v")
+        )
+        err = F.when(
+            F.col("mean_v").isNotNull(),
+            F.floor(
+                1000000.0 * F.abs(F.col("value") - F.col("mean_v"))
+            ).cast("bigint"),
+        )
+        n_train = train.count()  # control-plane scalar per fold
+        fold = (
+            test.join(F.broadcast(model), "user_id", "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_test"),
+                F.count(F.col("mean_v")).cast("bigint").alias("n_scored"),
+                F.sum(err).cast("bigint").alias("abs_err_fx"),
+            )
+            .select(
+                F.lit(i).alias("fold"),
+                F.lit(n_train).cast("bigint").alias("n_train"),
+                "n_test",
+                "n_scored",
+                "abs_err_fx",
+            )
+        )
+        out = fold if out is None else out.unionAll(fold)
+    return out

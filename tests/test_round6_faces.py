@@ -200,3 +200,31 @@ def test_temporal_split_no_leakage_and_sized(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     assert n == total
     assert 0.79 <= rows["train"].n_rows / n <= 0.81
+
+
+def test_backtest_cut_assumption_unique_timestamps(spark, sf_dir):
+    """Tripwire for the backtest/temporal-split boundary rule: Spark
+    cuts by timestamp VALUE while the oracle cuts by RANK — equivalent
+    only while event timestamps are globally unique (true of every
+    driver testdata generation so far). If a regen introduces
+    duplicates, the cut must gain the event_id tiebreak on both
+    sides."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    n, nd = ev.agg(F.count("*"), F.countDistinct("ts")).first()
+    assert n == nd, f"{n - nd} duplicate event timestamps — fix the cut rule"
+
+
+def test_backtest_folds_structure(spark, sf_dir):
+    """Expanding-window invariants: n_train strictly increases with
+    fold, every fold's test decile is non-empty, scored <= test, and
+    the unscored remainder are exactly cold-start users."""
+    rows = sorted(
+        _run("training_backtest_folds", spark, sf_dir).collect(),
+        key=lambda r: r.fold,
+    )
+    assert [r.fold for r in rows] == [0, 1, 2, 3]
+    trains = [r.n_train for r in rows]
+    assert trains == sorted(trains) and len(set(trains)) == 4
+    for r in rows:
+        assert r.n_test > 0 and 0 <= r.n_scored <= r.n_test
+        assert r.abs_err_fx >= 0
