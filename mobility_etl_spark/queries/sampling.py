@@ -151,3 +151,56 @@ def training_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+_WRS_K = 100
+
+
+@register(
+    "weighted_reservoir_topk",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id,
+               CAST(1 + n_chars AS DOUBLE) AS w,
+               ({sql_hash_bucket("doc_id", 1000000007)} + 1)
+                   / 1000000008.0 AS u
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               CAST(FLOOR(-1000000000.0 * ln(u) / w) AS BIGINT) AS key_fx
+        FROM rated
+    )
+    SELECT doc_id, key_fx
+    FROM keyed
+    ORDER BY key_fx ASC, doc_id ASC
+    LIMIT {_WRS_K}
+    """,
+    tags=("N7", "N16", "E21"),
+)
+def weighted_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic — the
+    Efraimidis-Spirakis one-pass reservoir as a pure function of the
+    data: each record draws u from the portable integer hash (uniform
+    in (0,1], layout/engine/run-invariant — no RNG state) and takes
+    key = -ln(u)/w (the exponential-race form of u^(1/w): the k
+    SMALLEST keys are exactly a weight-proportional sample without
+    replacement). Selection is ``orderBy(key).limit(k)`` →
+    TakeOrderedAndProject: per-partition heaps of k, driver merge —
+    the reservoir shape at any scale, never a global sort. Keys floor
+    to 1e-9 fixed point (the ln is the identical double expression on
+    both engines) so the face is hash-exact; inclusion-probability
+    monotonicity vs weight is gated in tests alongside the plan
+    shape. Complements weighted_sample_docs (independent Bernoulli,
+    expected-size) with the fixed-size-k contract a training-mix
+    builder actually wants."""
+    from mobility_etl_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash_bucket("doc_id", 1000000007) + 1) / F.lit(1000000008.0)
+    w = (1 + F.col("n_chars")).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        F.floor(-1000000000.0 * F.log(u) / w).cast("bigint").alias("key_fx"),
+    )
+    return keyed.orderBy("key_fx", "doc_id").limit(_WRS_K)

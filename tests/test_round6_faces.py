@@ -228,3 +228,30 @@ def test_backtest_folds_structure(spark, sf_dir):
     for r in rows:
         assert r.n_test > 0 and 0 <= r.n_scored <= r.n_test
         assert r.abs_err_fx >= 0
+
+
+# -------------------------------------------------- weighted reservoir
+
+
+def test_weighted_reservoir_plan_and_weight_monotonicity(spark, sf_dir):
+    """Plan: TakeOrderedAndProject (per-partition heaps, no global
+    sort). Statistics: selection is weight-proportional — the sampled
+    docs' mean weight exceeds the corpus mean (heavier docs win the
+    exponential race more often), and membership is deterministic
+    across two independent builds."""
+    from mobility_etl_spark.registry import load_all
+
+    spec = load_all()["weighted_reservoir_topk"]
+    df = spec.builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    picked = {r.doc_id for r in df.collect()}
+    again = {r.doc_id for r in spec.builder(spark, sf_dir).collect()}
+    assert picked == again  # pure function of the data
+
+    docs = {r.doc_id: r.n_chars for r in load_table(
+        spark, sf_dir, "documents").collect()}
+    mean_all = sum(docs.values()) / len(docs)
+    mean_picked = sum(docs[d] for d in picked) / len(picked)
+    assert mean_picked > mean_all, (mean_picked, mean_all)

@@ -72,6 +72,12 @@ QUERIES = (
     "multimodal_avi_rle_frames",
     "multimodal_adpcm_decode",
     "multimodal_gif_decode",
+    "privacy_k_anonymity_orders",
+    "text_kn_bigram_logprob",
+    "network_kcore_parts",
+    "training_temporal_split",
+    "training_winsorize_events",
+    "training_backtest_folds",
 )
 
 
