@@ -204,3 +204,86 @@ def weighted_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(-1000000000.0 * F.log(u) / w).cast("bigint").alias("key_fx"),
     )
     return keyed.orderBy("key_fx", "doc_id").limit(_WRS_K)
+
+
+_QUOTA_N = 200
+
+
+@register(
+    "stratified_quota_sample",
+    oracle=f"""
+    WITH strata AS (
+        SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_s) AS n FROM strata),
+    alloc AS (
+        SELECT lang, n_s,
+               ({_QUOTA_N} * n_s) // CAST(n AS BIGINT) AS base,
+               ({_QUOTA_N} * n_s) % CAST(n AS BIGINT) AS rem
+        FROM strata CROSS JOIN tot
+    ),
+    quota AS (
+        SELECT lang, n_s,
+               base + CASE WHEN ROW_NUMBER() OVER (
+                   ORDER BY rem DESC, lang) <=
+                   {_QUOTA_N} - (SELECT SUM(base) FROM alloc)
+                   THEN 1 ELSE 0 END AS quota
+        FROM alloc
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang, q.quota,
+               ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY {sql_hash_bucket("d.doc_id", 1000000007)},
+                            d.doc_id) AS rn
+        FROM documents d JOIN quota q USING (lang)
+    )
+    SELECT doc_id, lang, CAST(quota AS BIGINT) AS quota
+    FROM ranked WHERE rn <= quota
+    """,
+    tags=("N7", "E13", "E17"),
+)
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact proportional stratified sampling: a FIXED total of
+    {_QUOTA_N} docs allocated across language strata by the
+    largest-remainder (Hamilton) method — quotas sum to exactly N, no
+    stratum over- or under-allocated by more than 1 vs its exact
+    proportional share — then selected within each stratum in
+    deterministic portable-hash order (a pure function of the data:
+    re-runs, engines and layouts agree row-for-row, which is why the
+    face is hash-exact). The quota computation is a window over ONE
+    ROW PER STRATUM (control-plane-sized at any corpus scale); the
+    per-stratum rank partitions by stratum. This is the fixed-budget
+    complement to balanced_label_sample's cap-k contract and
+    weighted_reservoir_topk's weight-race contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from mobility_etl_spark.operators.sampling import hash_bucket
+
+    strata = docs.groupBy("lang").agg(F.count("*").alias("n_s"))
+    n = docs.count()  # control-plane scalar
+    alloc = strata.select(
+        "lang",
+        "n_s",
+        (F.lit(_QUOTA_N) * F.col("n_s") / n).cast("long").alias("base"),
+        ((F.lit(_QUOTA_N) * F.col("n_s")) % n).alias("rem"),
+    )
+    total_base = alloc.agg(F.sum("base")).first()[0]  # control-plane
+    leftovers = _QUOTA_N - int(total_base)
+    wq = Window.orderBy(F.col("rem").desc(), "lang")  # one row per stratum
+    quota = alloc.select(
+        "lang",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(wq) <= leftovers, 1).otherwise(0)
+        ).cast("long").alias("quota"),
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        hash_bucket("doc_id", 1000000007), F.col("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(quota), "lang")
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "quota")
+    )

@@ -255,3 +255,35 @@ def test_weighted_reservoir_plan_and_weight_monotonicity(spark, sf_dir):
     mean_all = sum(docs.values()) / len(docs)
     mean_picked = sum(docs[d] for d in picked) / len(picked)
     assert mean_picked > mean_all, (mean_picked, mean_all)
+
+
+# ---------------------------------------------------- stratified quotas
+
+
+def test_stratified_quota_exact_total_and_proportionality(spark, sf_dir):
+    """Hamilton-allocation invariants: the sample is EXACTLY the fixed
+    budget, every stratum's quota is within 1 of its exact
+    proportional share (the largest-remainder guarantee), per-stratum
+    counts equal quotas, and membership is deterministic."""
+    rows = _run("stratified_quota_sample", spark, sf_dir).collect()
+    assert len(rows) == 200
+    from collections import Counter
+
+    got = Counter(r.lang for r in rows)
+    quota = {r.lang: r.quota for r in rows}
+    for lang, c in got.items():
+        assert c == quota[lang]
+    strata = Counter(
+        r.lang
+        for r in load_table(spark, sf_dir, "documents")
+        .select("lang")
+        .collect()
+    )
+    n = sum(strata.values())
+    for lang, n_s in strata.items():
+        share = 200 * n_s / n
+        if lang in quota:
+            assert abs(quota[lang] - share) < 1.0 + 1e-9, (lang, share)
+    again = {r.doc_id for r in _run(
+        "stratified_quota_sample", spark, sf_dir).collect()}
+    assert again == {r.doc_id for r in rows}
