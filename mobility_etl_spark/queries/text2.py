@@ -345,3 +345,83 @@ def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - F.count("nll_fx")).cast("bigint").alias("n_oov"),
         F.sum("nll_fx").cast("bigint").alias("nll_sum_fx"),
     )
+
+
+@register(
+    "text_augment_dropout",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id < {_DOC_SCOPE}
+    ),
+    pos AS (
+        SELECT t.doc_id, g.i, list_extract(t.l, g.i) AS token,
+               ((doc_id * 100003 + g.i) % 1000003) * 2654435761
+                   % 1000000007 % 100 AS h
+        FROM toks t
+        JOIN generate_series(1, 400) AS g(i) ON g.i <= len(t.l)
+        WHERE LENGTH(list_extract(t.l, g.i)) > 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN h < 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped,
+           string_agg(CASE WHEN h >= 15 AND i <= 12 THEN token END, ' '
+                      ORDER BY i) AS augmented_head
+    FROM pos GROUP BY doc_id
+    """,
+    tags=("N5", "N16", "E38"),
+)
+def text_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation (EDA-style, p=0.15):
+    each (doc, position) decides via the portable integer hash whether
+    its token survives — a pure function of the data, so the
+    'random' augmentation is exactly replayable across runs, engines
+    and epochs (key the hash on (doc, pos, epoch) for fresh draws per
+    epoch), and therefore exactly oracle-checkable, unlike RNG-based
+    augmentation. Output per doc: token/drop counts over the whole doc
+    plus the augmented text reassembled from the first 12 positions
+    (order-preserving string_agg — both engines aggregate in explicit
+    position order). Map-only except the per-doc aggregation; at
+    100 TB this is a pure corpus-prep pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _DOC_SCOPE
+    )
+    pos = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("i0", "token"),
+        )
+        .filter(F.length("token") > 0)
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),
+            "token",
+            (
+                ((F.col("doc_id") * 100003 + F.col("i0") + 1) % 1000003)
+                * F.lit(2654435761)
+                % 1000000007
+                % 100
+            ).alias("h"),
+        )
+    )
+    kept_head = F.when(
+        (F.col("h") >= 15) & (F.col("i") <= 12), F.col("token")
+    )
+    return pos.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("h") < 15, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.array_compact(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", kept_head.alias("t")))
+                    ),
+                    lambda s: s["t"],
+                )
+            ),
+        ).alias("augmented_head"),
+    )
