@@ -373,6 +373,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # windows over O(shuffle_partitions * k) merged Misra-Gries
     # partials, operators/sketch.py
     "token_heavy_hitters_mg",
+    # Hamilton-allocation leftover rank over ONE ROW PER STRATUM
+    # (|languages|-bounded), queries/sampling.py
+    "stratified_quota_sample",
 }
 
 
