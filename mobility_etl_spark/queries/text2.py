@@ -425,3 +425,70 @@ def text_augment_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("augmented_head"),
     )
+
+
+@register(
+    "text_corpus_datacard",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars, text,
+               md5(text) AS digest,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT)
+               AS n_exact_dups,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+           CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short_docs
+    FROM d
+    """,
+    tags=("N5", "N16", "E13"),
+)
+def text_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATACARD — the one-row datasheet every dataset
+    release ships with (docs, language spread, exact duplicate rate,
+    char/token volume, length quantiles, short-doc count) — computed
+    in ONE scan: every signal is an aggregate over the same projected
+    row, so Spark plans a single pass with partial+final aggregation
+    (the multi-metric profile pattern; contrast with issuing ten
+    separate queries, ten scans). Exact-dup accounting reuses the
+    digest-first discipline (distinct over md5, never text);
+    quantiles are exact discrete percentiles. Everything hash-exact
+    cross-engine. At 100 TB this is the release-gate job run on every
+    corpus snapshot."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        F.size(F.split("text", " ")).alias("n_toks"),
+    )
+    d.createOrReplaceTempView("__datacard_d")
+    return spark.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(COUNT(DISTINCT digest) AS BIGINT)
+                      AS n_unique_texts,
+                  CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT)
+                      AS n_exact_dups,
+                  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+                  CAST(percentile_disc(0.5) WITHIN GROUP
+                       (ORDER BY n_chars) AS BIGINT) AS p50_chars,
+                  CAST(percentile_disc(0.99) WITHIN GROUP
+                       (ORDER BY n_chars) AS BIGINT) AS p99_chars,
+                  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+                  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+                  CAST(SUM(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_short_docs
+           FROM __datacard_d"""
+    )
