@@ -419,6 +419,8 @@ GLOBAL_WINDOW_SOURCE_SITES = {
     "queries/corpus_prep.py": 1,
     # rank windows over two <=100-row TakeOrdered outputs + RRF union
     "queries/retrieval.py": 2,
+    # Hamilton leftover rank over one row per stratum (|languages|)
+    "queries/sampling.py": 1,
 }
 
 
