@@ -38,11 +38,20 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     suffix: str = "_asof",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, latest right row with
     ``right_ts <= left_ts`` per ``on`` key (ties on ts: right wins, i.e.
     inclusive). Right should be unique per (on, right_ts); pre-aggregate
     if not, or the carried payload is the last within the duplicate ts.
+
+    ``tolerance_s`` bounds STALENESS (pandas merge_asof's ``tolerance``
+    semantics): a match older than ``tolerance_s`` seconds is treated
+    as no match and the carried columns are NULL — the correctness
+    guard for sensor/market feeds where an hours-old observation must
+    not silently impute the present. Applied as a projection-time
+    null-out AFTER the single-shuffle fill, so the plan is unchanged
+    (both ts columns must be timestamps for the seconds arithmetic).
 
     Returns all left columns plus ``<payload>_asof`` columns (and
     ``<right_ts>_asof``), NULL when no prior observation exists.
@@ -76,6 +85,19 @@ def asof_join(
             for c in carried
         ],
     )
-    return filled.filter(F.col("__tag") == 1).select(
-        *left_cols, *[f"{c}{suffix}" for c in carried]
-    )
+    out = filled.filter(F.col("__tag") == 1)
+    if tolerance_s is not None:
+        within = (
+            F.col(left_ts).cast("timestamp").cast("long")
+            - F.col(f"{right_ts}{suffix}").cast("timestamp").cast("long")
+            <= tolerance_s
+        )
+        out = out.select(
+            *left_cols,
+            "__ts",
+            *[
+                F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+                for c in carried
+            ],
+        )
+    return out.select(*left_cols, *[f"{c}{suffix}" for c in carried])

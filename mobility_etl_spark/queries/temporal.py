@@ -365,3 +365,82 @@ def temporal_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_s")
         )
     )
+
+
+_ASOF_TOL_S = 6 * 3600
+
+
+@register(
+    "temporal_asof_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, MAX(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    ),
+    matched AS (
+        SELECT c.event_id, c.user_id, c.ts,
+               p.ts AS ts_m, p.purchase_value AS v_m
+        FROM clicks c
+        LEFT JOIN purchases p
+          ON p.user_id = c.user_id
+         AND p.ts <= c.ts
+         AND epoch(c.ts) - epoch(p.ts) <= {_ASOF_TOL_S}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                   ORDER BY p.ts DESC NULLS LAST) = 1
+    )
+    SELECT event_id, user_id, ts,
+           ts_m AS ts_asof,
+           v_m AS purchase_value_asof,
+           CASE WHEN ts_m IS NULL THEN 1 ELSE 0 END AS is_stale_or_cold
+    FROM matched
+    """,
+    tags=("E12", "N15"),
+)
+def temporal_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof ``tolerance``
+    semantics): each click takes the user's most recent purchase AT OR
+    BEFORE it — but only within a 6-hour staleness budget; anything
+    older is NULLed, because a stale observation silently imputing the
+    present is the classic sensor/market-data correctness bug. The
+    single-shuffle union-tag as-of machinery is unchanged
+    (operators/asof.py tolerance_s is a projection-time null-out, so
+    the plan costs exactly what asof_join_events costs); the oracle is
+    the literal bounded LEFT JOIN + QUALIFY, so the hash equality
+    proves the cheap null-out equals the expensive interval-join
+    definition. The staleness flag rides along for downstream
+    cold-start accounting."""
+    from mobility_etl_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["purchase_value"],
+        tolerance_s=_ASOF_TOL_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "ts_asof",
+        "purchase_value_asof",
+        F.when(F.col("ts_asof").isNull(), 1).otherwise(0).alias(
+            "is_stale_or_cold"
+        ),
+    )
