@@ -496,3 +496,50 @@ def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").applyInPandas(
         drop_in_cluster, "vec_id long, cluster_id int, kept int"
     )
+
+@register("neardup_canonical_survivors", oracle=None, tags=("N2", "N1"))
+def neardup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline's actual DELIVERABLE, end to end: banded
+    LSH candidate pairs (near_dup_pairs) over the planted corpus →
+    connected components over the pair graph (transitive closure —
+    A≈B≈C collapses even when A and C never collide) → ONE canonical
+    survivor per cluster (min doc id) + every unpaired doc. Output is
+    the keep/drop decision (vec_id, kept, canonical_id) the downstream
+    corpus build consumes. Composes three already-proven stages, so
+    the new claim under test is the composition contract, gated in
+    tests/test_similarity.py: survivors+dropped partition the corpus,
+    every cluster keeps exactly its minimum member, and kept-set
+    equals a driver-side union-find replay over the same pairs.
+    Rows-only driver check (LSH candidates are recall-bounded). Scale:
+    the pair graph is bucket-bounded (never corpus²), components is
+    the bounded-iteration label propagation, the survivor choice one
+    min-aggregate."""
+    from mobility_etl_spark.operators.components import (
+        connected_components,
+    )
+    from mobility_etl_spark.operators.similarity import near_dup_pairs
+
+    corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    pairs = near_dup_pairs(corpus, threshold=0.9).select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    )
+    paired_nodes = (
+        pairs.select(F.col("u").alias("n"))
+        .union(pairs.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    comp = connected_components(paired_nodes, pairs, "n", "u", "v")
+    canon = comp.groupBy("component").agg(
+        F.min("n").alias("canonical_id")
+    )
+    decided = comp.join(canon, "component").select(
+        F.col("n").alias("vec_id"),
+        (F.col("n") == F.col("canonical_id")).cast("int").alias("kept"),
+        "canonical_id",
+    )
+    untouched = corpus.select("vec_id").join(
+        decided.select("vec_id"), "vec_id", "left_anti"
+    ).select(
+        "vec_id", F.lit(1).alias("kept"), F.col("vec_id").alias("canonical_id")
+    )
+    return decided.unionByName(untouched)

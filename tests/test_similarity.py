@@ -341,3 +341,55 @@ def test_semantic_dedup_matches_numpy_rule_and_resolves_pairs(spark, sf_dir):
         and got[v] + got[v + _DUP_OFFSET] == 1
     )
     assert resolved >= 0.9 * n_src, f"{resolved}/{n_src} pairs resolved"
+
+
+def test_neardup_survivors_match_union_find_replay(spark, sf_dir):
+    """Composition contract of the end-to-end near-dup keep-list:
+    replay the SAME candidate pairs through a driver-side union-find
+    and require identical (kept, canonical) decisions; survivors plus
+    dropped partition the corpus exactly; every cluster keeps exactly
+    its minimum member."""
+    from mobility_etl_spark.operators.similarity import near_dup_pairs
+    from mobility_etl_spark.queries.similarity import _with_planted_dups
+    from mobility_etl_spark.registry import load_all
+
+    corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    pairs = [
+        (r.a_id, r.b_id)
+        for r in near_dup_pairs(corpus, threshold=0.9).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, set] = {}
+    for x in parent:
+        clusters.setdefault(find(x), set()).add(x)
+    expected: dict[int, tuple] = {}
+    for members in clusters.values():
+        canon = min(members)
+        for m in members:
+            expected[m] = (1 if m == canon else 0, canon)
+    all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    for v in all_ids - set(expected):
+        expected[v] = (1, v)
+
+    got = {
+        r.vec_id: (r.kept, r.canonical_id)
+        for r in load_all()["neardup_canonical_survivors"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    kept = {v for v, (k, _) in got.items() if k == 1}
+    for v, (k, c) in got.items():
+        assert c in kept and got[c][0] == 1  # canonical always kept
