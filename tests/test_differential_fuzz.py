@@ -114,3 +114,57 @@ def test_random_query_differential(engines, pred, aggs, grouped):
     got = canon_rows(spark.sql(sql).toPandas())
     want = canon_rows(con.execute(sql).df())
     assert got == want, sql
+
+
+ORDER_ATOMS = [
+    "(o_totalprice > 100000)",
+    "(o_totalprice <= 150000)",
+    "(o_orderpriority = '1-URGENT')",
+    "(o_orderstatus <> 'F')",
+    "(o_custkey % 7 = 0)",
+    "(o_orderkey < 3000)",
+]
+
+
+@pytest.fixture(scope="module")
+def engines2(engines):
+    spark, con = engines
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'"
+    )
+    return spark, con
+
+
+@given(
+    pred=predicate(),
+    opred=st.sampled_from(ORDER_ATOMS),
+    jtype=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    aggs=st.lists(st.sampled_from(AGGS), min_size=1, max_size=2,
+                  unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_random_join_differential(engines2, pred, opred, jtype, aggs):
+    """Same harness over a two-table join: lineitem ⋈ orders on the
+    order key (inner and left), fact-side predicate tree + one
+    dim-side predicate, grouped by priority. LEFT JOIN + WHERE-on-
+    right exercises the null-extension/filter interaction both
+    engines must resolve identically."""
+    spark, con = engines2
+    on_clause = "l.l_orderkey = o.o_orderkey"
+    where = f"{pred}"
+    if jtype == "JOIN":
+        where += f" AND {opred}"
+        group = "o.o_orderpriority"
+    else:
+        group = "l.l_returnflag"
+    sel = f"{group}, " + ", ".join(sorted(aggs))
+    sql = (
+        f"SELECT {sel} FROM lineitem l {jtype} orders o ON {on_clause} "
+        f"WHERE {where} GROUP BY {group}"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
