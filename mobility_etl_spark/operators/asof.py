@@ -87,10 +87,17 @@ def asof_join(
     )
     out = filled.filter(F.col("__tag") == 1)
     if tolerance_s is not None:
+        # Compare in MICROSECONDS on both sides (unix_micros), never in
+        # second-truncated longs: a cast-to-long truncation can admit a
+        # match up to ~1s staler than the budget whenever the sub-second
+        # parts straddle a boundary, silently diverging from pandas
+        # merge_asof ``tolerance`` semantics (and from any exact-epoch
+        # oracle).  tolerance_s may be fractional; the product below is
+        # computed in Python so 0.5 s -> 500_000 us exactly.
         within = (
-            F.col(left_ts).cast("timestamp").cast("long")
-            - F.col(f"{right_ts}{suffix}").cast("timestamp").cast("long")
-            <= tolerance_s
+            F.unix_micros(F.col(left_ts).cast("timestamp"))
+            - F.unix_micros(F.col(f"{right_ts}{suffix}").cast("timestamp"))
+            <= int(tolerance_s * 1_000_000)
         )
         out = out.select(
             *left_cols,

@@ -1109,7 +1109,24 @@ def decode_gif(payload: bytes):
     prev: bytes | None = None
     total_bits = len(data) * 8
     ended = False
-    while bitpos + width <= total_bits:
+    while bitpos < total_bits:
+        if bitpos + width > total_bits:
+            # Trailing-byte edge: the decoder appends a phantom table
+            # entry for the encoder's final flush code (an entry the
+            # encoder never created) and may grow width past what the
+            # encoder used to emit EOI.  When EOI's bits end exactly on
+            # the last byte boundary there is nothing left to read at
+            # the grown width.  GIF pads the final byte with zero bits,
+            # so zero-extend the remainder and accept ONLY an exact
+            # EOI; anything else is a genuinely truncated stream.
+            tail = 0
+            for b in range(total_bits - bitpos):
+                tail |= (
+                    (data[(bitpos + b) // 8] >> ((bitpos + b) % 8)) & 1
+                ) << b
+            if tail == eoi:
+                ended = True
+            break
         code = 0
         for b in range(width):
             code |= ((data[(bitpos + b) // 8] >> ((bitpos + b) % 8)) & 1) << b

@@ -110,12 +110,28 @@ def bucketed_global_rank(
     a hot bucket — the same caveat as any range partitioner; for such
     data widen the sort key before bucketing.
 
+    PRECONDITION: ``order_col`` must be non-null on every row.  NULL
+    order keys would land in bucket 0 while Spark windows sort NULLS
+    FIRST and DuckDB ``ROW_NUMBER ... ORDER BY`` defaults NULLS LAST —
+    a silent cross-engine divergence for any oracle-gated caller.  The
+    boundary-quantile pass below therefore also counts nulls (same
+    single job, zero extra scans) and RAISES if any exist; callers
+    must pre-filter or coalesce.
+
     Returns ``(df_with_rank_col, total_row_count)``.
     """
     quantiles = [i / num_buckets for i in range(1, num_buckets)]
     bounds_row = df.agg(
-        F.percentile_approx(order_col, quantiles, 10000).alias("b")
-    ).collect()  # control-plane: num_buckets-1 scalars
+        F.percentile_approx(order_col, quantiles, 10000).alias("b"),
+        F.count_if(F.col(order_col).isNull()).alias("nulls"),
+    ).collect()  # control-plane: num_buckets-1 scalars + 1 null count
+    if bounds_row[0]["nulls"]:
+        raise ValueError(
+            f"bucketed_global_rank: order_col {order_col!r} has "
+            f"{bounds_row[0]['nulls']} NULL rows; rank over nullable "
+            "keys is engine-dependent (Spark NULLS FIRST vs SQL NULLS "
+            "LAST) — filter or coalesce them first"
+        )
     bounds = sorted(set(bounds_row[0]["b"] or []))
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])

@@ -502,6 +502,14 @@ def catalog_vacuum(catalog_path: str, keep_last: int = 2) -> dict:
     yet cataloged — deleting them would race an in-flight
     commit_catalog that already validated their existence).
 
+    Tables present ONLY in dropped catalog versions (i.e. removed from
+    the catalog before the retention horizon) are fully vacuumed —
+    every snapshot manifest and data file goes — otherwise a dropped
+    table's storage leaks forever, since no future catalog version can
+    ever reference it again.  Tables never cataloged at all are NOT
+    touched (they may be mid-publication: committed but not yet bound
+    by an in-flight commit_catalog).
+
     Returns ``{"catalog_versions_dropped", "snapshots_dropped",
     "data_files_deleted"}``.
     """
@@ -520,8 +528,26 @@ def catalog_vacuum(catalog_path: str, keep_last: int = 2) -> dict:
         for entry in m["tables"].values():
             referenced.setdefault(entry["path"], set()).add(entry["version"])
 
+    # Table paths bound only by DROPPED catalog versions are orphans:
+    # no surviving (or future) catalog version can reference them, so
+    # everything under their snapshot chain is reclaimable.
+    dropped_only: set[str] = set()
+    for v in drop:
+        m = json.loads((d / f"v{v}.catalog.json").read_text())
+        for entry in m["tables"].values():
+            if entry["path"] not in referenced:
+                dropped_only.add(entry["path"])
+
     snapshots_dropped = 0
     files_deleted = 0
+    for tpath in sorted(dropped_only):
+        root = pathlib.Path(tpath)
+        for sv in sorted(_list_versions(tpath)):
+            (_snap_dir(tpath) / f"v{sv}.manifest.json").unlink()
+            snapshots_dropped += 1
+        for f in _data_files(tpath):
+            (root / f).unlink()
+            files_deleted += 1
     for tpath, keep_snaps in referenced.items():
         newest_bound = max(keep_snaps)
         keep_files: set[str] = set()

@@ -389,7 +389,7 @@ _ASOF_TOL_S = 6 * 3600
         LEFT JOIN purchases p
           ON p.user_id = c.user_id
          AND p.ts <= c.ts
-         AND epoch(c.ts) - epoch(p.ts) <= {_ASOF_TOL_S}
+         AND epoch_us(c.ts) - epoch_us(p.ts) <= CAST({_ASOF_TOL_S} AS BIGINT) * 1000000
         QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id
                                    ORDER BY p.ts DESC NULLS LAST) = 1
     )

@@ -172,30 +172,102 @@ def learn_bpe_reference(
     return out
 
 
-def learn_bpe_merges(
-    docs: DataFrame, n_merges: int = 8
-) -> list[tuple[int, str, str, int]]:
-    """DISTRIBUTED BPE trainer — the map-reduce loop that LEARNS the
-    merge table tokenize_bpe_docs only applies (the missing half of
-    the tokenizer lifecycle). Per merge round:
+def _bpe_merge_udf(left: str, right: str):
+    """Vectorized greedy left-to-right single-pair merge (the
+    encoder's rule) as a pandas UDF — shared by both trainer paths."""
+    from pyspark.sql import functions as F
 
-    1. adjacent symbol pairs explode from the DISTINCT-WORD vocabulary
-       weighted by word count — the working set is |vocab| rows (Zipf:
-       ~10^6-10^7 at web scale), never the corpus; the corpus is
-       touched exactly once, by the initial word-count aggregation
-    2. one weighted groupBy(pair) + deterministic argmax
-       (weight desc, pair asc) via orderBy().limit(1) —
-       TakeOrderedAndProject, then a ONE-ROW collect (control-plane)
-    3. the winning pair merges into the vocabulary with a vectorized
-       pandas UDF (greedy left-to-right, the encoder's rule), and the
-       vocab localCheckpoints — the same bounded-working-set iteration
-       discipline as operators/components.py (lineage truncated per
-       round; without it round k re-executes rounds 1..k-1)
+    @F.pandas_udf("array<string>")
+    def merge(col: pd.Series) -> pd.Series:
+        out = []
+        for syms in col:
+            j, merged = 0, []
+            n = len(syms)
+            while j < n:
+                if j + 1 < n and syms[j] == left and syms[j + 1] == right:
+                    merged.append(left + right)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            out.append(merged)
+        return pd.Series(out)
+
+    return merge
+
+
+def _adjacent_pairs(df: DataFrame, syms_col: str, sign: int):
+    """Explode every adjacent symbol pair of ``syms_col`` weighted by
+    ``sign * cnt`` — the additive unit of BPE pair statistics (the
+    Sennrich counting rule: overlapping positions all count)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(F.size(syms_col) >= 2)
+        .select(
+            (F.col("cnt") * sign).alias("d"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size({syms_col}) - 2), "
+                    f"i -> struct({syms_col}[i] AS l, "
+                    f"{syms_col}[i + 1] AS r))"
+                )
+            ).alias("p"),
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "d")
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    stats: list | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """DISTRIBUTED INCREMENTAL-PAIR BPE trainer — learns the merge
+    table tokenize_bpe_docs only applies, at production merge counts.
+
+    The naive trainer (r6) re-exploded and re-aggregated ALL adjacent
+    pairs of the whole vocabulary every round: fine at 8 merges,
+    hopeless at a production ~32k (32k full pair shuffles). This
+    version maintains the pair statistics as STATE and patches them
+    with per-round deltas, exploiting the key algebraic fact that BPE
+    pair counts are additive per word: merging (l, r) only changes the
+    pair multiset of words that actually CONTAIN the adjacent pair
+    (l, r), so
+
+        counts' = counts - pairs(affected, old) + pairs(affected, new)
+
+    Per merge round:
+
+    1. argmax over the maintained ``pair_counts`` table (weight desc,
+       pair asc — the Sennrich tie-break) via orderBy().limit(1):
+       TakeOrderedAndProject, ONE-ROW collect (control-plane).
+    2. ``affected`` = vocab rows whose syms contain adjacent (l, r) —
+       a map-only EXISTS filter, materialized once; typically a small
+       Zipf tail fraction of |vocab| (the per-round count is recorded
+       in ``stats`` and gated by tests/test_round7_faces.py against a
+       reference recomputation, proving the explode never sees the
+       full vocabulary).
+    3. the winning pair merges into ONLY the affected words
+       (vectorized pandas UDF, greedy left-to-right — the encoder's
+       rule); the pair delta = old-pairs(affected, -cnt) UNION ALL
+       new-pairs(affected, +cnt), aggregated — a shuffle sized by the
+       affected subset, not the vocabulary.
+    4. ``pair_counts`` += delta by a full-outer join keyed on (l, r),
+       dropping rows at weight 0; both state tables localCheckpoint
+       (lineage truncated per round, the same bounded-working-set
+       iteration discipline as operators/components.py).
+
+    The corpus is touched exactly once (initial word-count agg); the
+    full-vocabulary pair explode happens exactly once (round-0 init);
+    every subsequent round's data-plane work is proportional to the
+    affected subset. ``stats``, if given, receives one dict per round:
+    ``{"rank", "affected_words", "vocab_words", "delta_pairs"}``.
 
     Returns [(rank, left, right, pair_weight)] — pure function of the
-    corpus. tests/test_round6_faces.py replays learn_bpe_reference
-    over driver-collected word counts and requires the exact same
-    merge sequence.
+    corpus; tests replay learn_bpe_reference over driver-collected
+    word counts and require the EXACT same merge sequence (gate at 64
+    merges in tests/test_round7_faces.py).
     """
     from pyspark.sql import functions as F
 
@@ -208,56 +280,78 @@ def learn_bpe_merges(
         .select("cnt", F.split("w", "").alias("syms"))
         .localCheckpoint(eager=True)
     )
-
-    def merge_udf(left: str, right: str):
-        @F.pandas_udf("array<string>")
-        def merge(col: pd.Series) -> pd.Series:
-            out = []
-            for syms in col:
-                j, merged = 0, []
-                n = len(syms)
-                while j < n:
-                    if (
-                        j + 1 < n
-                        and syms[j] == left
-                        and syms[j + 1] == right
-                    ):
-                        merged.append(left + right)
-                        j += 2
-                    else:
-                        merged.append(syms[j])
-                        j += 1
-                out.append(merged)
-            return pd.Series(out)
-
-        return merge
+    pair_counts = (
+        _adjacent_pairs(vocab, "syms", 1)
+        .groupBy("l", "r")
+        .agg(F.sum("d").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
-        pairs = (
-            vocab.filter(F.size("syms") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(syms) - 2), "
-                        "i -> struct(syms[i] AS l, syms[i + 1] AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("cnt").alias("w"))
-        )
-        top = (
-            pairs.orderBy(F.col("w").desc(), "l", "r").limit(1).collect()
-        )  # control-plane: exactly one row per round
+        top = pair_counts.orderBy(
+            F.col("w").desc(), "l", "r"
+        ).limit(1).collect()  # control-plane: exactly one row per round
         if not top:
             break
         left, right, weight = top[0]["l"], top[0]["r"], int(top[0]["w"])
         merges.append((rank, left, right, weight))
-        vocab = vocab.withColumn(
-            "syms", merge_udf(left, right)(F.col("syms"))
-        ).localCheckpoint(eager=True)
+
+        pairs_arr = F.expr(
+            "transform(sequence(0, size(syms) - 2), "
+            "i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+        )
+        has_pair = F.when(
+            F.size("syms") >= 2,
+            F.exists(
+                pairs_arr,
+                lambda p: (p.l == F.lit(left)) & (p.r == F.lit(right)),
+            ),
+        ).otherwise(F.lit(False))
+
+        affected = (
+            vocab.filter(has_pair)
+            .withColumn(
+                "new_syms", _bpe_merge_udf(left, right)(F.col("syms"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            _adjacent_pairs(affected, "syms", -1)
+            .unionByName(_adjacent_pairs(affected, "new_syms", 1))
+            .groupBy("l", "r")
+            .agg(F.sum("d").cast("long").alias("d"))
+            .filter(F.col("d") != 0)
+        )
+        pair_counts = (
+            pair_counts.join(delta, ["l", "r"], "full_outer")
+            .select(
+                "l",
+                "r",
+                (
+                    F.coalesce(F.col("w"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("w"),
+            )
+            .filter(F.col("w") > 0)
+            .localCheckpoint(eager=True)
+        )
+        vocab = (
+            vocab.filter(~has_pair)
+            .unionByName(
+                affected.select("cnt", F.col("new_syms").alias("syms"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        if stats is not None:
+            stats.append(
+                {
+                    "rank": rank,
+                    "affected_words": affected.count(),
+                    "vocab_words": vocab.count(),
+                    "delta_pairs": delta.count(),
+                }
+            )
     return merges
 
 

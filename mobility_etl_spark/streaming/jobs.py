@@ -543,6 +543,8 @@ def near_dup_stream_ingest(
     decisions_path: str,
     checkpoint: str,
     threshold: float = 0.9,
+    max_chunk: int = 256,
+    stats: list | None = None,
 ) -> None:
     """Online near-duplicate admission over a vector stream — the
     streaming face of ``operators/similarity.py:near_dup_probe``, the
@@ -573,6 +575,31 @@ def near_dup_stream_ingest(
        micro-batch's probe); every row appends one decision
        (vec_id, accepted, match_id, sim_fx) to the decisions sink.
 
+    PATHOLOGICAL-BATCH BOUND (``max_chunk``): a near-dup-DENSE batch —
+    say 500 copies of one vector — would make the intra-batch LSH
+    collision-pair list quadratic in the batch (C(500,2) ≈ 125k rows
+    collected to the driver).  The batch is therefore processed in
+    id-ordered CHUNKS of at most ``max_chunk`` rows, each chunk run
+    exactly like a micro-batch of its own (probe against the index —
+    which by then includes every earlier chunk's acceptees — plus
+    intra-CHUNK pairs, pooled, greedy walk, append).  Semantics are
+    IDENTICAL by the boundary-invariance property this job already
+    gates (1-file vs n-file runs produce byte-identical decisions);
+    what changes is the worst-case driver-side state per collect:
+
+        max_chunk ids
+      + max_chunk·(max_chunk-1)/2 intra-chunk collision pairs
+      + probe hits, bounded geometrically: hits are exact-cosine
+        matches ≥ threshold against the ACCEPTED set, which is
+        pairwise BELOW threshold by the greedy invariant — a sphere-
+        packing bound, not a corpus-size bound.
+
+    ``stats``, if given, receives one dict per chunk:
+    ``{"epoch", "chunk_rows", "intra_pairs", "probe_hits"}`` — the
+    pathological-batch gate (tests/test_streaming.py) asserts the
+    recorded pair lists never exceed the chunk-quadratic bound even
+    when the batch itself is quadratically dense.
+
     At 100 TB the index side is a table-format table with the
     (band, bucket) index precomputed and the append is MERGE/commit —
     same loop, same per-batch cost profile.
@@ -585,53 +612,67 @@ def near_dup_stream_ingest(
     def _apply(batch_df: DataFrame, _epoch: int) -> None:
         if not batch_df.take(1):
             return
-        index = spark.read.parquet(index_path)
-        # control-plane collects, all bounded by the micro-batch (see
-        # docstring): batch ids, batch×index probe hits, intra-batch
-        # LSH collision pairs. Probe hits and same-batch hits are
+        # control-plane collects, all bounded by max_chunk (see
+        # docstring): chunk ids, chunk×index probe hits, intra-chunk
+        # LSH collision pairs. Probe hits and same-chunk hits are
         # POOLED before choosing the best match — an item colliding
-        # with both an earlier-batch acceptee (probe) and a same-batch
+        # with both an earlier acceptee (probe) and a same-chunk
         # acceptee (pairs) must attribute identically no matter where
-        # the micro-batch boundary fell.
+        # the micro-batch / chunk boundary fell.
         batch_ids = sorted(
             r["vec_id"] for r in batch_df.select("vec_id").collect()
         )
-        probe_hits = near_dup_probe(
-            batch_df, index, threshold=threshold
-        ).collect()
-        pairs = near_dup_pairs(batch_df, threshold=threshold).collect()
-        adj: dict[int, list[tuple[int, float]]] = {}
-        for p in probe_hits:
-            adj.setdefault(p["inc_id"], []).append(
-                (p["corp_id"], p["cos_sim"])
+        for lo in range(0, len(batch_ids), max_chunk):
+            chunk_ids = batch_ids[lo : lo + max_chunk]
+            chunk_df = batch_df.filter(F.col("vec_id").isin(chunk_ids))
+            index = spark.read.parquet(index_path)
+            probe_hits = near_dup_probe(
+                chunk_df, index, threshold=threshold
+            ).collect()
+            pairs = near_dup_pairs(chunk_df, threshold=threshold).collect()
+            if stats is not None:
+                stats.append(
+                    {
+                        "epoch": _epoch,
+                        "chunk_rows": len(chunk_ids),
+                        "intra_pairs": len(pairs),
+                        "probe_hits": len(probe_hits),
+                    }
+                )
+            adj: dict[int, list[tuple[int, float]]] = {}
+            for p in probe_hits:
+                adj.setdefault(p["inc_id"], []).append(
+                    (p["corp_id"], p["cos_sim"])
+                )
+            intra: dict[int, list[tuple[int, float]]] = {}
+            for p in pairs:
+                intra.setdefault(p["b_id"], []).append(
+                    (p["a_id"], p["cos_sim"])
+                )
+            accepted: list[int] = []
+            acc_set: set[int] = set()
+            decisions: list[tuple] = []
+            for i in chunk_ids:
+                hits = list(adj.get(i, ())) + [
+                    (j, s) for (j, s) in intra.get(i, ()) if j in acc_set
+                ]
+                if hits:
+                    m, s = max(hits, key=lambda t: (t[1], -t[0]))
+                    decisions.append((i, 0, m, int(round(s * 1e6))))
+                else:
+                    accepted.append(i)
+                    acc_set.add(i)
+                    decisions.append((i, 1, None, None))
+            acc_rows = spark.createDataFrame(
+                [(i,) for i in accepted] or [], "vec_id long"
             )
-        intra: dict[int, list[tuple[int, float]]] = {}
-        for p in pairs:
-            intra.setdefault(p["b_id"], []).append((p["a_id"], p["cos_sim"]))
-        accepted: list[int] = []
-        acc_set: set[int] = set()
-        decisions: list[tuple] = []
-        for i in batch_ids:
-            hits = list(adj.get(i, ())) + [
-                (j, s) for (j, s) in intra.get(i, ()) if j in acc_set
-            ]
-            if hits:
-                m, s = max(hits, key=lambda t: (t[1], -t[0]))
-                decisions.append((i, 0, m, int(round(s * 1e6))))
-            else:
-                accepted.append(i)
-                acc_set.add(i)
-                decisions.append((i, 1, None, None))
-        acc_rows = spark.createDataFrame(
-            [(i,) for i in accepted] or [], "vec_id long"
-        )
-        batch_df.join(acc_rows, "vec_id").select(
-            "vec_id", "embedding"
-        ).write.mode("append").parquet(index_path)
-        spark.createDataFrame(
-            decisions,
-            "vec_id long, accepted int, match_id long, sim_fx long",
-        ).write.mode("append").parquet(decisions_path)
+            chunk_df.join(acc_rows, "vec_id").select(
+                "vec_id", "embedding"
+            ).write.mode("append").parquet(index_path)
+            spark.createDataFrame(
+                decisions,
+                "vec_id long, accepted int, match_id long, sim_fx long",
+            ).write.mode("append").parquet(decisions_path)
 
     q = (
         feed.writeStream.foreachBatch(_apply)

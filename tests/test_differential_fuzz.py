@@ -168,3 +168,216 @@ def test_random_join_differential(engines2, pred, opred, jtype, aggs):
     got = canon_rows(spark.sql(sql).toPandas())
     want = canon_rows(con.execute(sql).df())
     assert got == want, sql
+
+
+# ------------------------------------------------- family 3: GROUP BY+HAVING
+#
+# Mixed grouping keys — raw strings plus COMPUTED integer expressions
+# (modulo buckets, explicit-FLOOR deciles: FLOOR is spelled out because
+# DuckDB's CAST(double AS BIGINT) rounds where Spark truncates, one of
+# the hand-found divergences the grammar must stay clear of) — and a
+# HAVING tree over the aggregates, the post-agg filter path the WHERE
+# fuzzer never touches.
+
+GROUP_KEYS = [
+    "l_returnflag",
+    "l_linestatus",
+    "(l_linenumber % 3) AS ln_bucket",
+    "CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS qty_decile",
+    "CAST(FLOOR(l_extendedprice / 20000.0) AS BIGINT) AS price_band",
+]
+
+HAVING_ATOMS = [
+    "COUNT(*) > 5",
+    "COUNT(*) <= 40",
+    "MIN(l_extendedprice) < 30000.0",
+    "MAX(l_quantity) >= 20.0",
+    "CAST(SUM(l_orderkey) AS BIGINT) > 50000",
+    "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) >= 3",
+]
+
+
+@given(
+    keys=st.lists(st.sampled_from(GROUP_KEYS), min_size=1, max_size=3,
+                  unique=True),
+    pred=predicate(depth=1),
+    havings=st.lists(st.sampled_from(HAVING_ATOMS), min_size=1,
+                     max_size=2, unique=True),
+    conj=st.sampled_from(["AND", "OR"]),
+    aggs=st.lists(st.sampled_from(AGGS), min_size=1, max_size=2,
+                  unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_random_groupby_having_differential(
+    engines, keys, pred, havings, conj, aggs
+):
+    spark, con = engines
+    key_exprs = sorted(keys)
+    # GROUP BY references the underlying expression, not the alias
+    # (alias-in-GROUP-BY support differs across engines' SQL dialects).
+    # rsplit: the LAST " AS " is the alias — inner casts carry their own.
+    group = ", ".join(k.rsplit(" AS ", 1)[0] for k in key_exprs)
+    sel = ", ".join(key_exprs) + ", " + ", ".join(sorted(aggs))
+    having = f" {conj} ".join(f"({h})" for h in sorted(havings))
+    sql = (
+        f"SELECT {sel} FROM lineitem WHERE {pred} "
+        f"GROUP BY {group} HAVING {having}"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
+
+
+# --------------------------------------------- family 4: ordered windows
+#
+# Fully-deterministic window functions over ORDERS: every ORDER BY
+# ends with o_orderkey, the table's genuinely unique key (lineitem's
+# (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+# the first draft of this family found that out as a false positive:
+# running sums at interior rows of a tie group are frame-order-
+# dependent, not an engine divergence).  Doubles are kept OUT of
+# running sums (segment-tree summation order differs); prices are
+# floored to BIGINT first (FLOOR sidesteps the round-vs-truncate cast
+# divergence).
+
+WINDOW_FUNCS = [
+    "ROW_NUMBER() OVER w AS rn",
+    "RANK() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice DESC) AS rk",
+    "DENSE_RANK() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) DESC) AS drk",
+    "LAG(o_custkey, 1) OVER w AS prev_cust",
+    "LEAD(o_orderkey, 2) OVER w AS next_key",
+    "CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER ("
+    "PARTITION BY o_orderpriority ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS run_price",
+    "CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY "
+    "o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+    " AS BIGINT) AS cnt4",
+]
+
+WINDOW_ORDERS = [
+    "ORDER BY o_totalprice DESC, o_orderkey",
+    "ORDER BY o_custkey, o_orderkey",
+    "ORDER BY o_orderkey",
+]
+
+WINDOW_PREDS = [
+    "(o_totalprice > 100000)",
+    "(o_orderstatus <> 'F')",
+    "(o_custkey % 3 = 0)",
+    "(o_orderkey < 4000)",
+    "(o_orderpriority IN ('1-URGENT', '3-MEDIUM'))",
+]
+
+
+@given(
+    funcs=st.lists(st.sampled_from(WINDOW_FUNCS), min_size=1, max_size=3,
+                   unique=True),
+    worder=st.sampled_from(WINDOW_ORDERS),
+    preds=st.lists(st.sampled_from(WINDOW_PREDS), min_size=1, max_size=2,
+                   unique=True),
+    part=st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_random_window_differential(engines2, funcs, worder, preds, part):
+    spark, con = engines2
+    sel = "o_orderkey, " + ", ".join(sorted(funcs))
+    pred = " AND ".join(sorted(preds))
+    sql = (
+        f"SELECT {sel} FROM orders WHERE {pred} "
+        f"WINDOW w AS (PARTITION BY {part} {worder})"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
+
+
+# -------------------------------------- family 5: events timestamp corners
+#
+# The events table is the richest divergence surface (timestamp
+# semantics; the session timezone is pinned to UTC in both engines so
+# date_trunc/EXTRACT agree).  Day-of-week is deliberately ABSENT: Spark
+# dayofweek is 1=Sunday while DuckDB EXTRACT(dow) is 0=Sunday — a
+# known, documented dialect split, not a bug either engine would fix.
+
+TS_ATOMS = [
+    "(ts >= TIMESTAMP '2024-01-10 00:00:00')",
+    "(ts < TIMESTAMP '2024-01-20 12:30:00')",
+    "(ts BETWEEN TIMESTAMP '2024-01-05 06:00:00' "
+    "AND TIMESTAMP '2024-01-25 18:00:00')",
+    "(CAST(ts AS DATE) = DATE '2024-01-15')",
+    "(EXTRACT(HOUR FROM ts) >= 12)",
+    "(EXTRACT(DAY FROM ts) % 2 = 0)",
+    "(event_type IN ('click', 'purchase'))",
+    "(event_type <> 'error')",
+    "(user_id % 5 = 1)",
+    "(value > 100.0)",
+]
+
+TS_KEYS = [
+    # DATE output is normalized to VARCHAR: Spark's toPandas gives
+    # datetime.date while DuckDB's .df() gives midnight datetime64 —
+    # a representation artifact, not an engine divergence (registered
+    # faces use strftime/date_format for the same reason).
+    "CAST(CAST(ts AS DATE) AS STRING) AS d",
+    "date_trunc('DAY', ts) AS day_ts",
+    "date_trunc('HOUR', ts) AS hour_ts",
+    "CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hh",
+    "event_type",
+]
+
+TS_AGGS = [
+    "COUNT(*) AS n",
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users",
+    "MIN(ts) AS first_ts",
+    "MAX(ts) AS last_ts",
+    "CAST(SUM(event_id) AS BIGINT) AS sum_id",
+]
+
+
+@st.composite
+def ts_predicate(draw, depth=2):
+    if depth == 0 or draw(st.integers(0, 2)) == 0:
+        p = draw(st.sampled_from(TS_ATOMS))
+    else:
+        a = draw(ts_predicate(depth=depth - 1))
+        b = draw(ts_predicate(depth=depth - 1))
+        p = f"({a} {draw(st.sampled_from(['AND', 'OR']))} {b})"
+    if draw(st.integers(0, 3)) == 0:
+        p = f"(NOT {p})"
+    return p
+
+
+@pytest.fixture(scope="module")
+def engines3(engines):
+    spark, con = engines
+    spark.read.parquet(f"{SF_DIR}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'"
+    )
+    return spark, con
+
+
+@given(
+    pred=ts_predicate(),
+    keys=st.lists(st.sampled_from(TS_KEYS), min_size=1, max_size=2,
+                  unique=True),
+    aggs=st.lists(st.sampled_from(TS_AGGS), min_size=1, max_size=3,
+                  unique=True),
+)
+@settings(max_examples=50, deadline=None)
+def test_random_events_timestamp_differential(engines3, pred, keys, aggs):
+    spark, con = engines3
+    key_exprs = sorted(keys)
+    group = ", ".join(k.rsplit(" AS ", 1)[0] for k in key_exprs)
+    sel = ", ".join(key_exprs) + ", " + ", ".join(sorted(aggs))
+    sql = (
+        f"SELECT {sel} FROM events WHERE {pred} GROUP BY {group}"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql

@@ -368,3 +368,43 @@ def test_gif_decoder_handles_kwkwk_and_rejects_malformed():
         decode_gif(bytes(good))
     with pytest.raises(Exception):
         decode_gif(bytes(good[: len(good) // 2]))
+
+
+def test_gif_decoder_phantom_width_growth_at_byte_boundary():
+    """Regression (ADVICE r6): the decoder appends a phantom table
+    entry for the encoder's final flush code — an entry the encoder
+    never created — and can grow the code width past what the encoder
+    used to emit EOI.  When the data-code count since the last CLEAR
+    is exactly ``2**width - (2**mcs + 2)`` AND the EOI code ends on
+    the trailing byte boundary, the old decoder had no bits left to
+    read at the grown width and raised 'missing EOI' on a perfectly
+    valid stream.  Self-encoded streams can't hit it (mcs=8 + a single
+    leading CLEAR pin the bit totals to 1/2/3 mod 8), so this is a
+    hand-built GIF: mcs=3, codes [CLEAR, CLEAR, 1..7, EOI] = 10 codes
+    x 4 bits = 40 bits = exactly 5 bytes; the 6th decoder append (on
+    the flush code 7) fills the table to 16 = 2**4 and grows width to
+    5 with only 4 bits remaining."""
+    import struct
+
+    from mobility_etl_spark.operators.multimodal import decode_gif
+
+    codes = [8, 8, 1, 2, 3, 4, 5, 6, 7, 9]  # clear, clear, data x7, eoi
+    bits = [(c >> b) & 1 for c in codes for b in range(4)]
+    assert len(bits) == 40  # EOI lands exactly on the byte boundary
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        data.append(byte)
+    palette = bytearray()
+    for i in range(8):
+        palette += bytes([i * 30 % 256, i * 50 % 256, i * 70 % 256])
+    hdr = b"GIF87a" + struct.pack("<HHBBB", 7, 1, 0x82, 0, 0) + bytes(palette)
+    img = b"\x2c" + struct.pack("<HHHHB", 0, 0, 7, 1, 0) + bytes([3])
+    payload = hdr + img + bytes([len(data)]) + bytes(data) + b"\x00" + b"\x3b"
+
+    idx, pal = decode_gif(payload)
+    assert idx.shape == (1, 7)
+    assert idx.flatten().tolist() == [1, 2, 3, 4, 5, 6, 7]
+    assert pal.shape == (8, 3)

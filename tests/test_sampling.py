@@ -171,3 +171,29 @@ def test_partitioned_ntile_fuzz_vs_window_form(spark):
         assert got.exceptAll(ref).union(ref.exceptAll(got)).count() == 0
 
     check()
+
+
+def test_bucketed_global_rank_rejects_null_order_keys(spark):
+    """Guard (ADVICE r6): NULL order keys would land in bucket 0 while
+    Spark windows sort NULLS FIRST and DuckDB ROW_NUMBER defaults
+    NULLS LAST — a silent cross-engine divergence for any oracle-gated
+    caller.  The operator now raises loudly (counted in the same job
+    as the quantile pass, zero extra scans)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mobility_etl_spark.operators.sampling import bucketed_global_rank
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 != 0, F.col("id")).alias("k"),
+        F.col("id").alias("tb"),
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        bucketed_global_rank(df, "k", "tb")
+    # non-null input still works
+    ranked, total = bucketed_global_rank(
+        df.filter(F.col("k").isNotNull()), "k", "tb"
+    )
+    assert total == 90
+    got = [r["grank"] for r in ranked.orderBy("k").collect()]
+    assert got == list(range(1, 91))

@@ -466,3 +466,63 @@ def test_catalog_vacuum_reclaims_only_unreachable_state(spark, tmp_path):
         read_catalog_table(spark, cat, "t", catalog_version=cv2)
     with pytest.raises(ValueError):
         catalog_vacuum(cat, keep_last=0)
+
+
+def test_catalog_vacuum_reclaims_dropped_table_storage(spark, tmp_path):
+    """Regression (ADVICE r6): a table present ONLY in dropped catalog
+    versions — i.e. removed from the catalog before the retention
+    horizon — used to keep all its snapshot manifests and data files
+    forever, a permanent storage leak no later vacuum could reclaim.
+    Now: (a) the orphaned table's snapshots + data are fully deleted,
+    (b) tables still bound by survivors are untouched, and (c) a table
+    that was committed but NEVER cataloged is left alone
+    (mid-publication safety)."""
+    import pathlib
+
+    from mobility_etl_spark.operators.snapshots import (
+        _data_files,
+        _list_versions,
+        catalog_vacuum,
+        commit_catalog,
+        commit_snapshot,
+        read_catalog_table,
+    )
+
+    cat = str(tmp_path)
+    keep_t = str(tmp_path / "keep_t")
+    drop_t = str(tmp_path / "drop_t")
+    uncat_t = str(tmp_path / "uncat_t")
+
+    def land(path, lo, hi, note):
+        before = (
+            set(_data_files(path)) if pathlib.Path(path).exists() else set()
+        )
+        spark.range(lo, hi).write.mode("append").parquet(path)
+        mine = [f for f in _data_files(path) if f not in before]
+        return commit_snapshot(spark, path, note=note, files=mine)
+
+    kv1 = land(keep_t, 0, 5, "k1")
+    dv1 = land(drop_t, 0, 7, "d1")
+    commit_catalog(cat, {"keep": (keep_t, kv1), "doomed": (drop_t, dv1)}, note="c1")
+    kv2 = land(keep_t, 100, 104, "k2")
+    # c2 and c3 drop the 'doomed' table from the catalog entirely
+    cv2 = commit_catalog(cat, {"keep": (keep_t, kv2)}, note="c2")
+    kv3 = land(keep_t, 200, 203, "k3")
+    cv3 = commit_catalog(cat, {"keep": (keep_t, kv3)}, note="c3")
+    land(uncat_t, 0, 2, "never-cataloged")
+
+    stats = catalog_vacuum(cat, keep_last=2)
+    assert stats["catalog_versions_dropped"] == 1
+    # drop_t's single snapshot + keep_t's k1 snapshot both reclaimed
+    assert stats["snapshots_dropped"] == 2
+    assert stats["data_files_deleted"] >= 2
+
+    # orphaned table: everything gone
+    assert _list_versions(drop_t) == []
+    assert _data_files(drop_t) == []
+    # survivors read intact
+    assert read_catalog_table(spark, cat, "keep", catalog_version=cv2).count() == 4
+    assert read_catalog_table(spark, cat, "keep", catalog_version=cv3).count() == 3
+    # never-cataloged table untouched (mid-publication safety)
+    assert len(_list_versions(uncat_t)) == 1
+    assert len(_data_files(uncat_t)) >= 1
