@@ -747,3 +747,96 @@ def test_index_maintenance_consistent_at_every_catalog_version(spark, sf_dir):
         .count()
     )
     assert final.count() == expected
+
+
+# ------------------------------------------- pathological-batch chunk bound
+
+
+def _run_dense_batch(spark, sf_dir, n_dense: int, max_chunk: int):
+    """Drive ONE micro-batch of ``n_dense`` exact copies of a single
+    base vector through near_dup_stream_ingest with the given
+    ``max_chunk``, capturing per-chunk stats. The initial index holds
+    only vectors 100-299 (near-orthogonal to the base), so the first
+    copy is accepted and every later copy must reject against it —
+    exercising both the intra-chunk pair path (chunk 1) and the
+    cross-chunk index-probe path (chunks 2+)."""
+    import os
+    import tempfile
+
+    from mobility_etl_spark.streaming.jobs import (
+        init_near_dup_index,
+        near_dup_stream_ingest,
+    )
+
+    root = tempfile.mkdtemp(prefix="ndup_dense_")
+    index = os.path.join(root, "index")
+    decisions = os.path.join(root, "decisions")
+    feed_dir = os.path.join(root, "feed")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init_near_dup_index(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)), index
+    )
+
+    base = emb.filter(F.col("vec_id") == 0).select("embedding")
+    dense = (
+        spark.range(700000, 700000 + n_dense)
+        .withColumnRenamed("id", "vec_id")
+        .crossJoin(F.broadcast(base))
+    )
+    dense.coalesce(1).write.parquet(os.path.join(feed_dir, "c00"))
+
+    schema = spark.read.parquet(f"{feed_dir}/*").schema
+    feed = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed_dir}/*")
+    )
+    stats: list[dict] = []
+    near_dup_stream_ingest(
+        spark,
+        feed,
+        index,
+        decisions,
+        os.path.join(root, "ckpt"),
+        max_chunk=max_chunk,
+        stats=stats,
+    )
+    return sorted(map(tuple, spark.read.parquet(decisions).collect())), stats
+
+
+def test_near_dup_dense_batch_bounded_by_chunk_quadratic(spark, sf_dir):
+    """The pathological-batch gate streaming/jobs.py cites: a single
+    quadratically-dense micro-batch (520 EXACT copies of one vector —
+    every pair cosine 1.0, every pair an LSH collision) must be
+    processed in id-ordered chunks whose driver-side collects never
+    exceed the chunk-quadratic bound, while an unchunked run of the
+    SAME batch provably IS quadratic — and both runs must produce
+    byte-identical decisions (the boundary-invariance property)."""
+    n, mc = 520, 256
+    chunked, stats = _run_dense_batch(spark, sf_dir, n, mc)
+
+    # the bound, per chunk: rows <= max_chunk, intra-chunk collision
+    # pairs <= C(max_chunk, 2) — never the batch square.
+    assert len(stats) == 3  # 256 + 256 + 8
+    assert sum(s["chunk_rows"] for s in stats) == n
+    for s in stats:
+        assert s["chunk_rows"] <= mc
+        assert s["intra_pairs"] <= mc * (mc - 1) // 2
+
+    # the dense batch genuinely is quadratic when unchunked: one chunk,
+    # C(520, 2) intra pairs — far above the chunked bound.
+    unchunked, ustats = _run_dense_batch(spark, sf_dir, n, 10**9)
+    assert len(ustats) == 1
+    assert ustats[0]["intra_pairs"] == n * (n - 1) // 2
+    assert ustats[0]["intra_pairs"] > mc * (mc - 1) // 2
+
+    # chunking changes the collect bound, never the semantics.
+    assert chunked == unchunked
+
+    # first copy accepted against the orthogonal index; every later
+    # copy rejected with match attribution to it (sim 1.0 exactly).
+    by_id = dict((t[0], t) for t in chunked)
+    assert by_id[700000][1] == 1
+    for i in range(700001, 700000 + n):
+        assert by_id[i] == (i, 0, 700000, 10**6)
