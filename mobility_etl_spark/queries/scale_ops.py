@@ -345,3 +345,70 @@ def privacy_k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("grp_n").cast("bigint").alias("min_group_size"),
         )
     )
+
+
+@register(
+    "skewjoin_aqe_identity",
+    oracle=f"""
+    WITH l AS (
+        SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                    ELSE l_orderkey END AS hk,
+               l_extendedprice AS price
+        FROM lineitem
+    ), d AS (
+        SELECT CASE WHEN o_orderkey = 1 THEN 0
+                    ELSE o_orderkey END AS hk,
+               o_custkey % 7 AS dim_tag
+        FROM orders
+    )
+    SELECT l.hk % 97 AS hk_bucket,
+           COUNT(*) AS n_rows,
+           {sql_dsum("l.price", "sum_price")},
+           CAST(SUM(d.dim_tag) AS BIGINT) AS sum_tag
+    FROM l JOIN d USING (hk)
+    GROUP BY l.hk % 97
+    """,
+    tags=("N11", "E9"),
+)
+def skewjoin_aqe_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-identity proof for the UNSALTED skew-join path — the one a
+    100 TB deployment should trust AQE with (session.py turns
+    ``spark.sql.adaptive.skewJoin.enabled`` on): 80% of lineitem is
+    remapped onto one planted hot key and joined, without salting,
+    against a unique-key orders dim; the per-bucket aggregate must stay
+    value-identical to the straight relational answer DuckDB computes.
+    Complements ``salted_join_identity`` (the manual-salt path for
+    pathological skew): together they prove both skew strategies give
+    the same answer, so the choice between them is purely a cost call.
+
+    The ``repartition(16)`` stands in for the many-map scan any real
+    multi-file input has: AQE can only split a skewed reduce partition
+    at MAP-output granularity, and the single-row-group test parquet
+    otherwise funnels the hot key through one map, making it
+    unsplittable (found empirically; the plan-level proof that the
+    split actually fires — ``SortMergeJoin(skew=true)`` — is
+    tests/test_plans.py::test_aqe_skew_join_splits_planted_hot_key,
+    which lowers the 256 MB skew threshold to test scale on a scratch
+    session)."""
+    li = load_table(spark, sf_dir, "lineitem").repartition(16)
+    l = li.select(
+        F.when(F.col("l_orderkey") % 10 < 8, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("hk"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    d = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") == 1, F.lit(0))
+        .otherwise(F.col("o_orderkey"))
+        .alias("hk"),
+        (F.col("o_custkey") % 7).alias("dim_tag"),
+    )
+    return (
+        l.join(d, "hk")
+        .groupBy((F.col("hk") % 97).alias("hk_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            dsum(F.col("price"), "sum_price"),
+            F.sum("dim_tag").cast("bigint").alias("sum_tag"),
+        )
+    )
