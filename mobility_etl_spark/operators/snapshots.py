@@ -171,6 +171,124 @@ def commit_snapshot(
         tmp.unlink(missing_ok=True)
 
 
+def commit_snapshot_update(
+    spark: SparkSession,
+    table_path: str,
+    update_fn,
+    note: str = "",
+    stats_cols: tuple[str, ...] = (),
+) -> int | None:
+    """Commit a CONTENT-AWARE update: ``update_fn(tip_files)`` maps the
+    current snapshot's file list to the new one, and is RE-APPLIED to
+    the fresh tip on every lost commit race — the Iceberg/Delta
+    retry-with-reapply loop that :func:`commit_snapshot` (which retries
+    a FIXED list) cannot give.
+
+    Why it matters: an appender building "tip files + mine" and a
+    compactor building "tip files − base + compacted" race; whichever
+    loses the put-if-absent must rebuild its list against the winner's
+    manifest, or it silently resurrects files the winner removed /
+    drops files the winner added (the lost-update this module's
+    racing compactor-vs-committer drill pins,
+    tests/test_snapshots.py).
+
+    ``update_fn`` may return ``None`` to ABORT (e.g. a compactor
+    discovering its base files were already rewritten by a concurrent
+    compaction — re-publishing its own copies would duplicate rows);
+    the function then returns ``None`` and commits nothing. Column
+    stats for retained files are carried over from the tip manifest;
+    only new files are scanned.
+    """
+    root = pathlib.Path(table_path)
+    d = _snap_dir(table_path)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".tmp-{uuid.uuid4().hex[:12]}"
+    try:
+        for _ in range(100):
+            versions = _list_versions(table_path)
+            tip_files: list[str] = []
+            tip_stats: dict = {}
+            if versions:
+                tip = json.loads(
+                    (d / f"v{versions[-1]}.manifest.json").read_text()
+                )
+                tip_files = tip["files"]
+                tip_stats = tip.get("stats", {})
+            new_files = update_fn(list(tip_files))
+            if new_files is None:
+                return None
+            stats = {}
+            if stats_cols:
+                carried = [f for f in new_files if f in tip_stats]
+                fresh = [f for f in new_files if f not in tip_stats]
+                stats = {f: tip_stats[f] for f in carried}
+                stats.update(_file_column_stats(root, fresh, stats_cols))
+            version = (versions or [0])[-1] + 1
+            manifest = {
+                "version": version,
+                "note": note,
+                "files": new_files,
+                "n_files": len(new_files),
+                "bytes": sum(
+                    (root / f).stat().st_size for f in new_files
+                ),
+                "stats": stats,
+            }
+            tmp.write_text(json.dumps(manifest, indent=1))
+            try:
+                os.link(tmp, d / f"v{version}.manifest.json")
+                return version
+            except FileExistsError:
+                continue  # lost the race; reapply against the new tip
+        raise RuntimeError(
+            f"commit_snapshot_update: lost 100 consecutive commit races "
+            f"at {table_path}"
+        )
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
+def append_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    note: str = "append",
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Append ``df`` as new data files and commit "tip + mine" with
+    retry-with-reapply — safe against concurrent appenders AND a
+    concurrent compactor (either interleaving preserves every row
+    exactly once).
+
+    Files are staged in a private directory then renamed to unique
+    names, so concurrent appenders never share Spark's ``_temporary/0``
+    (concurrent ``.write.mode("append")`` to one directory clobbers
+    it); only the manifest commit is contended.
+    """
+    root = pathlib.Path(table_path)
+    root.mkdir(parents=True, exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    stage = root / f".append-stage-{token}"
+    df.write.mode("overwrite").parquet(str(stage))
+    new_files = []
+    for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
+        name = f"append-{token}-{i:05d}.parquet"
+        os.rename(staged, root / name)
+        new_files.append(name)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    v = commit_snapshot_update(
+        spark,
+        table_path,
+        lambda cur: cur + new_files,
+        note=note,
+        stats_cols=stats_cols,
+    )
+    assert v is not None  # append never aborts
+    return v
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,
@@ -243,7 +361,8 @@ def compact_snapshot(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     note: str = "compaction",
-) -> int:
+    stats_cols: tuple[str, ...] = (),
+) -> int | None:
     """Table-format-style compaction: rewrite the LATEST snapshot's
     data into right-sized files and commit them as a new snapshot —
     the reader-atomic answer to io.compact_partitions' directory swap.
@@ -251,7 +370,15 @@ def compact_snapshot(
     Old data files are NOT touched: earlier snapshots keep reading
     them (time travel) until :func:`vacuum` reclaims them, so a
     concurrent reader planned against any committed manifest is never
-    broken mid-scan. Returns the new version number.
+    broken mid-scan.
+
+    Concurrency (the compactor-vs-committer race): the commit is a
+    retry-with-reapply update — "current tip − my base + my output".
+    An append landing between the base read and the commit is KEPT (it
+    survives in the reapplied list); a concurrent compaction that
+    already rewrote this base ABORTS this one (publishing a second
+    copy of the same rows would duplicate them), deleting its staged
+    output and returning ``None``. Returns the new version otherwise.
     """
     import math
     import shutil
@@ -263,19 +390,32 @@ def compact_snapshot(
     manifest = json.loads(
         (_snap_dir(table_path) / f"v{versions[-1]}.manifest.json").read_text()
     )
+    base = set(manifest["files"])
     n_target = max(1, math.ceil(manifest["bytes"] / target_file_bytes))
     token = uuid.uuid4().hex[:12]
     stage = root / f".compact-stage-{token}"
-    read_snapshot(spark, table_path).coalesce(n_target).write.mode(
-        "overwrite"
-    ).parquet(str(stage))
+    read_snapshot(spark, table_path, version=manifest["version"]).coalesce(
+        n_target
+    ).write.mode("overwrite").parquet(str(stage))
     new_files = []
     for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
         name = f"compacted-{token}-{i:05d}.parquet"
         os.rename(staged, root / name)
         new_files.append(name)
     shutil.rmtree(stage, ignore_errors=True)
-    return commit_snapshot(spark, table_path, note=note, files=new_files)
+
+    def _reapply(cur: list[str]) -> list[str] | None:
+        if not base <= set(cur):
+            return None  # base already rewritten by a rival compactor
+        return [f for f in cur if f not in base] + new_files
+
+    v = commit_snapshot_update(
+        spark, table_path, _reapply, note=note, stats_cols=stats_cols
+    )
+    if v is None:
+        for f in new_files:  # aborted: reclaim our unpublished output
+            (root / f).unlink(missing_ok=True)
+    return v
 
 
 def vacuum(table_path: str, keep_last: int = 2) -> int:

@@ -500,11 +500,19 @@ def build_near_dup_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_near_dup_stream(
-    spark: SparkSession, sf_dir: str, chunks: list[tuple[int, int]]
+    spark: SparkSession,
+    sf_dir: str,
+    chunks: list[tuple[int, int]],
+    root: str | None = None,
+    index_snapshots: bool = False,
+    compact_every: int = 0,
 ) -> DataFrame:
     """Drive build_near_dup_feed through near_dup_stream_ingest with
     the given (lo, hi) vec_id chunking (one file = one micro-batch,
-    written in stream order), returning the decisions table."""
+    written in stream order), returning the decisions table. With
+    ``index_snapshots`` the index lives in a manifest-committed
+    snapshot table that the stream compacts+vacuums whenever the tip
+    exceeds ``compact_every`` files (pass ``root`` to inspect it)."""
     import os
 
     from mobility_etl_spark.streaming.jobs import (
@@ -512,13 +520,15 @@ def run_near_dup_stream(
         near_dup_stream_ingest,
     )
 
-    root = tempfile.mkdtemp(prefix="ndup_stream_")
+    root = root or tempfile.mkdtemp(prefix="ndup_stream_")
     index = os.path.join(root, "index")
     decisions = os.path.join(root, "decisions")
     feed_dir = os.path.join(root, "feed")
 
     emb = load_table(spark, sf_dir, "embeddings")
-    init_near_dup_index(emb.filter(F.col("vec_id") < 300), index)
+    init_near_dup_index(
+        emb.filter(F.col("vec_id") < 300), index, snapshot=index_snapshots
+    )
 
     feed_df = build_near_dup_feed(spark, sf_dir)
     for i, (lo, hi) in enumerate(chunks):
@@ -533,7 +543,13 @@ def run_near_dup_stream(
         .parquet(f"{feed_dir}/*")
     )
     near_dup_stream_ingest(
-        spark, feed, index, decisions, os.path.join(root, "ckpt")
+        spark,
+        feed,
+        index,
+        decisions,
+        os.path.join(root, "ckpt"),
+        index_snapshots=index_snapshots,
+        compact_every=compact_every,
     )
     return spark.read.parquet(decisions)
 
@@ -560,6 +576,49 @@ def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NDUP_STREAM_CACHE[sf_dir] = dec
         out = dec
     return out.orderBy("vec_id")
+
+
+#: Per-process cache: sf_dir -> (decisions DF, run root) for the
+#: snapshot-indexed streaming near-dup face.
+_NDUP_SNAP_CACHE: dict[str, tuple[DataFrame, str]] = {}
+
+
+@register(
+    "streaming_near_dup_compacted",
+    oracle=None,
+    tags=("N2", "N6", "N13", "E30", "E37"),
+)
+def streaming_near_dup_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The online near-dup admission loop with its index on the
+    SNAPSHOT layer and self-compacting (streaming/jobs.py:
+    near_dup_stream_ingest ``index_snapshots`` + ``compact_every``):
+    instead of appending one parquet per chunk per batch forever, each
+    batch that leaves the index tip over the file budget compacts it
+    to one right-sized file and vacuums unreferenced data — the
+    Iceberg-style maintenance loop a continuously-ingesting 100 TB
+    corpus needs, running INSIDE the stream without ever breaking a
+    committed reader. Rows-only driver check; tests/test_streaming.py
+    gates that (a) decisions are byte-identical to the raw-directory
+    run (storage backend cannot change semantics), (b) compaction
+    actually fired and bounded the tip's file count, (c) the final
+    index equals init + accepted exactly, and (d) vacuum left no
+    unreferenced file on disk."""
+    cached = _NDUP_SNAP_CACHE.get(sf_dir)
+    if cached is None:
+        root = tempfile.mkdtemp(prefix="ndup_snap_")
+        dec = run_near_dup_stream(
+            spark,
+            sf_dir,
+            [(300, 400), (400, 100000), (100000, 200000), (200000, 300000)],
+            root=root,
+            index_snapshots=True,
+            compact_every=4,
+        )
+        _NDUP_SNAP_CACHE[sf_dir] = (dec, root)
+        cached = (dec, root)
+    return cached[0].orderBy("vec_id")
 
 
 #: Per-process cache: sf_dir -> catalog root for the streaming

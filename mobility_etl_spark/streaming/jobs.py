@@ -530,10 +530,20 @@ def read_cdc_state(spark: SparkSession, path: str) -> DataFrame:
     return state.filter(~F.col("__deleted")).drop("__seq", "__deleted")
 
 
-def init_near_dup_index(corpus: DataFrame, path: str) -> None:
+def init_near_dup_index(
+    corpus: DataFrame, path: str, snapshot: bool = False
+) -> None:
     """Write the already-indexed corpus (vec_id, embedding) as the
-    near-dup index snapshot for :func:`near_dup_stream_ingest`."""
-    corpus.select("vec_id", "embedding").write.parquet(path)
+    near-dup index for :func:`near_dup_stream_ingest` — a plain parquet
+    directory, or (``snapshot=True``) a manifest-committed snapshot
+    table (operators/snapshots.py) so the stream can compact it."""
+    sel = corpus.select("vec_id", "embedding")
+    if snapshot:
+        from mobility_etl_spark.operators.snapshots import append_snapshot
+
+        append_snapshot(corpus.sparkSession, path, sel, note="init")
+    else:
+        sel.write.parquet(path)
 
 
 def near_dup_stream_ingest(
@@ -545,6 +555,8 @@ def near_dup_stream_ingest(
     threshold: float = 0.9,
     max_chunk: int = 256,
     stats: list | None = None,
+    index_snapshots: bool = False,
+    compact_every: int = 0,
 ) -> None:
     """Online near-duplicate admission over a vector stream — the
     streaming face of ``operators/similarity.py:near_dup_probe``, the
@@ -600,6 +612,20 @@ def near_dup_stream_ingest(
     recorded pair lists never exceed the chunk-quadratic bound even
     when the batch itself is quadratically dense.
 
+    INDEX LIFECYCLE (``index_snapshots=True``): the append-per-chunk
+    loop grows the index by one parquet file per chunk per batch
+    FOREVER if left on a raw directory. With snapshots on, the index
+    is a manifest-committed table (operators/snapshots.py): each
+    chunk's acceptees land via ``append_snapshot`` (retry-with-reapply
+    commit), and after any batch that leaves the tip holding more than
+    ``compact_every`` files (0 = never) the job compacts it to one
+    right-sized snapshot and vacuums all but the last two — readers of
+    any committed version are never broken mid-scan, and a RACING
+    external compactor is safe by the same commit protocol
+    (tests/test_snapshots.py racing compactor-vs-committer drill).
+    This is exactly the Iceberg/Delta maintenance loop a 100 TB
+    deployment runs; here it is the stream's own housekeeping.
+
     At 100 TB the index side is a table-format table with the
     (band, bucket) index precomputed and the append is MERGE/commit —
     same loop, same per-batch cost profile.
@@ -608,6 +634,15 @@ def near_dup_stream_ingest(
         near_dup_pairs,
         near_dup_probe,
     )
+
+    if index_snapshots:
+        from mobility_etl_spark.operators.snapshots import (
+            append_snapshot,
+            compact_snapshot,
+            read_snapshot,
+            snapshot_log,
+            vacuum,
+        )
 
     def _apply(batch_df: DataFrame, _epoch: int) -> None:
         if not batch_df.take(1):
@@ -625,7 +660,11 @@ def near_dup_stream_ingest(
         for lo in range(0, len(batch_ids), max_chunk):
             chunk_ids = batch_ids[lo : lo + max_chunk]
             chunk_df = batch_df.filter(F.col("vec_id").isin(chunk_ids))
-            index = spark.read.parquet(index_path)
+            index = (
+                read_snapshot(spark, index_path)
+                if index_snapshots
+                else spark.read.parquet(index_path)
+            )
             probe_hits = near_dup_probe(
                 chunk_df, index, threshold=threshold
             ).collect()
@@ -666,13 +705,27 @@ def near_dup_stream_ingest(
             acc_rows = spark.createDataFrame(
                 [(i,) for i in accepted] or [], "vec_id long"
             )
-            chunk_df.join(acc_rows, "vec_id").select(
+            acc_df = chunk_df.join(acc_rows, "vec_id").select(
                 "vec_id", "embedding"
-            ).write.mode("append").parquet(index_path)
+            )
+            if index_snapshots:
+                if accepted:
+                    append_snapshot(
+                        spark, index_path, acc_df, note=f"e{_epoch}c{lo}"
+                    )
+            else:
+                acc_df.write.mode("append").parquet(index_path)
             spark.createDataFrame(
                 decisions,
                 "vec_id long, accepted int, match_id long, sim_fx long",
             ).write.mode("append").parquet(decisions_path)
+        if (
+            index_snapshots
+            and compact_every > 0
+            and snapshot_log(index_path)[-1]["n_files"] > compact_every
+        ):
+            compact_snapshot(spark, index_path)
+            vacuum(index_path, keep_last=2)
 
     q = (
         feed.writeStream.foreachBatch(_apply)
