@@ -13,7 +13,7 @@ rows-only ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mobility_etl_spark.io import load_table
@@ -694,3 +694,251 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(docs, "doc_id", "n_tokens", capacity=512, num_groups=8)
     return bin_stats(packed, "n_tokens", capacity=512)
+
+
+_SEM_TAU = 0.47  # exact-cosine semantic-dup threshold (margin-gated)
+_DECON_N = 5  # decontamination shingle width
+_PACK_BIN = 1024  # concat-cut packing bin, tokens
+_MIX_H, _PACK_H = 2654435761, 2246822519  # engine-portable mult hashes
+_EPOCH_H = 40503
+
+
+@register(
+    "pipeline_pretraining_full",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, lang, toks, len(toks) AS n_tokens FROM base
+        WHERE len(toks) BETWEEN 50 AND 2000
+    ),
+    embedded AS (
+        SELECT s.doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM s1 s JOIN embeddings e ON e.vec_id = s.doc_id
+    ),
+    sem_drop AS (
+        SELECT DISTINCT b.doc_id
+        FROM embedded a JOIN embedded b ON a.doc_id < b.doc_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_TAU}
+    ),
+    s2 AS (
+        SELECT * FROM s1
+        WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
+    ),
+    grams AS (
+        SELECT doc_id,
+               array_to_string(toks[i:i+{_DECON_N - 1}], ' ') AS ng
+        FROM base, LATERAL (SELECT unnest(
+            generate_series(1, len(toks) - {_DECON_N - 1})) AS i)
+    ),
+    eval_grams AS (
+        SELECT DISTINCT ng FROM grams WHERE doc_id % 97 = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g JOIN eval_grams e USING (ng)
+        WHERE g.doc_id % 97 <> 0
+    ),
+    s3 AS (
+        SELECT doc_id, lang, n_tokens FROM s2
+        WHERE doc_id % 97 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    quota AS (
+        SELECT MIN(cnt) AS m
+        FROM (SELECT COUNT(*) AS cnt FROM s3 GROUP BY lang)
+    ),
+    s4 AS (
+        SELECT doc_id, lang, n_tokens FROM (
+            SELECT s3.*,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY (doc_id * {_MIX_H}) % 4294967296,
+                                doc_id) AS rk
+            FROM s3)
+        WHERE rk <= (SELECT m FROM quota)
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang
+                   ORDER BY (doc_id * {_PACK_H}) % 4294967296, doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   / {_PACK_BIN}.0) AS BIGINT) AS bin_id
+        FROM s4
+    ),
+    sched AS (
+        SELECT p.*, CAST(e.epoch AS INT) AS epoch,
+               CAST(CASE WHEN n_tokens <= 300 THEN 0 ELSE 1 END AS INT)
+                   AS phase,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.epoch,
+                       CASE WHEN n_tokens <= 300 THEN 0 ELSE 1 END, lang
+                   ORDER BY ((doc_id + 1) * ({_MIX_H} + e.epoch
+                             * {_EPOCH_H})) % 4294967296,
+                            doc_id) AS r
+        FROM packed p CROSS JOIN (SELECT UNNEST([0, 1]) AS epoch) e
+    )
+    SELECT epoch, phase, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(DISTINCT bin_id) AS BIGINT) AS n_bins,
+           CAST(SUM(r * ((doc_id % 9973) + 1)) AS BIGINT) AS order_fx
+    FROM sched
+    GROUP BY epoch, phase, lang
+    """,
+    tags=("N1", "N2", "N3", "N5", "N7", "N12", "N16"),
+)
+def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL pretraining-prep chain (VERDICT r6 #6 / r7 #4), six
+    already-proven stages composed under ONE SQL oracle: quality gate →
+    semantic dedup → eval decontamination → mixture resample →
+    concat-cut packing → per-epoch curriculum shuffle.
+
+    1. QUALITY: 50 ≤ n_tokens ≤ 2000 (cheapest filter first — it
+       prunes every later stage's input).
+    2. SEMANTIC DEDUP: drop any doc whose embedding is ≥ {_SEM_TAU}
+       cosine to a LOWER-id embedded doc that survived (1). Exact
+       all-pairs here — the oracle-checkable baseline; decisions are
+       margin-protected (no pair cosine within 1e-6 of τ at any
+       graded SF — measured gaps 2.4e-5 / 2.0e-3 / 1.4e-3 at
+       sf0.001/0.01/0.1, vs ~1e-13 double-arithmetic engine noise;
+       tests/test_packing.py gate), so engine float noise cannot
+       flip one. The 100 TB path is cluster-then-compare
+       (``vector_semantic_dedup``) or banded LSH
+       (``minhash_near_dup``) — same decision rule, pruned candidate
+       set.
+    3. DECONTAMINATE: eval split = doc_id % 97 == 0; any train doc
+       sharing a {_DECON_N}-gram with it is dropped (and eval docs
+       themselves never enter the corpus). Eval shingles broadcast at
+       scale (``text_decontaminate_ngram``).
+    4. MIXTURE RESAMPLE: per-language quota = the smallest surviving
+       language's count — a balanced mixture, members chosen by
+       engine-portable multiplicative hash rank (deterministic, no
+       RNG state).
+    5. PACK: concat-and-cut into {_PACK_BIN}-token bins per language —
+       running token sum over a hash-shuffled order; a doc's bin is
+       its START offset ÷ bin size. Window is PARTITIONED by lang
+       (the global-order variant at 100 TB is
+       ``bucketed_global_rank``).
+    6. EPOCH SHUFFLE + CURRICULUM: two epochs, each re-shuffled by an
+       epoch-seeded hash, inside two curriculum phases (short docs
+       ≤ 300 tokens first). ``order_fx`` = Σ rank·(doc_id%9973+1)
+       pins the exact per-epoch order into the hash comparison.
+
+    Every stage is an operator this engine already gates in isolation;
+    this face proves their COMPOSITION end to end — one wrong drop,
+    one quota off-by-one, or one mis-ordered shuffle shifts the
+    output hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    toks = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    s1 = base.withColumn("n_tokens", F.size("toks")).filter(
+        F.col("n_tokens").between(50, 2000)
+    )
+
+    # (2) exact-cosine semantic dedup among embedded survivors
+    embedded = s1.select("doc_id").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    a = embedded.select(
+        F.col("doc_id").alias("a_id"), F.col("embedding").alias("va")
+    )
+    b = embedded.select(
+        F.col("doc_id").alias("b_id"), F.col("embedding").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sem_drop = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(dot / (nrm(F.col("va")) * nrm(F.col("vb"))) >= _SEM_TAU)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    s2 = s1.join(sem_drop, "doc_id", "left_anti")
+
+    # (3) decontamination: 5-gram overlap with the eval split
+    m = F.size("toks") - _DECON_N + 1
+    shifted = F.slice("toks", 1, m)
+    for k in range(2, _DECON_N + 1):
+        shifted = F.zip_with(
+            shifted,
+            F.slice("toks", k, m),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    ngrams = F.when(F.size("toks") >= _DECON_N, shifted).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = base.select("doc_id", F.explode(F.array_distinct(ngrams)).alias("ng"))
+    eval_grams = g.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    contaminated = (
+        g.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "ng")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = (
+        s2.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    # (4) balanced mixture: per-lang quota = smallest lang's count
+    quota = s3.groupBy("lang").count().agg(F.min("count").alias("m"))
+    w_mix = Window.partitionBy("lang").orderBy(
+        (F.col("doc_id") * _MIX_H) % 4294967296, "doc_id"
+    )
+    s4 = (
+        s3.withColumn("rk", F.row_number().over(w_mix))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rk") <= F.col("m"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+    # (5) concat-cut packing per language
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy((F.col("doc_id") * _PACK_H) % 4294967296, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = s4.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("n_tokens").over(w_pack) - F.col("n_tokens"))
+            / float(_PACK_BIN)
+        ).cast("bigint"),
+    )
+
+    # (6) two epochs x two curriculum phases, epoch-seeded order
+    epochs = spark.createDataFrame([(0,), (1,)], "epoch int")
+    phase = F.when(F.col("n_tokens") <= 300, 0).otherwise(1).cast("int")
+    w_ep = Window.partitionBy("epoch", "phase", "lang").orderBy(
+        ((F.col("doc_id") + 1) * (_MIX_H + F.col("epoch") * _EPOCH_H))
+        % 4294967296,
+        "doc_id",
+    )
+    sched = (
+        packed.crossJoin(F.broadcast(epochs))
+        .withColumn("phase", phase)
+        .withColumn("r", F.row_number().over(w_ep))
+    )
+    return sched.groupBy("epoch", "phase", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.countDistinct("bin_id").cast("bigint").alias("n_bins"),
+        F.sum(F.col("r") * ((F.col("doc_id") % 9973) + 1))
+        .cast("bigint")
+        .alias("order_fx"),
+    )

@@ -106,3 +106,78 @@ def test_bin_ids_unique_across_groups(packed):
         | (F.col("bin_id") - F.col("pack_group") * _BIN_STRIDE >= _BIN_STRIDE)
     ).count()
     assert bad == 0
+
+
+def test_pretraining_full_semantic_margin_and_stage_activity():
+    """Guards for the pipeline_pretraining_full capstone: (a) the
+    semantic-dedup decision is margin-protected — no embedding pair's
+    cosine lies within 1e-6 of τ=0.47 at ANY tested SF (measured gaps
+    are ≥ 2.4e-5, seven orders of magnitude above the ~1e-13
+    double-arithmetic engine noise), so no drop decision can flip; (b)
+    every stage of the chain actually does work at sf0.01 (a stage
+    silently degenerating to identity would keep the oracle green
+    while proving nothing about composition)."""
+    import duckdb
+    import numpy as np
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        con = duckdb.connect()
+        vecs = con.execute(
+            f"SELECT embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchnumpy()["embedding"]
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        cos = m @ m.T
+        off = cos[np.triu_indices(len(m), k=1)]
+        gap = np.abs(off - 0.47).min()
+        assert gap > 1e-6, f"{sf}: pair within {gap} of tau"
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.01"
+    con.execute(
+        f"CREATE VIEW documents AS FROM '{sf}/documents.parquet';"
+        f"CREATE VIEW embeddings AS FROM '{sf}/embeddings.parquet'"
+    )
+    n = lambda q: con.execute(q).fetchone()[0]  # noqa: E731
+    n_docs = n("SELECT COUNT(*) FROM documents")
+    n_s1 = n(
+        "SELECT COUNT(*) FROM documents "
+        "WHERE len(string_split(text,' ')) BETWEEN 50 AND 2000"
+    )
+    assert 0 < n_s1 < n_docs  # quality gate prunes
+    n_sem = n(
+        """
+        WITH s1 AS (SELECT doc_id FROM documents
+                    WHERE len(string_split(text,' ')) BETWEEN 50 AND 2000),
+        e AS (SELECT s.doc_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM s1 s JOIN embeddings emb ON emb.vec_id = s.doc_id)
+        SELECT COUNT(DISTINCT b.doc_id) FROM e a JOIN e b
+        ON a.doc_id < b.doc_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.47
+        """
+    )
+    assert n_sem >= 1  # semantic dedup drops someone
+    n_contam = n(
+        """
+        WITH g AS (
+            SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS ng
+            FROM (SELECT doc_id, string_split(text,' ') AS toks
+                  FROM documents),
+                 LATERAL (SELECT unnest(
+                     generate_series(1, len(toks) - 4)) AS i)),
+        ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
+        SELECT COUNT(DISTINCT g.doc_id) FROM g JOIN ev USING (ng)
+        WHERE g.doc_id % 97 <> 0
+        """
+    )
+    assert n_contam >= 1  # decontamination drops someone
+    lo, hi = con.execute(
+        """
+        WITH s1 AS (SELECT doc_id, lang FROM documents
+                    WHERE len(string_split(text,' ')) BETWEEN 50 AND 2000)
+        SELECT MIN(c), MAX(c) FROM (
+            SELECT COUNT(*) AS c FROM s1 GROUP BY lang)
+        """
+    ).fetchone()
+    assert lo < hi  # mixture quota actually rebalances
