@@ -381,3 +381,156 @@ def test_random_events_timestamp_differential(engines3, pred, keys, aggs):
     got = canon_rows(spark.sql(sql).toPandas())
     want = canon_rows(con.execute(sql).df())
     assert got == want, sql
+
+
+# ------------------------------------------ family 6: three-table joins
+#
+# lineitem ⋈ orders ⋈ customer with independently-drawn join types:
+# the multi-way null-extension surface two-table joins never reach
+# (a LEFT JOIN chained under another LEFT JOIN can group on a
+# twice-null-extended key). Aggregates stay on the fact side, where
+# no join type can introduce NULLs the AGGS weren't written for.
+
+CUST_ATOMS = [
+    "(c.c_acctbal > 5000.0)",
+    "(c.c_mktsegment = 'BUILDING')",
+    "(c.c_custkey % 4 = 1)",
+    "(c.c_nationkey < 13)",
+]
+
+
+@pytest.fixture(scope="module")
+def engines4(engines2):
+    spark, con = engines2
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF_DIR}/customer.parquet'"
+    )
+    return spark, con
+
+
+@given(
+    pred=predicate(depth=1),
+    jt1=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    jt2=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    cpred=st.one_of(st.none(), st.sampled_from(CUST_ATOMS)),
+    group=st.sampled_from(
+        ["c.c_mktsegment", "o.o_orderpriority, c.c_mktsegment",
+         "l.l_returnflag, c.c_nationkey"]
+    ),
+    aggs=st.lists(st.sampled_from(AGGS), min_size=1, max_size=2,
+                  unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_random_three_table_join_differential(
+    engines4, pred, jt1, jt2, cpred, group, aggs
+):
+    spark, con = engines4
+    where = pred if cpred is None else f"{pred} AND {cpred}"
+    sql = (
+        f"SELECT {group}, " + ", ".join(sorted(aggs)) +
+        f" FROM lineitem l {jt1} orders o ON l.l_orderkey = o.o_orderkey"
+        f" {jt2} customer c ON o.o_custkey = c.c_custkey"
+        f" WHERE {where} GROUP BY {group}"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
+
+
+# --------------------------- family 7: EXISTS / IN correlated subqueries
+#
+# The decorrelation surface: both engines rewrite these into joins via
+# entirely different optimizer paths (Spark RewritePredicateSubquery,
+# DuckDB's flattening), so any disagreement in the rewrite shows up as
+# a row diff. NOT IN draws a NULL-producing subquery on purpose: one
+# NULL in the IN-list makes NOT IN UNKNOWN for every non-matching row
+# (standard 3VL both engines must honor — the classic silent-killer).
+
+ORDER_AGGS = [
+    "COUNT(*) AS n",
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_key",
+    "MIN(o_totalprice) AS min_price",
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust",
+]
+
+
+@given(
+    lp=predicate(depth=1),
+    opred=st.sampled_from(ORDER_ATOMS),
+    shape=st.sampled_from(["EXISTS", "NOT EXISTS", "IN", "NOT IN",
+                           "NOT IN NULLABLE"]),
+    aggs=st.lists(st.sampled_from(ORDER_AGGS), min_size=1, max_size=2,
+                  unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_random_correlated_subquery_differential(
+    engines2, lp, opred, shape, aggs
+):
+    spark, con = engines2
+    if shape in ("EXISTS", "NOT EXISTS"):
+        corr = (
+            f"{shape} (SELECT 1 FROM lineitem l "
+            f"WHERE l.l_orderkey = o.o_orderkey AND {lp})"
+        )
+    elif shape == "NOT IN NULLABLE":
+        corr = (
+            "o.o_orderkey NOT IN (SELECT CASE WHEN l_linenumber = 6 "
+            f"THEN NULL ELSE l_orderkey END FROM lineitem WHERE {lp})"
+        )
+    else:
+        corr = (
+            f"o.o_orderkey {shape} "
+            f"(SELECT l_orderkey FROM lineitem WHERE {lp})"
+        )
+    sql = (
+        "SELECT o.o_orderpriority, " + ", ".join(sorted(aggs)) +
+        f" FROM orders o WHERE {opred} AND {corr}"
+        " GROUP BY o.o_orderpriority"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
+
+
+# ------------------------------- family 8: set operations with NULL rows
+#
+# UNION / INTERSECT / EXCEPT in both DISTINCT and ALL flavors, between
+# two branches over the SAME table (different predicate trees, same
+# projection) so intersections are non-vacuous. NULLIF injects NULLs
+# into the projected keys: set-op equality treats NULL as EQUAL to
+# NULL (unlike WHERE-clause =), and multiset (ALL) semantics must
+# subtract/keep duplicate counts identically.
+
+SETOP_PROJS = [
+    "l_returnflag AS k, CAST(l_linenumber % 3 AS BIGINT) AS b",
+    "NULLIF(l_returnflag, 'A') AS k, "
+    "CAST(l_quantity > 25.0 AS INT) AS b",
+    "NULLIF(l_linestatus, 'F') AS k, "
+    "CAST(FLOOR(l_discount * 25.0) AS BIGINT) AS b",
+]
+
+SETOPS = ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+          "EXCEPT", "EXCEPT ALL"]
+
+
+@given(
+    proj=st.sampled_from(SETOP_PROJS),
+    p1=predicate(depth=1),
+    p2=predicate(depth=1),
+    op=st.sampled_from(SETOPS),
+)
+@settings(max_examples=50, deadline=None)
+def test_random_set_operation_differential(engines, proj, p1, p2, op):
+    spark, con = engines
+    sql = (
+        f"SELECT k, b, COUNT(*) AS n FROM ("
+        f"(SELECT {proj} FROM lineitem WHERE {p1}) {op} "
+        f"(SELECT {proj} FROM lineitem WHERE {p2})"
+        f") t GROUP BY k, b"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
