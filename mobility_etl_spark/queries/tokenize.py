@@ -287,6 +287,15 @@ def learn_bpe_merges(
         .localCheckpoint(eager=True)
     )
 
+    # The per-round union (kept-vocab ∪ merged-affected) CONCATENATES
+    # partition lists, so without a bound the vocab's partition count
+    # doubles every round — 8 → 8192 by round 10, and the per-round
+    # wall clock drowns in empty-task overhead long before merge 256
+    # (found by the SCALING.md rounds-vs-wall-clock measurement).
+    # coalesce back to the initial width each round: narrow (no
+    # shuffle), and the state is vocabulary-sized, never corpus-sized.
+    n_vocab_parts = vocab.rdd.getNumPartitions()
+
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = pair_counts.orderBy(
@@ -341,6 +350,7 @@ def learn_bpe_merges(
             .unionByName(
                 affected.select("cnt", F.col("new_syms").alias("syms"))
             )
+            .coalesce(n_vocab_parts)
             .localCheckpoint(eager=True)
         )
         if stats is not None:
