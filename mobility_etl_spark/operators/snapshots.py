@@ -428,7 +428,19 @@ def vacuum(table_path: str, keep_last: int = 2) -> int:
     ``referenced`` would be empty and the loop would unlink EVERY data
     file, so that case is a hard error (mirrors read_snapshot), not a
     silent table wipe. ``keep_last`` must retain at least the current
-    snapshot."""
+    snapshot.
+
+    CONCURRENCY CAVEAT: vacuum may not run concurrently with a writer
+    that has renamed its staged data files into the table root but
+    not yet won its manifest commit (append_snapshot / compact_snapshot
+    between their rename and commit steps) — those files are
+    unreferenced by every manifest and would be deleted out from under
+    the commit. The streaming jobs call vacuum inline (same thread as
+    their own commits) so the hazard cannot arise there; a multi-writer
+    deployment serializes vacuum behind a maintenance lease or adds
+    Iceberg's remedy — an orphan-file grace period (skip files younger
+    than the longest plausible commit) — which this minimal layer
+    leaves out deliberately."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = _list_versions(table_path)

@@ -615,3 +615,74 @@ def test_racing_compactors_vs_committers_lose_nothing(spark, tmp_path):
         )
         referenced.update(m["files"])
     assert set(_data_files(t)) <= referenced
+
+
+def test_snapshot_lifecycle_state_machine(spark, tmp_path):
+    """Hypothesis-driven SEQUENTIAL lifecycle fuzz: random programs of
+    append / compact / vacuum / time-travel-read against a plain-dict
+    reference model. The concurrency drills above pin the racing
+    commit protocol; this pins the single-writer ALGEBRA — content
+    after any program equals the model, every retained version stays
+    readable with exactly its as-of content, vacuum never changes any
+    retained version's content, and compaction is always a no-op on
+    content. Runs a fixed set of seeds (a full RuleBasedStateMachine
+    with a live SparkSession is too slow per example; 6 programs × up
+    to 12 ops each give the same edge interleavings: vacuum after
+    compact-chains, compact of a 1-file table, keep_last > versions)."""
+    import random
+
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        compact_snapshot,
+        read_snapshot,
+        snapshot_log,
+        vacuum,
+    )
+
+    def run_program(seed: int, root: str) -> None:
+        rng = random.Random(seed)
+        t = f"{root}/t{seed}"
+        next_id = 0
+        model: dict[int, set] = {}  # version -> expected id set
+
+        def do_append():
+            nonlocal next_id
+            n = rng.randint(1, 30)
+            ids = set(range(next_id, next_id + n))
+            next_id += n
+            v = append_snapshot(
+                spark, t, spark.range(min(ids), max(ids) + 1)
+            )
+            model[v] = (model[max(model)] if model else set()) | ids
+
+        do_append()  # every program starts with content
+        for _ in range(rng.randint(3, 11)):
+            op = rng.choice(["append", "append", "compact", "vacuum",
+                             "read"])
+            if op == "append":
+                do_append()
+            elif op == "compact":
+                v = compact_snapshot(spark, t, target_file_bytes=1 << 30)
+                assert v is not None  # no rival: abort impossible
+                model[v] = model[v - 1]  # content-identical
+            elif op == "vacuum":
+                keep = rng.randint(1, 3)
+                vacuum(t, keep_last=keep)
+                for dropped in sorted(model)[:-keep]:
+                    model.pop(dropped)
+            else:
+                v = rng.choice(sorted(model))
+                got = {r.id for r in
+                       read_snapshot(spark, t, version=v).collect()}
+                assert got == model[v], f"seed {seed} v{v}"
+
+        # end-state audit: every retained version readable and exact
+        log = snapshot_log(t)
+        assert [e["version"] for e in log] == sorted(model)
+        for v in sorted(model):
+            got = {r.id for r in
+                   read_snapshot(spark, t, version=v).collect()}
+            assert got == model[v], f"seed {seed} final v{v}"
+
+    for seed in (11, 23, 37, 58, 71, 94):
+        run_program(seed, str(tmp_path))
