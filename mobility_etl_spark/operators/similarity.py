@@ -672,3 +672,73 @@ def near_dup_pairs_idonly(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_store(
+    candidates: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout ivf_topk's docstring promises: the
+    corpus written PARTITIONED BY its nearest-centroid cell, so a
+    probe is partition-pruned I/O instead of a scan. One assignment
+    pass (broadcast centroids, shuffle-free), one partitioned write —
+    the build half of the vector-index lifecycle; rebuild on centroid
+    drift is the same two steps."""
+    ivf_assign(candidates, centroids, key_col, vec_col, nprobe=1).select(
+        F.col(key_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        "cell",
+    ).write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def ivf_topk_from_store(
+    spark,
+    queries: DataFrame,
+    store_path: str,
+    centroids: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF probe against the STORED layout (``ivf_store``): queries
+    join the cell-partitioned table on ``cell`` with the query side
+    broadcast, so Spark's dynamic partition pruning restricts the scan
+    to the probed cells — cost ~ nprobe/K of the corpus AS I/O, not
+    just as compute (plan-gated in tests/test_similarity.py, results
+    gated byte-identical to the in-memory ``ivf_topk``)."""
+    cand_cells = spark.read.parquet(store_path)
+    query_cells = ivf_assign(
+        queries, centroids, key_col, vec_col, nprobe=nprobe
+    ).select(
+        F.col(key_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        "cell",
+    )
+    scored = (
+        cand_cells.join(F.broadcast(query_cells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot_expr("__qvec", "cvec")
+                / F.sqrt(_sq_norm_expr("__qvec") * _sq_norm_expr("cvec")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a pair may meet in several probed cells
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -393,3 +393,25 @@ def test_neardup_survivors_match_union_find_replay(spark, sf_dir):
     kept = {v for v, (k, _) in got.items() if k == 1}
     for v, (k, c) in got.items():
         assert c in kept and got[c][0] == 1  # canonical always kept
+
+
+def test_ivf_stored_probe_identical_and_partition_pruned(spark, sf_dir):
+    """The stored-layout IVF face must (a) return byte-identical
+    results to the in-memory ivf_topk over the same centroids/nprobe/k
+    — the storage layout may never change the answer — and (b) carry a
+    dynamicpruning filter on the cell-partitioned scan in its executed
+    plan: the probe reads ~nprobe/K of the corpus as I/O, which is the
+    entire point of the inverted-file layout at 100 TB."""
+    from mobility_etl_spark.queries.similarity import (
+        ann_ivf_topk,
+        vector_ivf_stored_probe,
+    )
+
+    stored = vector_ivf_stored_probe(spark, sf_dir)
+    got = sorted(map(tuple, stored.collect()))
+    want = sorted(map(tuple, ann_ivf_topk(spark, sf_dir).collect()))
+    assert got == want
+
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters" in plan
