@@ -78,6 +78,11 @@ QUERIES = (
     "training_temporal_split",
     "training_winsorize_events",
     "training_backtest_folds",
+    # round-9 capability pack
+    "pipeline_pretraining_full",
+    "vector_ivf_stored_probe",
+    "skewjoin_aqe_identity",
+    "streaming_near_dup_compacted",
 )
 
 
