@@ -626,10 +626,71 @@ def near_dup_stream_ingest(
     This is exactly the Iceberg/Delta maintenance loop a 100 TB
     deployment runs; here it is the stream's own housekeeping.
 
+    EXACTLY-ONCE UNDER BATCH REPLAY: foreachBatch retries a failed
+    micro-batch with the same epoch id, so the body must be
+    idempotent. Three mechanisms (drilled in tests/test_streaming.py
+    by re-invoking :func:`near_dup_apply_batch` after full and
+    mid-chunk simulated crashes):
+
+    * decisions publish ATOMICALLY once per epoch — accumulated
+      across chunks, staged, and renamed to ``epoch-<id>.parquet``;
+      a replay of a fully-published epoch returns before any work;
+    * index writes are deterministic-named per (epoch, chunk) —
+      ``os.replace`` in dir mode, a snapshot-log note check in
+      snapshot mode — so a replayed chunk overwrites/skips instead of
+      appending twice;
+    * probe hits are pooled only for ``corp_id < inc_id`` (the job's
+      id-ordered greedy contract already implies it: the index only
+      ever holds lower-id vectors), which makes a replayed chunk's
+      recomputation deterministic even when the crashed attempt
+      already indexed some of this chunk's own acceptees.
+
     At 100 TB the index side is a table-format table with the
     (band, bucket) index precomputed and the append is MERGE/commit —
     same loop, same per-batch cost profile.
     """
+
+    def _apply(batch_df: DataFrame, _epoch: int) -> None:
+        near_dup_apply_batch(
+            spark,
+            batch_df,
+            _epoch,
+            index_path,
+            decisions_path,
+            threshold=threshold,
+            max_chunk=max_chunk,
+            stats=stats,
+            index_snapshots=index_snapshots,
+            compact_every=compact_every,
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def near_dup_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch: int,
+    index_path: str,
+    decisions_path: str,
+    threshold: float = 0.9,
+    max_chunk: int = 256,
+    stats: list | None = None,
+    index_snapshots: bool = False,
+    compact_every: int = 0,
+) -> None:
+    """One micro-batch of the online near-dup admission loop —
+    module-level so the replay drills can invoke it directly; see
+    :func:`near_dup_stream_ingest` for the semantics and the
+    exactly-once contract this body implements."""
+    import pathlib
+
     from mobility_etl_spark.operators.similarity import (
         near_dup_pairs,
         near_dup_probe,
@@ -644,96 +705,132 @@ def near_dup_stream_ingest(
             vacuum,
         )
 
-    def _apply(batch_df: DataFrame, _epoch: int) -> None:
-        if not batch_df.take(1):
-            return
-        # control-plane collects, all bounded by max_chunk (see
-        # docstring): chunk ids, chunk×index probe hits, intra-chunk
-        # LSH collision pairs. Probe hits and same-chunk hits are
-        # POOLED before choosing the best match — an item colliding
-        # with both an earlier acceptee (probe) and a same-chunk
-        # acceptee (pairs) must attribute identically no matter where
-        # the micro-batch / chunk boundary fell.
-        batch_ids = sorted(
-            r["vec_id"] for r in batch_df.select("vec_id").collect()
+    dec_dir = pathlib.Path(decisions_path)
+    dec_file = dec_dir / f"epoch-{epoch:09d}.parquet"
+    if dec_file.exists():
+        return  # replay of a fully-published epoch: nothing to do
+    if not batch_df.take(1):
+        return
+
+    done_notes: set[str] = set()
+    if index_snapshots:
+        try:
+            done_notes = {e["note"] for e in snapshot_log(index_path)}
+        except FileNotFoundError:
+            pass
+
+    # control-plane collects, all bounded by max_chunk (see the
+    # caller's docstring): chunk ids, chunk×index probe hits,
+    # intra-chunk LSH collision pairs. Probe hits and same-chunk hits
+    # are POOLED before choosing the best match — an item colliding
+    # with both an earlier acceptee (probe) and a same-chunk acceptee
+    # (pairs) must attribute identically no matter where the
+    # micro-batch / chunk boundary fell.
+    batch_ids = sorted(
+        r["vec_id"] for r in batch_df.select("vec_id").collect()
+    )
+    all_decisions: list[tuple] = []
+    for lo in range(0, len(batch_ids), max_chunk):
+        chunk_ids = batch_ids[lo : lo + max_chunk]
+        chunk_df = batch_df.filter(F.col("vec_id").isin(chunk_ids))
+        index = (
+            read_snapshot(spark, index_path)
+            if index_snapshots
+            else spark.read.parquet(index_path)
         )
-        for lo in range(0, len(batch_ids), max_chunk):
-            chunk_ids = batch_ids[lo : lo + max_chunk]
-            chunk_df = batch_df.filter(F.col("vec_id").isin(chunk_ids))
-            index = (
-                read_snapshot(spark, index_path)
-                if index_snapshots
-                else spark.read.parquet(index_path)
+        probe_hits = near_dup_probe(
+            chunk_df, index, threshold=threshold
+        ).collect()
+        pairs = near_dup_pairs(chunk_df, threshold=threshold).collect()
+        if stats is not None:
+            stats.append(
+                {
+                    "epoch": epoch,
+                    "chunk_rows": len(chunk_ids),
+                    "intra_pairs": len(pairs),
+                    "probe_hits": len(probe_hits),
+                }
             )
-            probe_hits = near_dup_probe(
-                chunk_df, index, threshold=threshold
-            ).collect()
-            pairs = near_dup_pairs(chunk_df, threshold=threshold).collect()
-            if stats is not None:
-                stats.append(
-                    {
-                        "epoch": _epoch,
-                        "chunk_rows": len(chunk_ids),
-                        "intra_pairs": len(pairs),
-                        "probe_hits": len(probe_hits),
-                    }
-                )
-            adj: dict[int, list[tuple[int, float]]] = {}
-            for p in probe_hits:
-                adj.setdefault(p["inc_id"], []).append(
-                    (p["corp_id"], p["cos_sim"])
-                )
-            intra: dict[int, list[tuple[int, float]]] = {}
-            for p in pairs:
-                intra.setdefault(p["b_id"], []).append(
-                    (p["a_id"], p["cos_sim"])
-                )
-            accepted: list[int] = []
-            acc_set: set[int] = set()
-            decisions: list[tuple] = []
-            for i in chunk_ids:
-                hits = list(adj.get(i, ())) + [
-                    (j, s) for (j, s) in intra.get(i, ()) if j in acc_set
-                ]
-                if hits:
-                    m, s = max(hits, key=lambda t: (t[1], -t[0]))
-                    decisions.append((i, 0, m, int(round(s * 1e6))))
-                else:
-                    accepted.append(i)
-                    acc_set.add(i)
-                    decisions.append((i, 1, None, None))
+        adj: dict[int, list[tuple[int, float]]] = {}
+        for p in probe_hits:
+            if p["corp_id"] >= p["inc_id"]:
+                continue  # replay guard: never match self/forward ids
+            adj.setdefault(p["inc_id"], []).append(
+                (p["corp_id"], p["cos_sim"])
+            )
+        intra: dict[int, list[tuple[int, float]]] = {}
+        for p in pairs:
+            intra.setdefault(p["b_id"], []).append(
+                (p["a_id"], p["cos_sim"])
+            )
+        accepted: list[int] = []
+        acc_set: set[int] = set()
+        for i in chunk_ids:
+            hits = list(adj.get(i, ())) + [
+                (j, s) for (j, s) in intra.get(i, ()) if j in acc_set
+            ]
+            if hits:
+                m, s = max(hits, key=lambda t: (t[1], -t[0]))
+                all_decisions.append((i, 0, m, int(round(s * 1e6))))
+            else:
+                accepted.append(i)
+                acc_set.add(i)
+                all_decisions.append((i, 1, None, None))
+        if accepted:
             acc_rows = spark.createDataFrame(
-                [(i,) for i in accepted] or [], "vec_id long"
+                [(i,) for i in accepted], "vec_id long"
             )
             acc_df = chunk_df.join(acc_rows, "vec_id").select(
                 "vec_id", "embedding"
             )
             if index_snapshots:
-                if accepted:
-                    append_snapshot(
-                        spark, index_path, acc_df, note=f"e{_epoch}c{lo}"
-                    )
+                note = f"e{epoch}c{lo}"
+                if note not in done_notes:
+                    append_snapshot(spark, index_path, acc_df, note=note)
             else:
-                acc_df.write.mode("append").parquet(index_path)
-            spark.createDataFrame(
-                decisions,
-                "vec_id long, accepted int, match_id long, sim_fx long",
-            ).write.mode("append").parquet(decisions_path)
-        if (
-            index_snapshots
-            and compact_every > 0
-            and snapshot_log(index_path)[-1]["n_files"] > compact_every
-        ):
-            compact_snapshot(spark, index_path)
-            vacuum(index_path, keep_last=2)
+                _publish_single_parquet(
+                    acc_df,
+                    pathlib.Path(index_path)
+                    / f"epoch-{epoch:09d}-chunk-{lo:09d}.parquet",
+                )
 
-    q = (
-        feed.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    # atomic per-epoch decisions publish: the LAST side effect, so a
+    # crash anywhere earlier leaves the epoch unpublished and the
+    # replay recomputes it (deterministically, per the pooling guard).
+    _publish_single_parquet(
+        spark.createDataFrame(
+            all_decisions,
+            "vec_id long, accepted int, match_id long, sim_fx long",
+        ),
+        dec_file,
     )
-    q.awaitTermination()
+
+    if (
+        index_snapshots
+        and compact_every > 0
+        and snapshot_log(index_path)[-1]["n_files"] > compact_every
+    ):
+        compact_snapshot(spark, index_path)
+        vacuum(index_path, keep_last=2)
+
+
+def _publish_single_parquet(df: DataFrame, target) -> None:
+    """Write ``df`` as ONE parquet file at exactly ``target`` via
+    stage-then-rename: deterministic name, atomic publish, idempotent
+    under replay (``os.replace`` overwrites a prior identical copy)."""
+    import os
+    import pathlib
+    import shutil
+    import uuid
+
+    target = pathlib.Path(target)
+    target.parent.mkdir(parents=True, exist_ok=True)
+    stage = target.parent / f".stage-{uuid.uuid4().hex[:12]}"
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    parts = sorted(stage.glob("*.parquet"))
+    assert len(parts) == 1
+    os.replace(parts[0], target)
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def corpus_index_stream_maintain(

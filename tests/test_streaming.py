@@ -893,3 +893,99 @@ def test_near_dup_snapshot_index_compacts_without_changing_decisions(
     for m in manifests:
         referenced.update(json.loads(m.read_text())["files"])
     assert set(_data_files(index)) <= referenced
+
+
+def test_near_dup_batch_replay_is_exactly_once(spark, sf_dir):
+    """foreachBatch retries a failed micro-batch with the same epoch
+    id; the admission body must therefore be idempotent. Drill both
+    failure shapes, in BOTH index modes (raw directory and snapshot):
+
+    * FULL replay — re-invoking near_dup_apply_batch on an epoch whose
+      decisions were already published must be a no-op (decisions and
+      index byte-identical before/after);
+    * MID-CHUNK crash — a run killed after the first chunk's index
+      write but before the decisions publish, then replayed to
+      completion, must leave decisions and index content equal to a
+      pristine single run (the corp_id < inc_id pooling guard is what
+      makes the replayed chunks recompute the same answers even
+      though the crashed attempt already indexed some acceptees)."""
+    import os
+    import tempfile
+
+    from mobility_etl_spark.streaming.jobs import (
+        init_near_dup_index,
+        near_dup_apply_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from mobility_etl_spark.queries.streaming import build_near_dup_feed
+
+    batch = build_near_dup_feed(spark, sf_dir).filter(
+        (F.col("vec_id").between(300, 379))
+        | (F.col("vec_id").between(200300, 200339))
+    )
+
+    class _Boom(RuntimeError):
+        pass
+
+    class _CrashAt(list):
+        def __init__(self, n):
+            super().__init__()
+            self.n = n
+
+        def append(self, item):
+            super().append(item)
+            if len(self) == self.n:
+                raise _Boom()
+
+    def state(root):
+        dec = sorted(
+            map(tuple, spark.read.parquet(f"{root}/dec").collect())
+        )
+        idx = sorted(
+            r.vec_id
+            for r in spark.read.parquet(f"{root}/idx/*.parquet").collect()
+        )
+        return dec, idx
+
+    for snap in (False, True):
+        def run(crash_at=None):
+            root = tempfile.mkdtemp(prefix="ndup_replay_")
+            init_near_dup_index(
+                emb.filter(F.col("vec_id") < 300),
+                f"{root}/idx",
+                snapshot=snap,
+            )
+            kw = dict(
+                threshold=0.9,
+                max_chunk=32,
+                index_snapshots=snap,
+            )
+            if crash_at is not None:
+                try:
+                    near_dup_apply_batch(
+                        spark, batch, 0, f"{root}/idx", f"{root}/dec",
+                        stats=_CrashAt(crash_at), **kw,
+                    )
+                except _Boom:
+                    pass
+                assert not os.path.exists(
+                    f"{root}/dec/epoch-000000000.parquet"
+                ), "crashed run must not have published decisions"
+            near_dup_apply_batch(
+                spark, batch, 0, f"{root}/idx", f"{root}/dec", **kw
+            )
+            return root
+
+        pristine = state(run())
+        # full replay of a published epoch: second call is a no-op
+        root = run()
+        before = state(root)
+        near_dup_apply_batch(
+            spark, batch, 0, f"{root}/idx", f"{root}/dec",
+            threshold=0.9, max_chunk=32, index_snapshots=snap,
+        )
+        assert state(root) == before == pristine
+        # mid-chunk crash (after chunk 1's index write), then replay
+        crashed = state(run(crash_at=2))
+        assert crashed == pristine, f"snap={snap}"
