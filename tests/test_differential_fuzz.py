@@ -534,3 +534,54 @@ def test_random_set_operation_differential(engines, proj, p1, p2, op):
     got = canon_rows(spark.sql(sql).toPandas())
     want = canon_rows(con.execute(sql).df())
     assert got == want, sql
+
+
+# ----------------------------- family 9: scalar-function corner atoms
+#
+# Projection-level fuzz over ORDERS: random draws from a pool of
+# scalar expressions verified cross-engine-identical by a probe run
+# (2026-08-15). EXCLUDED after that probe, with the observed split:
+# CAST(negative double AS BIGINT) (Spark truncates -3.5→-3, DuckDB
+# rounds →-4 — the long-standing divergence every face FLOORs around);
+# substring(s, 0, n) (Spark reads start-0 as start-1, DuckDB drops one
+# char); round(DOUBLE, n) (binary .5 ties are representation
+# lottery); overlay/format_number/pmod (Spark-only); bare sign()
+# (DOUBLE in Spark, INT in DuckDB — safe only under an explicit CAST).
+
+SCALAR_EXPRS = [
+    "substring(o_orderpriority, 3, 4) AS s_sub",
+    "split_part(o_orderpriority, '-', 2) AS s_split",
+    "lpad(o_orderstatus, 4, 'xy') AS s_lpad",
+    "translate(o_orderpriority, '-EU', '_eu') AS s_tr",
+    "concat_ws('|', o_orderstatus, NULLIF(o_orderstatus, 'F'),"
+    " left(o_orderpriority, 1)) AS s_cat",
+    "repeat(o_orderstatus, 2) AS s_rep",
+    "reverse(o_orderpriority) AS s_rev",
+    "levenshtein(o_orderpriority, '1-URGENT') AS n_lev",
+    "ascii(o_orderstatus) AS n_asc",
+    "instr(o_orderpriority, 'E') AS n_instr",
+    "(o_custkey - 700) % 13 AS n_mod",
+    "greatest(o_custkey % 100, 37) AS n_great",
+    "least(o_orderkey % 50, CAST(o_custkey % 50 AS BIGINT)) AS n_least",
+    "CAST(sign(o_totalprice - 150000.0) AS INT) AS n_sign",
+    "bit_count(o_orderkey) AS n_bits",
+    "CAST(FLOOR(log2(o_orderkey + 2.0)) AS BIGINT) AS n_log",
+    "abs(o_custkey - 750) AS n_abs",
+]
+
+
+@given(
+    exprs=st.lists(st.sampled_from(SCALAR_EXPRS), min_size=2, max_size=4,
+                   unique=True),
+    pred=st.sampled_from(ORDER_ATOMS),
+)
+@settings(max_examples=50, deadline=None)
+def test_random_scalar_function_differential(engines2, exprs, pred):
+    spark, con = engines2
+    sql = (
+        "SELECT o_orderkey, " + ", ".join(sorted(exprs)) +
+        f" FROM orders o WHERE {pred}"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
