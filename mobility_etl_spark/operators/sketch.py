@@ -181,3 +181,112 @@ def bloom_probe(
         )
     )
     return probed.groupBy(key_col).agg(F.min("hit").alias("maybe_seen"))
+
+
+# --------------------------------------------------------------- theta/KMV
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV (k-minimum-values) theta sketch per group: the mergeable
+    distinct-count summary that — unlike HLL — also supports SET
+    OPERATIONS (union, intersection, difference) on the sketches
+    themselves, because it retains actual hash SAMPLES below a
+    threshold rather than register maxima (Apache DataSketches' theta
+    family; Beyer et al., "On synopses for distinct-value estimation
+    under multiset operations", SIGMOD 2007).
+
+    Each value hashes to a uniform u ∈ (0, 1); the sketch keeps the k
+    SMALLEST u per group. theta = the k-th smallest; distinct ≈
+    (k−1)/theta; RSE ≈ 1/√(k−2). The k-smallest-of-a-set operator is
+    exact and associative, so sketch(A ∪ B) ≡ merge(sketch(A),
+    sketch(B)) — merge-order invariance holds by IDENTITY, not just
+    within error (gated in tests/test_sketch.py).
+
+    Plan shape: one shuffle keyed by group to rank hashes (the same
+    partitioned-window top-k every per-group ranking face uses), one
+    row per retained hash — O(groups × k) output, never O(distinct).
+    At 100 TB each partition would pre-prune to its local k minima
+    before the shuffle (a mapInPandas heap, like misra_gries_tokens);
+    at test scale the windowed exact form keeps the plan auditable.
+
+    Returns (group_cols…, u) — one row per retained hash.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        (F.xxhash64(F.col(value_col).cast("string")) / F.lit(2.0**64))
+        + F.lit(0.5)
+    ).alias("u")
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        df.select(*group_cols, u)
+        .distinct()  # multiset -> set: same value hashes identically
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: (k−1)/u_k,
+    falling back to the EXACT retained count when a group holds fewer
+    than k hashes (the sketch saw every distinct value)."""
+    return sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"), F.max("u").alias("__uk")
+    ).select(
+        *group_cols,
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise((F.lit(k - 1)) / F.col("__uk"))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Union / intersection / difference estimates from two single-set
+    KMV sketches (columns: just ``u``).
+
+    theta = min(theta_A, theta_B) (each group's k-th smallest, or 1.0
+    when the sketch is exact-small); every retained hash below theta
+    is a uniform sample of the union at rate theta, so
+
+        |A ∪ B| ≈ |{u < theta}| / theta          (over distinct u)
+        |A ∩ B| ≈ |{u < theta, u ∈ A ∧ u ∈ B}| / theta
+        |A \\ B| ≈ |{u < theta, u ∈ A ∧ u ∉ B}| / theta
+
+    One row out; everything is a tiny two-sided join of ≤ k-row
+    frames — sketch set algebra costs O(k), independent of data."""
+    a = sketch_a.select(F.col("u").alias("u"))
+    b = sketch_b.select(F.col("u").alias("u"))
+
+    def theta(s: DataFrame):
+        r = s.orderBy("u").limit(k).agg(
+            F.count("*").alias("n"), F.max("u").alias("uk")
+        ).collect()[0]
+        return 1.0 if r["n"] < k else float(r["uk"])
+
+    th = min(theta(a), theta(b))
+    au = a.filter(F.col("u") < th)
+    bu = b.filter(F.col("u") < th)
+    inter = au.join(bu, "u").count()
+    only_a = au.join(bu, "u", "left_anti").count()
+    only_b = bu.join(au, "u", "left_anti").count()
+    spark = sketch_a.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                float((inter + only_a + only_b) / th),
+                float(inter / th),
+                float(only_a / th),
+                float(only_b / th),
+            )
+        ],
+        "est_union double, est_intersection double, "
+        "est_only_a double, est_only_b double",
+    )

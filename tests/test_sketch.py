@@ -137,3 +137,52 @@ class TestBloom:
         plan = probed._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_theta_error_bounds_and_merge_identity(spark):
+    """Theta/KMV gates at sf0.1 (1 500 distinct custkeys > k=256, so
+    the approximate regime is engaged): every set-algebra estimate —
+    A, B, union, intersection, both differences — must land within
+    4·RSE = 4/√(k−2) of the exact count (relative to the UNION size
+    for the op estimates, the standard theta-sketch error model), and
+    sketching the whole set must EQUAL merging sketches of its parts
+    (k-smallest is associative — identity, not just within error)."""
+    from mobility_etl_spark.operators.sketch import kmv_set_ops, kmv_sketch
+
+    sf = "/root/testdata/sf0.1"
+    orders = load_table(spark, sf, "orders")
+    a_rows = orders.filter(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_custkey").alias("key")
+    )
+    b_rows = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("key")
+    )
+    k = 256
+    mk = lambda d: kmv_sketch(  # noqa: E731
+        d.withColumn("__g", F.lit(1)), ["__g"], "key", k=k
+    ).drop("__g")
+    sk_a, sk_b = mk(a_rows), mk(b_rows)
+    got = kmv_set_ops(sk_a, sk_b, k=k).collect()[0]
+
+    A = {r.key for r in a_rows.distinct().collect()}
+    B = {r.key for r in b_rows.distinct().collect()}
+    exact = {
+        "est_union": len(A | B),
+        "est_intersection": len(A & B),
+        "est_only_a": len(A - B),
+        "est_only_b": len(B - A),
+    }
+    assert len(A) > k and len(B) > k  # approximate regime engaged
+    tol = 4.0 / (k - 2) ** 0.5 * len(A | B)
+    for name, want in exact.items():
+        assert abs(got[name] - want) <= tol, (name, got[name], want, tol)
+
+    # merge identity: sketch(whole) == k-smallest of (sketch(p1) ∪
+    # sketch(p2)) as exact sets of retained hashes
+    h1 = mk(a_rows.filter(F.col("key") % 2 == 0))
+    h2 = mk(a_rows.filter(F.col("key") % 2 != 0))
+    merged = sorted(
+        r.u for r in h1.unionByName(h2).orderBy("u").limit(k).collect()
+    )
+    whole = sorted(r.u for r in sk_a.orderBy("u").limit(k).collect())
+    assert merged == whole
