@@ -255,6 +255,23 @@ WINDOW_FUNCS = [
     "CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY "
     "o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
     " AS BIGINT) AS cnt4",
+    # RANGE frames (added r9, probe-verified): value-based bounds are
+    # TIE-SAFE by definition (all peers enter the frame together), so
+    # unlike ROWS they need no unique-key discipline; includes an
+    # INTERVAL bound over the timestamp column.
+    "CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER ("
+    "PARTITION BY o_orderpriority ORDER BY o_custkey "
+    "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS rng_sum",
+    "CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY "
+    "o_custkey RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING)"
+    " AS BIGINT) AS rng_cnt",
+    "MIN(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY "
+    "o_orderkey RANGE BETWEEN UNBOUNDED PRECEDING AND 100 FOLLOWING)"
+    " AS rng_min",
+    "CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY "
+    "o_orderdate RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND "
+    "CURRENT ROW) AS BIGINT) AS rng_tcnt",
 ]
 
 WINDOW_ORDERS = [
