@@ -290,3 +290,77 @@ def kmv_set_ops(
         "est_union double, est_intersection double, "
         "est_only_a double, est_only_b double",
     )
+
+
+def kmv_overlap_matrix(
+    sketch: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Pairwise intersection/union estimates for EVERY pair of groups
+    from ONE grouped KMV sketch, entirely in-frame — no driver-side
+    theta, no per-pair jobs: per-group thetas are an aggregate, pair
+    thresholds a (groups²)-row broadcast join, sample counts one
+    self-join of the O(groups × k) sketch on the retained hash. The
+    audience-overlap / split-contamination MATRIX at 100 TB costs
+    O(groups² + groups·k) — independent of the data the sketch
+    summarized.
+
+    Returns (g_a, g_b, est_intersection, est_union) for g_a < g_b.
+    """
+    th = (
+        sketch.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count("*").alias("n"), F.max("u").alias("uk"))
+        .select(
+            "g",
+            F.when(F.col("n") < k, F.lit(1.0))
+            .otherwise(F.col("uk"))
+            .alias("theta"),
+        )
+    )
+    pairs = (
+        th.select(F.col("g").alias("g_a"), F.col("theta").alias("ta"))
+        .join(
+            th.select(F.col("g").alias("g_b"), F.col("theta").alias("tb")),
+            F.col("g_a") < F.col("g_b"),
+        )
+        .select("g_a", "g_b", F.least("ta", "tb").alias("th"))
+    )
+    a = sketch.select(F.col(group_col).alias("g_a"), F.col("u").alias("u"))
+    b = sketch.select(F.col(group_col).alias("g_b"), F.col("u").alias("u"))
+
+    def below(side: DataFrame, gcol: str, alias: str) -> DataFrame:
+        return (
+            side.join(F.broadcast(pairs), gcol)
+            .filter(F.col("u") < F.col("th"))
+            .groupBy("g_a", "g_b")
+            .agg(F.count("*").alias(alias))
+        )
+
+    na = below(a, "g_a", "na")
+    nb = below(b, "g_b", "nb")
+    common = (
+        a.join(b, "u")
+        .join(F.broadcast(pairs), ["g_a", "g_b"])
+        .filter(F.col("u") < F.col("th"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count("*").alias("nc"))
+    )
+    return (
+        pairs.join(na, ["g_a", "g_b"], "left")
+        .join(nb, ["g_a", "g_b"], "left")
+        .join(common, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            (F.coalesce("nc", F.lit(0)) / F.col("th")).alias(
+                "est_intersection"
+            ),
+            (
+                (
+                    F.coalesce("na", F.lit(0))
+                    + F.coalesce("nb", F.lit(0))
+                    - F.coalesce("nc", F.lit(0))
+                )
+                / F.col("th")
+            ).alias("est_union"),
+        )
+    )

@@ -186,3 +186,38 @@ def test_kmv_theta_error_bounds_and_merge_identity(spark):
     )
     whole = sorted(r.u for r in sk_a.orderBy("u").limit(k).collect())
     assert merged == whole
+
+
+def test_kmv_overlap_matrix_error_bounds(spark):
+    """All 10 pairwise intersection AND union estimates of the grouped
+    theta-sketch matrix must land within 4·RSE of the exact counts at
+    sf0.1 (k=256 engaged: every per-priority set ~11.3k keys ≫ k),
+    error measured relative to each pair's exact union — the standard
+    theta-sketch model."""
+    from mobility_etl_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_totalprice") > 150000.0
+    )
+    k = 256
+    sk = kmv_sketch(orders, ["o_orderpriority"], "o_custkey", k=k)
+    got = {
+        (r.g_a, r.g_b): (r.est_intersection, r.est_union)
+        for r in kmv_overlap_matrix(sk, "o_orderpriority", k=k).collect()
+    }
+    assert len(got) == 10
+
+    sets: dict[str, set] = {}
+    for r in orders.select("o_orderpriority", "o_custkey").distinct().collect():
+        sets.setdefault(r.o_orderpriority, set()).add(r.o_custkey)
+    rse4 = 4.0 / (k - 2) ** 0.5
+    for (ga, gb), (est_i, est_u) in got.items():
+        A, B = sets[ga], sets[gb]
+        assert len(A) > k and len(B) > k
+        tol = rse4 * len(A | B)
+        assert abs(est_i - len(A & B)) <= tol, (ga, gb, est_i, len(A & B))
+        assert abs(est_u - len(A | B)) <= tol, (ga, gb, est_u, len(A | B))
