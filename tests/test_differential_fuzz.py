@@ -80,6 +80,18 @@ AGGS = [
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE)"
     " AS sum_price",
     "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp",
+    # FILTER-clause + boolean aggregates (added r9, probe-verified;
+    # count_if EXCLUDED — result type differs across engines, and the
+    # COUNT(*) FILTER form expresses the same thing portably).
+    "COUNT(*) FILTER (WHERE l_quantity > 25.0) AS n_heavy",
+    "CAST(SUM(l_orderkey) FILTER (WHERE l_linestatus = 'O')"
+    " AS BIGINT) AS sum_key_open",
+    "MIN(l_extendedprice) FILTER (WHERE l_discount >= 0.04)"
+    " AS min_price_disc",
+    "CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_linenumber <= 3)"
+    " AS BIGINT) AS n_supp_low",
+    "bool_and(l_quantity > 0.5) AS all_pos",
+    "bool_or(l_discount > 0.09) AS any_deep_disc",
 ]
 
 
