@@ -185,6 +185,30 @@ def bloom_probe(
 
 # --------------------------------------------------------------- theta/KMV
 
+#: The KMV hash domain: u is a PORTABLE 60-bit integer — the first 15
+#: hex chars of md5(value-as-string) — so u/2^60 is uniform on [0, 1)
+#: and a DuckDB oracle rebuilds the IDENTICAL sketch (the
+#: sketch_countmin_tokens portability move, applied to theta): every
+#: retained hash, theta, and estimate hash-compares exactly across
+#: engines. All order/threshold comparisons happen on the exact
+#: integer; division by 2^60 appears only in the final double
+#: expressions, written identically on both sides.
+KMV_ONE = 1 << 60
+
+
+def kmv_hash(value_col: str) -> "F.Column":
+    """The portable 60-bit KMV hash of a column (see :data:`KMV_ONE`);
+    ANSI-SQL equivalent:
+    ``(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT)``."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+
 
 def kmv_sketch(
     df: DataFrame,
@@ -200,9 +224,12 @@ def kmv_sketch(
     family; Beyer et al., "On synopses for distinct-value estimation
     under multiset operations", SIGMOD 2007).
 
-    Each value hashes to a uniform u ∈ (0, 1); the sketch keeps the k
-    SMALLEST u per group. theta = the k-th smallest; distinct ≈
-    (k−1)/theta; RSE ≈ 1/√(k−2). The k-smallest-of-a-set operator is
+    Each value hashes to a uniform 60-bit integer u (portable md5
+    bucketing — see :func:`kmv_hash` — so the whole sketch is
+    re-derivable in ANSI SQL and the theta faces are EXACT-oracle
+    checked, not rows-only); the sketch keeps the k SMALLEST u per
+    group. theta = the k-th smallest (as a fraction of 2^60); distinct
+    ≈ (k−1)/theta; RSE ≈ 1/√(k−2). The k-smallest-of-a-set operator is
     exact and associative, so sketch(A ∪ B) ≡ merge(sketch(A),
     sketch(B)) — merge-order invariance holds by IDENTITY, not just
     within error (gated in tests/test_sketch.py).
@@ -218,13 +245,9 @@ def kmv_sketch(
     """
     from pyspark.sql import Window
 
-    u = (
-        (F.xxhash64(F.col(value_col).cast("string")) / F.lit(2.0**64))
-        + F.lit(0.5)
-    ).alias("u")
     w = Window.partitionBy(*group_cols).orderBy("u")
     return (
-        df.select(*group_cols, u)
+        df.select(*group_cols, kmv_hash(value_col).alias("u"))
         .distinct()  # multiset -> set: same value hashes identically
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
@@ -233,15 +256,19 @@ def kmv_sketch(
 
 
 def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
-    """Distinct-count estimate per group from a KMV sketch: (k−1)/u_k,
-    falling back to the EXACT retained count when a group holds fewer
-    than k hashes (the sketch saw every distinct value)."""
+    """Distinct-count estimate per group from a KMV sketch:
+    (k−1)/(u_k/2^60), falling back to the EXACT retained count when a
+    group holds fewer than k hashes (the sketch saw every distinct
+    value)."""
     return sketch.groupBy(*group_cols).agg(
         F.count("*").alias("__n"), F.max("u").alias("__uk")
     ).select(
         *group_cols,
         F.when(F.col("__n") < k, F.col("__n").cast("double"))
-        .otherwise((F.lit(k - 1)) / F.col("__uk"))
+        .otherwise(
+            F.lit(float(k - 1))
+            / (F.col("__uk").cast("double") / F.lit(float(KMV_ONE)))
+        )
         .alias("est_distinct"),
     )
 
@@ -261,17 +288,21 @@ def kmv_set_ops(
         |A \\ B| ≈ |{u < theta, u ∈ A ∧ u ∉ B}| / theta
 
     One row out; everything is a tiny two-sided join of ≤ k-row
-    frames — sketch set algebra costs O(k), independent of data."""
+    frames — sketch set algebra costs O(k), independent of data. u is
+    the portable integer hash (:func:`kmv_hash`): thresholds compare
+    exactly, and the final fraction th/2^60 is the only float step —
+    written identically in the DuckDB oracle."""
     a = sketch_a.select(F.col("u").alias("u"))
     b = sketch_b.select(F.col("u").alias("u"))
 
-    def theta(s: DataFrame):
+    def theta(s: DataFrame) -> int:
         r = s.orderBy("u").limit(k).agg(
             F.count("*").alias("n"), F.max("u").alias("uk")
         ).collect()[0]
-        return 1.0 if r["n"] < k else float(r["uk"])
+        return KMV_ONE if r["n"] < k else int(r["uk"])
 
     th = min(theta(a), theta(b))
+    th_frac = th / float(KMV_ONE)
     au = a.filter(F.col("u") < th)
     bu = b.filter(F.col("u") < th)
     inter = au.join(bu, "u").count()
@@ -281,10 +312,10 @@ def kmv_set_ops(
     return spark.createDataFrame(
         [
             (
-                float((inter + only_a + only_b) / th),
-                float(inter / th),
-                float(only_a / th),
-                float(only_b / th),
+                float((inter + only_a + only_b) / th_frac),
+                float(inter / th_frac),
+                float(only_a / th_frac),
+                float(only_b / th_frac),
             )
         ],
         "est_union double, est_intersection double, "
@@ -311,7 +342,7 @@ def kmv_overlap_matrix(
         .agg(F.count("*").alias("n"), F.max("u").alias("uk"))
         .select(
             "g",
-            F.when(F.col("n") < k, F.lit(1.0))
+            F.when(F.col("n") < k, F.lit(KMV_ONE))
             .otherwise(F.col("uk"))
             .alias("theta"),
         )
@@ -344,6 +375,7 @@ def kmv_overlap_matrix(
         .groupBy("g_a", "g_b")
         .agg(F.count("*").alias("nc"))
     )
+    th_frac = F.col("th").cast("double") / F.lit(float(KMV_ONE))
     return (
         pairs.join(na, ["g_a", "g_b"], "left")
         .join(nb, ["g_a", "g_b"], "left")
@@ -351,7 +383,7 @@ def kmv_overlap_matrix(
         .select(
             "g_a",
             "g_b",
-            (F.coalesce("nc", F.lit(0)) / F.col("th")).alias(
+            (F.coalesce("nc", F.lit(0)) / th_frac).alias(
                 "est_intersection"
             ),
             (
@@ -360,7 +392,7 @@ def kmv_overlap_matrix(
                     + F.coalesce("nb", F.lit(0))
                     - F.coalesce("nc", F.lit(0))
                 )
-                / F.col("th")
+                / th_frac
             ).alias("est_union"),
         )
     )

@@ -278,13 +278,23 @@ def append_snapshot(
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
-    v = commit_snapshot_update(
-        spark,
-        table_path,
-        lambda cur: cur + new_files,
-        note=note,
-        stats_cols=stats_cols,
-    )
+    try:
+        v = commit_snapshot_update(
+            spark,
+            table_path,
+            lambda cur: cur + new_files,
+            note=note,
+            stats_cols=stats_cols,
+        )
+    except RuntimeError:
+        # commit-race exhaustion: our renamed-but-never-committed files
+        # would otherwise sit in the table root as orphans
+        # indistinguishable from a mid-commit writer's (only a later
+        # aged vacuum could reclaim them) — unlink them before
+        # propagating, exactly like compact_snapshot's abort path.
+        for f in new_files:
+            (root / f).unlink(missing_ok=True)
+        raise
     assert v is not None  # append never aborts
     return v
 
@@ -409,16 +419,46 @@ def compact_snapshot(
             return None  # base already rewritten by a rival compactor
         return [f for f in cur if f not in base] + new_files
 
-    v = commit_snapshot_update(
-        spark, table_path, _reapply, note=note, stats_cols=stats_cols
-    )
+    try:
+        v = commit_snapshot_update(
+            spark, table_path, _reapply, note=note, stats_cols=stats_cols
+        )
+    except RuntimeError:
+        for f in new_files:  # race exhaustion: reclaim unpublished output
+            (root / f).unlink(missing_ok=True)
+        raise
     if v is None:
         for f in new_files:  # aborted: reclaim our unpublished output
             (root / f).unlink(missing_ok=True)
     return v
 
 
-def vacuum(table_path: str, keep_last: int = 2) -> int:
+_NOTESLOG = ".notes.log"
+
+
+def snapshot_notes(table_path: str) -> set[str]:
+    """Every non-empty commit note ever seen at this table: notes of
+    LIVE manifests plus notes :func:`vacuum` preserved before dropping
+    their manifests (``_snapshots/.notes.log``). Idempotence checks
+    ("was chunk e{N}c{M} already committed?") must consult this, not
+    :func:`snapshot_log`, because vacuum reclaims old manifests — a
+    note's disappearance would otherwise make a replayed writer append
+    its rows a second time (the streaming near-dup job's replay
+    contract, streaming/jobs.py)."""
+    notes = {
+        e["note"] for e in snapshot_log(table_path) if e["note"]
+    } if _list_versions(table_path) else set()
+    log = _snap_dir(table_path) / _NOTESLOG
+    if log.is_file():
+        notes.update(
+            ln for ln in log.read_text().splitlines() if ln
+        )
+    return notes
+
+
+def vacuum(
+    table_path: str, keep_last: int = 2, grace_s: float = 0.0
+) -> int:
     """Drop manifests older than the last ``keep_last`` snapshots and
     delete data files no retained snapshot references. Returns the
     number of data files deleted. The current manifest is never
@@ -430,17 +470,27 @@ def vacuum(table_path: str, keep_last: int = 2) -> int:
     silent table wipe. ``keep_last`` must retain at least the current
     snapshot.
 
-    CONCURRENCY CAVEAT: vacuum may not run concurrently with a writer
-    that has renamed its staged data files into the table root but
-    not yet won its manifest commit (append_snapshot / compact_snapshot
-    between their rename and commit steps) — those files are
-    unreferenced by every manifest and would be deleted out from under
-    the commit. The streaming jobs call vacuum inline (same thread as
-    their own commits) so the hazard cannot arise there; a multi-writer
-    deployment serializes vacuum behind a maintenance lease or adds
-    Iceberg's remedy — an orphan-file grace period (skip files younger
-    than the longest plausible commit) — which this minimal layer
-    leaves out deliberately."""
+    ORPHAN-FILE GRACE PERIOD (``grace_s``): a writer that has renamed
+    its staged data files into the table root but not yet won its
+    manifest commit (append_snapshot / compact_snapshot between their
+    rename and commit steps) owns files unreferenced by every manifest
+    — exactly what vacuum reclaims. ``grace_s > 0`` is Iceberg's
+    remedy: unreferenced files whose mtime is younger than ``grace_s``
+    seconds survive this vacuum (an in-flight commit completes; truly
+    orphaned files — e.g. a writer that died after renaming — fall out
+    of grace and a later vacuum reclaims them). The default 0.0 keeps
+    the single-writer inline semantics (the streaming jobs call vacuum
+    in the same thread as their own commits, so no in-flight writer
+    can exist); ANY deployment where vacuum and writers run
+    concurrently must pass a grace longer than the longest plausible
+    stage-rename-commit window. Drilled in tests/test_snapshots.py:
+    slow-writer-vs-vacuum race.
+
+    Commit NOTES of dropped manifests are preserved in an append-only
+    sidecar (``_snapshots/.notes.log``) so :func:`snapshot_notes`-based
+    idempotence checks survive retention GC."""
+    import time
+
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = _list_versions(table_path)
@@ -457,13 +507,31 @@ def vacuum(table_path: str, keep_last: int = 2) -> int:
             (_snap_dir(table_path) / f"v{v}.manifest.json").read_text()
         )
         referenced.update(m["files"])
+    now = time.time()
     deleted = 0
     for f in _data_files(table_path):
-        if f not in referenced:
-            (root / f).unlink()
-            deleted += 1
+        if f in referenced:
+            continue
+        if grace_s > 0:
+            try:
+                if now - (root / f).stat().st_mtime < grace_s:
+                    continue  # possibly a mid-commit writer's file
+            except FileNotFoundError:
+                continue  # raced with its own writer/another vacuum
+        (root / f).unlink()
+        deleted += 1
+    dropped_notes = []
     for v in drop:
-        (_snap_dir(table_path) / f"v{v}.manifest.json").unlink()
+        mf = _snap_dir(table_path) / f"v{v}.manifest.json"
+        note = json.loads(mf.read_text()).get("note", "")
+        if note:
+            dropped_notes.append(note)
+        mf.unlink()
+    if dropped_notes:
+        # O_APPEND single-write: atomic enough for one-line notes even
+        # under a racing second vacuum
+        with open(_snap_dir(table_path) / _NOTESLOG, "a") as fh:
+            fh.write("".join(n + "\n" for n in dropped_notes))
     return deleted
 
 

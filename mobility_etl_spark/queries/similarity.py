@@ -92,7 +92,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mobility_etl_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 31 == 0).limit(16)
+    # orderBy before limit: an unordered limit(16) is only stable while
+    # embeddings is one parquet file; the stored-IVF byte-identity gate
+    # needs the SAME 16 rows picked at store-build and probe time.
+    centroids = (
+        emb.filter(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(16)
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return ivf_topk(queries, emb, centroids, k=TOP_K, nprobe=5)
 
@@ -568,7 +573,12 @@ def vector_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") % 31 == 0).limit(16)
+    # orderBy before limit: an unordered limit(16) is only stable while
+    # embeddings is one parquet file; the stored-IVF byte-identity gate
+    # needs the SAME 16 rows picked at store-build and probe time.
+    centroids = (
+        emb.filter(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(16)
+    )
     store = _IVF_STORE_CACHE.get(sf_dir)
     if store is None:
         import tempfile

@@ -233,8 +233,71 @@ def network_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_K = 256
 
+#: Portable KMV hash in DuckDB SQL — MUST mirror operators/sketch.py:
+#: kmv_hash (first 15 md5 hex chars of the value cast to string, as a
+#: 60-bit BIGINT); 2^60 as a double literal mirrors sketch.KMV_ONE.
+_KMV_U_SQL = (
+    "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+_KMV_ONE_SQL = "1152921504606846976.0"  # 2.0**60, exact
 
-@register("sketch_theta_custkey_sets", oracle=None, tags=("N10", "N8", "E14"))
+
+@register(
+    "sketch_theta_custkey_sets",
+    oracle=f"""
+    WITH a_u AS (
+        SELECT DISTINCT {_KMV_U_SQL.format(col="o_custkey")} AS u
+        FROM orders WHERE o_totalprice > 150000.0
+    ),
+    b_u AS (
+        SELECT DISTINCT {_KMV_U_SQL.format(col="o_custkey")} AS u
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    a_sk AS (SELECT u FROM a_u ORDER BY u LIMIT {_KMV_K}),
+    b_sk AS (SELECT u FROM b_u ORDER BY u LIMIT {_KMV_K}),
+    a_th AS (
+        SELECT COUNT(*) AS n, MAX(u) AS uk,
+               CASE WHEN COUNT(*) < {_KMV_K}
+                    THEN {1 << 60} ELSE MAX(u) END AS th
+        FROM a_sk
+    ),
+    b_th AS (
+        SELECT COUNT(*) AS n, MAX(u) AS uk,
+               CASE WHEN COUNT(*) < {_KMV_K}
+                    THEN {1 << 60} ELSE MAX(u) END AS th
+        FROM b_sk
+    ),
+    th AS (SELECT LEAST(a_th.th, b_th.th) AS th FROM a_th, b_th),
+    cnt AS (
+        SELECT
+          (SELECT COUNT(*) FROM a_sk JOIN b_sk USING (u)
+            WHERE u < (SELECT th FROM th)) AS n_inter,
+          (SELECT COUNT(*) FROM a_sk
+            WHERE u < (SELECT th FROM th)
+              AND u NOT IN (SELECT u FROM b_sk)) AS n_only_a,
+          (SELECT COUNT(*) FROM b_sk
+            WHERE u < (SELECT th FROM th)
+              AND u NOT IN (SELECT u FROM a_sk)) AS n_only_b
+    )
+    SELECT
+      (SELECT CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+              ELSE {float(_KMV_K - 1)} /
+                   (CAST(uk AS DOUBLE) / {_KMV_ONE_SQL}) END
+         FROM a_th) AS est_a,
+      (SELECT CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+              ELSE {float(_KMV_K - 1)} /
+                   (CAST(uk AS DOUBLE) / {_KMV_ONE_SQL}) END
+         FROM b_th) AS est_b,
+      (n_inter + n_only_a + n_only_b) /
+          (CAST(th.th AS DOUBLE) / {_KMV_ONE_SQL}) AS est_union,
+      n_inter / (CAST(th.th AS DOUBLE) / {_KMV_ONE_SQL})
+          AS est_intersection,
+      n_only_a / (CAST(th.th AS DOUBLE) / {_KMV_ONE_SQL}) AS est_only_a,
+      n_only_b / (CAST(th.th AS DOUBLE) / {_KMV_ONE_SQL}) AS est_only_b
+    FROM cnt, th
+    """,
+    tags=("N10", "N8", "E14"),
+)
 def sketch_theta_custkey_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV sketch SET ALGEBRA (operators/sketch.py:kmv_sketch):
     two customer sets — A = custkeys with a >150k order, B = custkeys
@@ -245,11 +308,15 @@ def sketch_theta_custkey_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL merges only by union; theta sketches retain hash samples, so
     A∩B and A\\B estimates come from the same tiny summaries — the
     audience-overlap / cross-split-contamination primitive at 100 TB.
-    Rows-only driver check (estimates are hash-sample-specific);
-    tests/test_sketch.py gates the relative error at 4·RSE against
-    exact counts at sf0.1 (k engaged: 1 500 distinct keys > k) and the
-    merge-identity property (sketch of the whole ≡ merge of
-    part-sketches, EXACT equality — k-smallest is associative)."""
+    EXACT-oracle checked since r10: the KMV hash is the portable
+    md5-derived 60-bit integer (operators/sketch.py:kmv_hash — the
+    sketch_countmin_tokens portability move), so DuckDB rebuilds the
+    identical sketch and every estimate hash-compares bit-exactly;
+    tests/test_sketch.py additionally gates the relative error at
+    4·RSE against exact counts at sf0.1 (k engaged: 1 500 distinct
+    keys > k) and the merge-identity property (sketch of the whole ≡
+    merge of part-sketches, EXACT equality — k-smallest is
+    associative)."""
     from mobility_etl_spark.operators.sketch import (
         kmv_estimate,
         kmv_set_ops,
@@ -284,7 +351,61 @@ def sketch_theta_custkey_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_theta_overlap_matrix", oracle=None, tags=("N10", "N8"))
+@register(
+    "sketch_theta_overlap_matrix",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority AS g,
+               {_KMV_U_SQL.format(col="o_custkey")} AS u
+        FROM orders WHERE o_totalprice > 150000.0
+    ),
+    sk AS (
+        SELECT g, u FROM (
+            SELECT g, u,
+                   row_number() OVER (PARTITION BY g ORDER BY u) AS rk
+            FROM h
+        ) WHERE rk <= {_KMV_K}
+    ),
+    th AS (
+        SELECT g,
+               CASE WHEN COUNT(*) < {_KMV_K}
+                    THEN {1 << 60} ELSE MAX(u) END AS theta
+        FROM sk GROUP BY g
+    ),
+    pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b, LEAST(a.theta, b.theta) AS th
+        FROM th a JOIN th b ON a.g < b.g
+    ),
+    na AS (
+        SELECT p.g_a, p.g_b, COUNT(*) AS n
+        FROM sk s JOIN pairs p ON s.g = p.g_a
+        WHERE s.u < p.th GROUP BY p.g_a, p.g_b
+    ),
+    nb AS (
+        SELECT p.g_a, p.g_b, COUNT(*) AS n
+        FROM sk s JOIN pairs p ON s.g = p.g_b
+        WHERE s.u < p.th GROUP BY p.g_a, p.g_b
+    ),
+    nc AS (
+        SELECT p.g_a, p.g_b, COUNT(*) AS n
+        FROM sk x JOIN sk y ON x.u = y.u
+        JOIN pairs p ON x.g = p.g_a AND y.g = p.g_b
+        WHERE x.u < p.th GROUP BY p.g_a, p.g_b
+    )
+    SELECT p.g_a, p.g_b,
+           COALESCE(nc.n, 0) /
+               (CAST(p.th AS DOUBLE) / {_KMV_ONE_SQL})
+               AS est_intersection,
+           (COALESCE(na.n, 0) + COALESCE(nb.n, 0) - COALESCE(nc.n, 0)) /
+               (CAST(p.th AS DOUBLE) / {_KMV_ONE_SQL}) AS est_union
+    FROM pairs p
+    LEFT JOIN na ON na.g_a = p.g_a AND na.g_b = p.g_b
+    LEFT JOIN nb ON nb.g_a = p.g_a AND nb.g_b = p.g_b
+    LEFT JOIN nc ON nc.g_a = p.g_a AND nc.g_b = p.g_b
+    ORDER BY p.g_a, p.g_b
+    """,
+    tags=("N10", "N8"),
+)
 def sketch_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise audience-overlap MATRIX from grouped theta sketches
     (operators/sketch.py:kmv_overlap_matrix): custkeys with a >150k
@@ -295,9 +416,10 @@ def sketch_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-frame — per-group thetas as an aggregate, one tiny self-join on
     the retained hashes, no driver-side math. This is the capability
     matrix a contamination audit runs across training splits at 100 TB
-    for O(groups²+groups·k). Rows-only driver check;
-    tests/test_sketch.py gates every pair within 4·RSE of exact at
-    sf0.1."""
+    for O(groups²+groups·k). EXACT-oracle checked since r10 (portable
+    md5 KMV hash, operators/sketch.py:kmv_hash — DuckDB rebuilds the
+    identical grouped sketch); tests/test_sketch.py additionally gates
+    every pair within 4·RSE of exact at sf0.1."""
     from mobility_etl_spark.operators.sketch import (
         kmv_overlap_matrix,
         kmv_sketch,

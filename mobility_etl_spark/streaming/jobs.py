@@ -536,7 +536,16 @@ def init_near_dup_index(
     """Write the already-indexed corpus (vec_id, embedding) as the
     near-dup index for :func:`near_dup_stream_ingest` — a plain parquet
     directory, or (``snapshot=True``) a manifest-committed snapshot
-    table (operators/snapshots.py) so the stream can compact it."""
+    table (operators/snapshots.py) so the stream can compact it.
+
+    ID-ORDERED CONTRACT: every index vec_id must be strictly below
+    every id the stream will ever deliver — the ingest loop's greedy
+    semantics are keyed on vec_id order, and its replay guard treats an
+    index id >= an incoming id as "this epoch's own replayed acceptee".
+    The loop VALIDATES this per batch (near_dup_apply_batch raises on a
+    probe hit whose corp_id >= inc_id is not in the current batch), so
+    a mis-initialized index fails loudly instead of silently dropping
+    legitimate matches."""
     sel = corpus.select("vec_id", "embedding")
     if snapshot:
         from mobility_etl_spark.operators.snapshots import append_snapshot
@@ -702,6 +711,7 @@ def near_dup_apply_batch(
             compact_snapshot,
             read_snapshot,
             snapshot_log,
+            snapshot_notes,
             vacuum,
         )
 
@@ -712,10 +722,16 @@ def near_dup_apply_batch(
     if not batch_df.take(1):
         return
 
+    # Replay-idempotence ledger: snapshot_notes, NOT snapshot_log —
+    # vacuum(keep_last=2) below reclaims old manifests, but it
+    # preserves their notes in the _snapshots/.notes.log sidecar, so a
+    # replayed chunk's "already committed?" check survives compaction
+    # and retention GC in ANY interleaving (including an external
+    # compactor+vacuum racing a mid-epoch replay).
     done_notes: set[str] = set()
     if index_snapshots:
         try:
-            done_notes = {e["note"] for e in snapshot_log(index_path)}
+            done_notes = snapshot_notes(index_path)
         except FileNotFoundError:
             pass
 
@@ -729,6 +745,7 @@ def near_dup_apply_batch(
     batch_ids = sorted(
         r["vec_id"] for r in batch_df.select("vec_id").collect()
     )
+    batch_id_set = set(batch_ids)
     all_decisions: list[tuple] = []
     for lo in range(0, len(batch_ids), max_chunk):
         chunk_ids = batch_ids[lo : lo + max_chunk]
@@ -754,7 +771,24 @@ def near_dup_apply_batch(
         adj: dict[int, list[tuple[int, float]]] = {}
         for p in probe_hits:
             if p["corp_id"] >= p["inc_id"]:
-                continue  # replay guard: never match self/forward ids
+                # Replay guard: the only legitimate way the index holds
+                # an id >= an incoming id is a crashed attempt of THIS
+                # epoch having already appended some of this batch's
+                # own acceptees — those re-probe as self/forward hits
+                # and are dropped (the greedy walk re-derives them).
+                # Anything else is a violated id-ordered admission
+                # contract (see init_near_dup_index): fail loudly
+                # rather than silently drop a legitimate match.
+                if p["corp_id"] not in batch_id_set:
+                    raise ValueError(
+                        "near_dup ingest: index vec_id "
+                        f"{p['corp_id']} >= incoming {p['inc_id']} and "
+                        "not in the current batch — the index violates "
+                        "the id-ordered admission contract (index ids "
+                        "must be strictly below all stream ids; see "
+                        "init_near_dup_index)"
+                    )
+                continue  # this epoch's own replayed acceptee
             adj.setdefault(p["inc_id"], []).append(
                 (p["corp_id"], p["cos_sim"])
             )

@@ -64,7 +64,7 @@ def test_ivf_recall_at_5(spark, emb):
     from mobility_etl_spark.operators.similarity import ivf_topk
 
     queries = emb.filter(F.col("vec_id") < 20)
-    centroids = emb.filter(F.col("vec_id") % 31 == 0).limit(16)
+    centroids = emb.filter(F.col("vec_id") % 31 == 0).orderBy("vec_id").limit(16)
     exact = _topk_sets(brute_force_topk(queries, emb, k=5))
     approx = _topk_sets(ivf_topk(queries, emb, centroids, k=5, nprobe=5))
     hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)

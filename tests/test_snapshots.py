@@ -686,3 +686,104 @@ def test_snapshot_lifecycle_state_machine(spark, tmp_path):
 
     for seed in (11, 23, 37, 58, 71, 94):
         run_program(seed, str(tmp_path))
+
+
+# ------------------------------------------- vacuum grace period (r10)
+
+
+def test_vacuum_grace_spares_inflight_writer_then_reclaims_orphans(
+    spark, table
+):
+    """The slow-writer-vs-vacuum drill (VERDICT r9 #2): a writer that
+    has renamed its staged data files into the table root but not yet
+    won its manifest commit must survive a concurrent graced vacuum —
+    its commit then succeeds and its rows are readable — while a file
+    that truly died mid-commit falls out of grace and a later aged
+    vacuum reclaims it."""
+    import os
+    import time
+
+    from mobility_etl_spark.operators.snapshots import (
+        commit_snapshot_update,
+    )
+
+    path, v1, v2 = table
+    root = pathlib.Path(path)
+
+    # slow writer: staged + renamed, commit not yet attempted
+    stage = root / ".append-stage-slow"
+    spark.range(0, 7).withColumnRenamed("id", "event_id").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(stage))
+    inflight = "append-slowwriter-00000.parquet"
+    os.rename(sorted(stage.glob("*.parquet"))[0], root / inflight)
+
+    # concurrent vacuum WITH grace: the unreferenced in-flight file
+    # is younger than grace_s and must survive
+    deleted = vacuum(path, keep_last=2, grace_s=3600.0)
+    assert (root / inflight).exists(), "graced vacuum ate an in-flight file"
+    assert deleted == 0  # v1+v2 reference all other files
+
+    # the slow writer's commit still succeeds and its rows are visible
+    v3 = commit_snapshot_update(
+        spark, path, lambda cur: cur + [inflight], note="slow-append"
+    )
+    assert read_snapshot(spark, path, v3).count() == 1007
+
+    # a genuinely orphaned file (writer died after rename, never
+    # committed) ages out of grace → the second vacuum reclaims it,
+    # and ONLY it
+    spark.range(0, 3).withColumnRenamed("id", "event_id").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(stage))
+    orphan = "append-deadwriter-00000.parquet"
+    os.rename(sorted(stage.glob("*.parquet"))[0], root / orphan)
+    old = time.time() - 7200
+    os.utime(root / orphan, (old, old))
+    deleted = vacuum(path, keep_last=1, grace_s=3600.0)
+    assert not (root / orphan).exists()
+    assert (root / inflight).exists()  # committed: referenced by v3
+    assert read_snapshot(spark, path, v3).count() == 1007
+
+
+def test_vacuum_preserves_notes_of_dropped_manifests(spark, table):
+    """Retention GC must not erase the idempotence ledger: notes of
+    vacuumed manifests survive in snapshot_notes (the sidecar the
+    streaming near-dup job's replay check reads) even after the
+    manifests themselves are gone (ADVICE r9)."""
+    from mobility_etl_spark.operators.snapshots import snapshot_notes
+
+    path, v1, v2 = table
+    compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    vacuum(path, keep_last=1)
+    live_notes = {e["note"] for e in snapshot_log(path)}
+    assert live_notes == {"compaction"}
+    assert {"initial", "append", "compaction"} <= snapshot_notes(path)
+    # a second vacuum is a no-op and must not duplicate/lose notes
+    vacuum(path, keep_last=1)
+    assert {"initial", "append", "compaction"} <= snapshot_notes(path)
+
+
+def test_append_commit_exhaustion_reclaims_staged_files(
+    spark, table, monkeypatch
+):
+    """ADVICE r9: if the commit loop exhausts its races and raises,
+    append_snapshot must not leave its renamed-but-uncommitted data
+    files in the table root as unreclaimable orphans."""
+    from mobility_etl_spark.operators import snapshots as snapmod
+
+    path, v1, v2 = table
+    before = set(snapmod._data_files(path))
+
+    def _exhausted(*a, **k):
+        raise RuntimeError("simulated 100 lost commit races")
+
+    monkeypatch.setattr(snapmod, "commit_snapshot_update", _exhausted)
+    with pytest.raises(RuntimeError, match="lost commit races"):
+        snapmod.append_snapshot(
+            spark,
+            path,
+            spark.range(0, 5).withColumnRenamed("id", "event_id"),
+        )
+    assert set(snapmod._data_files(path)) == before
+    assert read_snapshot(spark, path).count() == 1000

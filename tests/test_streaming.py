@@ -989,3 +989,42 @@ def test_near_dup_batch_replay_is_exactly_once(spark, sf_dir):
         # mid-chunk crash (after chunk 1's index write), then replay
         crashed = state(run(crash_at=2))
         assert crashed == pristine, f"snap={snap}"
+
+
+def test_near_dup_ingest_rejects_id_disordered_index(spark, sf_dir):
+    """ADVICE r9: the replay guard (corp_id >= inc_id → drop) must not
+    silently eat legitimate matches when the index violates the
+    id-ordered admission contract. An index initialized with ids ABOVE
+    the stream's ids now fails loudly at ingest instead."""
+    import os
+    import tempfile
+
+    from mobility_etl_spark.streaming.jobs import (
+        init_near_dup_index,
+        near_dup_apply_batch,
+    )
+
+    root = tempfile.mkdtemp(prefix="ndup_contract_")
+    index = os.path.join(root, "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # contract violation: index ids 300+, incoming batch REUSES the
+    # very same vectors re-keyed to LOWER ids, so every item collides
+    # with a higher-id index entry
+    init_near_dup_index(
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 320)),
+        index,
+    )
+    batch = (
+        emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 320))
+        .select((F.col("vec_id") - 300).alias("vec_id"), "embedding")
+    )
+    with pytest.raises(ValueError, match="id-ordered admission contract"):
+        near_dup_apply_batch(
+            spark,
+            batch,
+            0,
+            index,
+            os.path.join(root, "decisions"),
+            threshold=0.9,
+        )
