@@ -38,12 +38,19 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     checkpoint_every: int = 5,
+    stats: list | None = None,
 ) -> DataFrame:
     """Return ``(node, rank)`` after ``iters`` power iterations.
 
     ``edges`` is a directed edge list; parallel edges count once
     (deduped here). Ranks sum to 1 at every iteration.
+
+    ``stats``, if given, receives one dict per iteration:
+    ``{"iter", "wall_s", "rank_parts"}`` — the per-round cost/width
+    telemetry the SCALING.md stress runs read (the BPE trainer's
+    partition-snowball was caught by exactly this kind of hook).
     """
+    import time
     edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         edges.select(F.col("src").alias("node"))

@@ -969,3 +969,342 @@ def corpus_index_stream_maintain(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------- streaming pretraining prep
+
+#: State tables the streaming capstone maintains under its root — each
+#: a manifest-committed snapshot table, all four bound per batch by
+#: ONE catalog commit.
+_PRETRAIN_TABLES = ("survivors", "evalgrams", "traingrams", "embindex")
+
+_PRETRAIN_SCHEMAS = {
+    "survivors": "doc_id long, lang string, n_tokens int, sem_kept boolean",
+    "evalgrams": "ng string",
+    "traingrams": "doc_id long, ng string",
+    "embindex": "doc_id long, embedding array<float>",
+}
+
+
+def pretraining_stream_init(spark: SparkSession, root: str) -> None:
+    """Seed the four pretraining state tables with empty (0-row,
+    schema-bearing) snapshots and bind them in catalog v1, so the
+    first micro-batch's reads resolve through the catalog like every
+    later one."""
+    import os
+
+    from mobility_etl_spark.operators.snapshots import (
+        commit_catalog,
+        commit_snapshot,
+    )
+
+    tables = {}
+    for name in _PRETRAIN_TABLES:
+        path = os.path.join(root, name)
+        spark.createDataFrame([], _PRETRAIN_SCHEMAS[name]).coalesce(
+            1
+        ).write.parquet(path)
+        tables[name] = (path, commit_snapshot(spark, path, note="init"))
+    commit_catalog(root, tables, note="init")
+
+
+def pretraining_apply_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch: int,
+    root: str,
+    emb: DataFrame,
+    sem_tau: float,
+    fail_after: str | None = None,
+) -> None:
+    """One micro-batch of the STREAMING pretraining-prep capstone —
+    module-level so the replay drills can invoke it directly.
+
+    The batch (documents rows: doc_id, text, lang) runs the ONLINE
+    stages of queries/corpus_prep.py:pipeline_pretraining_full and
+    banks the bookkeeping the offline stages need, with every append
+    idempotent and the batch made visible by ONE catalog commit:
+
+    * QUALITY (stage 1): 50 <= n_tokens <= 2000, in-frame.
+    * SEMANTIC DEDUP (stage 2), decided ONLINE and fully in-frame: the
+      batch capstone's rule is "drop b iff ANY embedded doc a < b has
+      cosine >= tau" — witnesses include docs that were themselves
+      dropped, so (unlike near_dup_apply_batch's greedy accepted-only
+      chain) no driver-side walk is needed: drops = (batch x embindex
+      hits with corp < inc) UNION (intra-batch a < b hits). ALL of the
+      batch's embedded docs (kept AND dropped — every one is a future
+      witness) append to the ``embindex`` snapshot table. Exact cosine
+      (the batch face's exact-baseline posture; decisions are
+      margin-gated there, so cross-plan float noise cannot flip one);
+      the 100 TB candidate-pruning path is the LSH/cluster family
+      (operators/similarity.py).
+    * DECONTAM BOOKKEEPING (stage 3): the batch's eval docs
+      (doc_id % 97 == 0, quality-filtered or NOT — the batch oracle
+      shingles ALL eval docs) append their distinct 5-grams to
+      ``evalgrams``; quality-passing train docs append (doc_id, ng)
+      pairs to ``traingrams``. Contamination is inherently
+      retroactive (a late eval doc contaminates earlier train docs),
+      so the JOIN runs once at finalize over the banked grams; at
+      100 TB the gram strings become 64-bit fingerprints.
+    * SURVIVORS: every quality-passing doc lands in ``survivors`` with
+      its sem_kept decision.
+
+    EXACTLY-ONCE: each table append is guarded by a per-epoch note
+    (``e{epoch}``) checked against snapshot_notes (vacuum-proof — see
+    operators/snapshots.py); the catalog commit note ``batch-{epoch}``
+    short-circuits a full replay. A crash between appends replays
+    only the missing ones (recomputation is deterministic), then
+    commits the catalog — drilled in tests/test_streaming.py via
+    ``fail_after`` (crash after the named table's append).
+
+    ID-ORDERED CONTRACT (same as near_dup_apply_batch): every index
+    doc_id must be below every future batch's ids; an embindex id >=
+    the batch minimum that is not the batch's own replayed append
+    raises.
+    """
+    import os
+
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        append_snapshot,
+        catalog_log,
+        commit_catalog,
+        read_catalog_table,
+        snapshot_notes,
+    )
+    from mobility_etl_spark.queries.corpus_prep import _DECON_N, ngram_expr
+
+    try:
+        if any(
+            e["note"] == f"batch-{epoch}" for e in catalog_log(root)
+        ):
+            return  # replay of a fully-committed batch
+    except FileNotFoundError:
+        pass
+    if not batch_df.take(1):
+        return
+
+    base = batch_df.select(
+        "doc_id",
+        "lang",
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    s1 = base.withColumn("n_tokens", F.size("toks")).filter(
+        F.col("n_tokens").between(50, 2000)
+    )
+
+    # ---- stage 2: online exact-cosine semantic dedup, in-frame
+    embedded = s1.select("doc_id").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    idx = read_catalog_table(spark, root, "embindex")
+
+    # contract check: any indexed id >= this batch's min that is not
+    # the batch's own (replayed) append violates id-ordering
+    batch_min = batch_df.agg(F.min("doc_id")).first()[0]
+    stray = (
+        idx.filter(F.col("doc_id") >= batch_min)
+        .join(batch_df.select("doc_id"), "doc_id", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if stray:
+        raise ValueError(
+            f"pretraining ingest: embindex doc_id {stray[0]['doc_id']} "
+            f">= batch minimum {batch_min} and not in the current batch "
+            "— the index violates the id-ordered admission contract"
+        )
+
+    def _cos(a: str, b: str):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(a).cast("array<double>"),
+                F.col(b).cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nrm = lambda c: F.aggregate(  # noqa: E731
+            F.col(c).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+        return dot / F.sqrt(nrm(a) * nrm(b))
+
+    inc = embedded.select(
+        F.col("doc_id").alias("inc_id"), F.col("embedding").alias("__iv")
+    )
+    corp = idx.select(
+        F.col("doc_id").alias("corp_id"), F.col("embedding").alias("__cv")
+    )
+    hits_index = (
+        inc.crossJoin(corp)
+        .filter(F.col("corp_id") < F.col("inc_id"))
+        .filter(_cos("__iv", "__cv") >= sem_tau)
+        .select(F.col("inc_id").alias("doc_id"))
+    )
+    lo = embedded.select(
+        F.col("doc_id").alias("corp_id"), F.col("embedding").alias("__cv")
+    )
+    hits_intra = (
+        inc.crossJoin(lo)
+        .filter(F.col("corp_id") < F.col("inc_id"))
+        .filter(_cos("__iv", "__cv") >= sem_tau)
+        .select(F.col("inc_id").alias("doc_id"))
+    )
+    sem_drop = hits_index.union(hits_intra).distinct()
+
+    survivors = s1.join(sem_drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tokens", F.lit(True).alias("sem_kept")
+    ).unionByName(
+        s1.join(sem_drop, "doc_id", "left_semi").select(
+            "doc_id", "lang", "n_tokens", F.lit(False).alias("sem_kept")
+        )
+    )
+
+    # ---- stage 3 bookkeeping: 5-gram shingles
+    ngrams = F.array_distinct(ngram_expr(F.col("toks"), _DECON_N))
+    eval_g = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(ngrams).alias("ng"))
+        .distinct()
+    )
+    train_g = s1.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(ngrams).alias("ng")
+    )
+
+    note = f"e{epoch}"
+    payloads = {
+        "survivors": survivors,
+        "evalgrams": eval_g,
+        "traingrams": train_g,
+        "embindex": embedded.select("doc_id", "embedding"),
+    }
+    for name in _PRETRAIN_TABLES:
+        path = os.path.join(root, name)
+        if note in snapshot_notes(path):
+            continue  # this epoch's append already committed (replay)
+        df = payloads[name]
+        if df.take(1):
+            append_snapshot(spark, path, df, note=note)
+        if fail_after == name:
+            raise RuntimeError(f"simulated crash after {name} append")
+
+    # ---- ONE catalog commit makes the batch visible atomically
+    commit_catalog(
+        root,
+        {
+            name: (
+                os.path.join(root, name),
+                _list_versions(os.path.join(root, name))[-1],
+            )
+            for name in _PRETRAIN_TABLES
+        },
+        note=f"batch-{epoch}",
+    )
+
+
+def pretraining_stream_ingest(
+    spark: SparkSession,
+    feed: DataFrame,
+    root: str,
+    checkpoint: str,
+    emb: DataFrame,
+    sem_tau: float,
+    compact_every: int = 0,
+) -> None:
+    """The STREAMING pretraining-prep capstone (VERDICT r9 #1): drive
+    a documents file stream through :func:`pretraining_apply_batch`
+    under foreachBatch — the reference's hourly-drop cadence
+    (dags/warsaw-delays.py:194, dags/warsaw-weather.py:21) applied to
+    the full corpus-prep chain. Each batch runs quality + online
+    semantic dedup and banks decontamination/mixture bookkeeping;
+    :func:`pretraining_finalize` then computes the result, which is
+    BYTE-IDENTICAL to the batch capstone on the same data, invariant
+    to micro-batch boundaries, and exactly-once under replay (gated in
+    tests/test_streaming.py).
+
+    ``compact_every`` > 0 runs the Iceberg-style maintenance loop
+    after each batch: any state table whose tip exceeds the file
+    budget is compacted, the compacted tips are re-bound in a catalog
+    commit, and catalog_vacuum walks the reference chain to reclaim
+    unreachable manifests + data files — the housekeeping that keeps
+    per-batch probe cost flat as the stream runs forever."""
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        catalog_vacuum,
+        commit_catalog,
+        compact_snapshot,
+        snapshot_log,
+    )
+
+    def _apply(batch_df: DataFrame, epoch: int) -> None:
+        import os
+
+        pretraining_apply_batch(
+            spark, batch_df, epoch, root, emb, sem_tau
+        )
+        if compact_every <= 0:
+            return
+        compacted = False
+        for name in _PRETRAIN_TABLES:
+            path = os.path.join(root, name)
+            if snapshot_log(path)[-1]["n_files"] > compact_every:
+                compact_snapshot(spark, path)
+                compacted = True
+        if compacted:
+            commit_catalog(
+                root,
+                {
+                    name: (
+                        os.path.join(root, name),
+                        _list_versions(os.path.join(root, name))[-1],
+                    )
+                    for name in _PRETRAIN_TABLES
+                },
+                note=f"maint-{epoch}",
+            )
+            catalog_vacuum(root, keep_last=2)
+
+    q = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def pretraining_finalize(
+    spark: SparkSession, root: str, catalog_version: int | None = None
+) -> DataFrame:
+    """Offline tail of the streaming capstone: resolve the four state
+    tables through ONE catalog version (transactionally consistent —
+    no survivor can be seen without its grams), run the retroactive
+    decontamination join, then the shared mixture → packing →
+    curriculum stages (queries/corpus_prep.py:mixture_pack_curriculum
+    — the IDENTICAL plan the batch capstone runs), returning the same
+    (epoch, phase, lang) summary the batch face and its DuckDB oracle
+    produce."""
+    from mobility_etl_spark.operators.snapshots import read_catalog_table
+    from mobility_etl_spark.queries.corpus_prep import (
+        mixture_pack_curriculum,
+    )
+
+    surv = read_catalog_table(spark, root, "survivors", catalog_version)
+    eval_g = read_catalog_table(spark, root, "evalgrams", catalog_version)
+    train_g = read_catalog_table(spark, root, "traingrams", catalog_version)
+
+    s2 = surv.filter(F.col("sem_kept")).select("doc_id", "lang", "n_tokens")
+    contaminated = (
+        train_g.join(F.broadcast(eval_g.select("ng").distinct()), "ng")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = (
+        s2.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return mixture_pack_curriculum(spark, s3)

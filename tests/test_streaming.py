@@ -1028,3 +1028,162 @@ def test_near_dup_ingest_rejects_id_disordered_index(spark, sf_dir):
             os.path.join(root, "decisions"),
             threshold=0.9,
         )
+
+
+# ------------------------------------------- streaming pretraining capstone
+
+
+def test_pretraining_stream_invariant_and_matches_batch(spark, sf_dir):
+    """The streaming capstone's defining claim (VERDICT r9 #1): the
+    final (epoch, phase, lang) schedule is BYTE-IDENTICAL to the batch
+    capstone — and invariant to where the micro-batch boundaries fall
+    (1 vs 4 vs 7 files) and to whether the in-stream compaction loop
+    ran. Also asserts the maintenance loop actually fired on the
+    4-file face run (tips within budget, a maint catalog commit in
+    the log)."""
+    import os
+
+    from mobility_etl_spark.operators.snapshots import (
+        catalog_log,
+        snapshot_log,
+    )
+    from mobility_etl_spark.queries.corpus_prep import (
+        _STREAM_FULL_CACHE,
+        pipeline_pretraining_full,
+        pipeline_pretraining_stream,
+        run_pretraining_stream,
+    )
+    from mobility_etl_spark.streaming.jobs import pretraining_finalize
+
+    batch = sorted(
+        map(tuple, pipeline_pretraining_full(spark, sf_dir).collect())
+    )
+    got4 = sorted(
+        map(tuple, pipeline_pretraining_stream(spark, sf_dir).collect())
+    )
+    assert got4 == batch  # 4 micro-batches + compact_every=8
+    assert _STREAM_FULL_CACHE[sf_dir]  # face ran the real stream
+
+    root1 = run_pretraining_stream(spark, sf_dir, n_files=1)
+    got1 = sorted(
+        map(tuple, pretraining_finalize(spark, root1).collect())
+    )
+    # 7 batches with an aggressive 2-file budget: the maintenance loop
+    # (compact + rebind + catalog_vacuum) MUST fire and MUST NOT change
+    # the result
+    root7 = run_pretraining_stream(spark, sf_dir, n_files=7, compact_every=2)
+    got7 = sorted(
+        map(tuple, pretraining_finalize(spark, root7).collect())
+    )
+    assert got1 == batch
+    assert got7 == batch
+    notes = [e["note"] for e in catalog_log(root7)]
+    assert any(n.startswith("maint-") for n in notes), notes
+    for name in ("survivors", "evalgrams", "traingrams", "embindex"):
+        n_files = snapshot_log(os.path.join(root7, name))[-1]["n_files"]
+        assert n_files <= 3, (name, n_files)
+
+
+def test_pretraining_batch_replay_exactly_once(spark, sf_dir):
+    """foreachBatch retries a failed micro-batch with the same epoch
+    id; every state-table append and the catalog commit must therefore
+    be idempotent. Drill a FULL replay of a committed epoch and a
+    mid-batch crash after EACH of the four table appends, and require
+    row-level state equality (not just the finalize aggregate, whose
+    distincts could mask a double append) with a pristine run."""
+    import tempfile
+
+    from mobility_etl_spark.operators.snapshots import (
+        catalog_log,
+        read_catalog_table,
+    )
+    from mobility_etl_spark.queries.corpus_prep import _SEM_TAU
+    from mobility_etl_spark.streaming.jobs import (
+        pretraining_apply_batch,
+        pretraining_finalize,
+        pretraining_stream_init,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    b0 = docs.filter(F.col("doc_id") < 250)
+    b1 = docs.filter(F.col("doc_id") >= 250)
+
+    def run(fail_after=None):
+        root = tempfile.mkdtemp(prefix="pretrain_replay_")
+        pretraining_stream_init(spark, root)
+        pretraining_apply_batch(spark, b0, 0, root, emb, _SEM_TAU)
+        if fail_after is not None:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                pretraining_apply_batch(
+                    spark, b1, 1, root, emb, _SEM_TAU,
+                    fail_after=fail_after,
+                )
+            # crashed before the catalog commit: batch-1 not visible
+            assert not any(
+                e["note"] == "batch-1" for e in catalog_log(root)
+            )
+        pretraining_apply_batch(spark, b1, 1, root, emb, _SEM_TAU)
+        return root
+
+    def state(root):
+        surv = sorted(
+            map(
+                tuple,
+                read_catalog_table(spark, root, "survivors").collect(),
+            )
+        )
+        idx = sorted(
+            r.doc_id
+            for r in read_catalog_table(spark, root, "embindex").collect()
+        )
+        n_eval = read_catalog_table(spark, root, "evalgrams").count()
+        n_train = read_catalog_table(spark, root, "traingrams").count()
+        final = sorted(
+            map(tuple, pretraining_finalize(spark, root).collect())
+        )
+        return surv, idx, n_eval, n_train, final
+
+    pristine = state(run())
+
+    # full replay of a committed epoch: a strict no-op
+    root = run()
+    before = state(root)
+    pretraining_apply_batch(spark, b1, 1, root, emb, _SEM_TAU)
+    assert state(root) == before == pristine
+
+    # mid-batch crash after each table's append, then replay
+    for fa in ("survivors", "evalgrams", "traingrams", "embindex"):
+        assert state(run(fail_after=fa)) == pristine, fa
+
+
+def test_pretraining_ingest_rejects_id_disordered_index(spark, sf_dir):
+    """Same contract as the near-dup loop: the semantic-dedup witnesses
+    are lower-id docs, so the embindex must never contain an id >= a
+    future batch's ids; a violated contract fails loudly instead of
+    silently missing witnesses."""
+    import tempfile
+
+    from mobility_etl_spark.queries.corpus_prep import _SEM_TAU
+    from mobility_etl_spark.streaming.jobs import (
+        pretraining_apply_batch,
+        pretraining_stream_init,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="pretrain_contract_")
+    pretraining_stream_init(spark, root)
+    # high ids first, low ids second: the second batch must refuse
+    pretraining_apply_batch(
+        spark, docs.filter(F.col("doc_id") >= 250), 0, root, emb, _SEM_TAU
+    )
+    with pytest.raises(ValueError, match="id-ordered admission contract"):
+        pretraining_apply_batch(
+            spark, docs.filter(F.col("doc_id") < 250), 1, root, emb,
+            _SEM_TAU,
+        )
