@@ -128,7 +128,12 @@ def bfs_distances(
     return dist
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 50,
+    stats: list | None = None,
+) -> DataFrame:
     """K-core of an undirected graph: iteratively peel nodes of degree
     < k until the fixpoint — the density filter behind spam/bot
     subgraph extraction and community seeding (what survives is the
@@ -145,9 +150,16 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
     Returns the surviving nodes with their in-core degree
     (node, degree) — every degree is >= k by construction (gated in
     tests alongside a driver-side reference peel).
+
+    ``stats``, if given, receives one dict per peeling round:
+    ``{"round", "wall_s", "n_weak", "edge_parts"}`` — the SCALING.md
+    stress-run telemetry (per-round cost and partition width).
     """
+    import time
+
     cur = edges.select("u", "v").localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        t0 = time.monotonic()
         deg = (
             cur.select(F.col("u").alias("node"))
             .unionAll(cur.select(F.col("v").alias("node")))
@@ -156,6 +168,15 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
         ).localCheckpoint(eager=True)
         n_weak = deg.filter(F.col("degree") < k).count()  # control-plane
         if n_weak == 0:
+            if stats is not None:
+                stats.append(
+                    {
+                        "round": rnd,
+                        "wall_s": time.monotonic() - t0,
+                        "n_weak": 0,
+                        "edge_parts": cur.rdd.getNumPartitions(),
+                    }
+                )
             return deg
         keep = deg.filter(F.col("degree") >= k).select("node")
         cur = (
@@ -166,6 +187,15 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+        if stats is not None:
+            stats.append(
+                {
+                    "round": rnd,
+                    "wall_s": time.monotonic() - t0,
+                    "n_weak": n_weak,
+                    "edge_parts": cur.rdd.getNumPartitions(),
+                }
+            )
         if cur.isEmpty():
             return deg.filter(F.lit(False))  # empty core, stable schema
     raise RuntimeError(f"k_core: no fixpoint within {max_iter} rounds")

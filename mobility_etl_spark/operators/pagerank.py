@@ -78,6 +78,7 @@ def pagerank(
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):
+        t0 = time.monotonic()
         contrib = (
             edges.join(ranks, edges["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -106,4 +107,16 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
+        if stats is not None:
+            # materialization is lazy; force the round so wall_s is the
+            # real per-iteration cost, and record the partition width
+            # (the snowball telemetry)
+            ranks = ranks.localCheckpoint(eager=True)
+            stats.append(
+                {
+                    "iter": i,
+                    "wall_s": time.monotonic() - t0,
+                    "rank_parts": ranks.rdd.getNumPartitions(),
+                }
+            )
     return ranks

@@ -614,3 +614,175 @@ def test_random_scalar_function_differential(engines2, exprs, pred):
     got = canon_rows(spark.sql(sql).toPandas())
     want = canon_rows(con.execute(sql).df())
     assert got == want, sql
+
+
+# --------------------- family 10: GROUPING SETS / ROLLUP / CUBE (ring 4)
+#
+# The one aggregation surface no earlier family touches: multi-set
+# grouping with grouping()/grouping_id() disambiguators (probe-verified
+# cross-engine 2026-08-15, incl. computed keys inside ROLLUP). Both
+# grouping columns are non-NULL in the data, so a NULL key always means
+# "subtotal row" and the canonical sort is unambiguous. GROUPING is
+# CAST to INT and GROUPING_ID to BIGINT (Spark returns narrower
+# integer types than DuckDB).
+#
+# DIALECT SPLIT FOUND BY THIS FAMILY (first soak, 2026-08-15): over an
+# EMPTY input (a fully-selective WHERE), DuckDB emits the () grouping
+# set's grand-total row — (NULL, ..., COUNT=0), the SQL-standard
+# global-aggregate-over-empty behavior — while Spark emits ZERO rows
+# for every grouping-set shape. Minimal repro:
+#   SELECT l_returnflag, COUNT(*) FROM lineitem WHERE 1=0
+#   GROUP BY ROLLUP(l_returnflag)        -- Spark: 0 rows; DuckDB: 1.
+# Normalized below with HAVING COUNT(*) > 0, which ONLY that
+# empty-input grand-total row can trip (every real grouping-set group
+# contains >= 1 row by construction).
+
+GSET_KEYS = [
+    "l_returnflag",
+    "l_linestatus",
+    "(l_linenumber % 3)",
+]
+
+GSET_SHAPES = [
+    "ROLLUP({k0}, {k1})",
+    "CUBE({k0}, {k1})",
+    "GROUPING SETS (({k0}, {k1}), ({k0}), ())",
+    "GROUPING SETS (({k0}), ({k1}))",
+]
+
+
+@given(
+    keys=st.lists(st.sampled_from(GSET_KEYS), min_size=2, max_size=2,
+                  unique=True),
+    shape=st.sampled_from(GSET_SHAPES),
+    pred=predicate(depth=1),
+    aggs=st.lists(st.sampled_from(AGGS), min_size=1, max_size=2,
+                  unique=True),
+    with_gid=st.booleans(),
+)
+@settings(max_examples=50, deadline=None)
+def test_random_grouping_sets_differential(
+    engines, keys, shape, pred, aggs, with_gid
+):
+    spark, con = engines
+    k0, k1 = keys
+    gcols = (
+        f"{k0} AS k0, {k1} AS k1, "
+        f"CAST(GROUPING({k0}) AS INT) AS g0, "
+        f"CAST(GROUPING({k1}) AS INT) AS g1"
+    )
+    if with_gid:
+        gcols += f", CAST(GROUPING_ID({k0}, {k1}) AS BIGINT) AS gid"
+    sql = (
+        f"SELECT {gcols}, " + ", ".join(sorted(aggs)) +
+        f" FROM lineitem WHERE {pred} "
+        f"GROUP BY {shape.format(k0=k0, k1=k1)} "
+        f"HAVING COUNT(*) > 0"  # empty-input dialect split, see above
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
+
+
+# ------------------------- family 11: correlated LATERAL top-k (ring 4)
+#
+# The decorrelated-limit surface: a per-order top-k subquery in the
+# FROM clause, CROSS and LEFT (ON TRUE) variants — both engines
+# de-correlate through entirely different rewrites (Spark
+# DecorrelateInnerQuery, DuckDB's dependent join flattening), and a
+# wrong rewrite shows up as missing/duplicated per-group rows.
+# Determinism discipline: the inner projection equals the inner ORDER
+# BY prefix, so rows tying beyond it are interchangeable in the
+# output (lineitem has full-duplicate rows; projecting anything the
+# sort doesn't pin would be a false-positive machine).
+
+LATERAL_ORDERS = [
+    ("l_extendedprice DESC, l_linenumber", "l_extendedprice, l_linenumber"),
+    ("l_extendedprice, l_linenumber", "l_extendedprice, l_linenumber"),
+    ("l_quantity DESC, l_extendedprice, l_linenumber",
+     "l_quantity, l_extendedprice, l_linenumber"),
+]
+
+
+@given(
+    order_proj=st.sampled_from(LATERAL_ORDERS),
+    k=st.integers(1, 3),
+    lp=predicate(depth=1),
+    opred=st.sampled_from(ORDER_ATOMS),
+    left=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_random_lateral_topk_differential(
+    engines2, order_proj, k, lp, opred, left
+):
+    spark, con = engines2
+    order, proj = order_proj
+    inner = (
+        f"(SELECT {proj} FROM lineitem l "
+        f"WHERE l.l_orderkey = o.o_orderkey AND {lp} "
+        f"ORDER BY {order} LIMIT {k})"
+    )
+    if left:
+        frm = f"orders o LEFT JOIN LATERAL {inner} t ON TRUE"
+    else:
+        frm = f"orders o, LATERAL {inner} t"
+    sql = (
+        f"SELECT o.o_orderkey, o.o_orderpriority, t.* FROM {frm} "
+        f"WHERE {opred}"
+    )
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql
+
+
+# ------------- family 12: window DESC / NULLS-ordering corners (ring 4)
+#
+# RANGE frames under DESCENDING order (PRECEDING walks toward larger
+# values) and explicit NULLS FIRST/LAST over a NULLable computed sort
+# key — the frame-boundary corners family 4's ascending, non-NULL
+# atoms never reach. NULL peer groups enter RANGE frames as one block;
+# ROWS atoms keep the o_orderkey tie-break (unique) so offsets stay
+# deterministic. All probe-verified cross-engine 2026-08-15.
+
+NULLKEY = "(CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END)"
+
+DESC_WINDOW_FUNCS = [
+    "CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER ("
+    "PARTITION BY o_orderpriority ORDER BY o_custkey DESC "
+    "RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS rng_desc_sum",
+    "CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY "
+    "o_custkey DESC RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING)"
+    " AS BIGINT) AS rng_desc_cnt",
+    f"CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY "
+    f"{NULLKEY} ASC NULLS FIRST "
+    "RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS BIGINT)"
+    " AS rng_nf_cnt",
+    f"CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY "
+    f"{NULLKEY} DESC NULLS LAST "
+    "RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS BIGINT)"
+    " AS rng_nl_cnt",
+    f"MIN(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY "
+    f"{NULLKEY} DESC NULLS FIRST, o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rows_nf_min",
+    f"MAX(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY "
+    f"{NULLKEY} ASC NULLS LAST, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS rows_nl_max",
+]
+
+
+@given(
+    funcs=st.lists(st.sampled_from(DESC_WINDOW_FUNCS), min_size=1,
+                   max_size=3, unique=True),
+    preds=st.lists(st.sampled_from(WINDOW_PREDS), min_size=1, max_size=2,
+                   unique=True),
+)
+@settings(max_examples=40, deadline=None)
+def test_random_window_nulls_desc_differential(engines2, funcs, preds):
+    spark, con = engines2
+    sel = "o_orderkey, " + ", ".join(sorted(funcs))
+    pred = " AND ".join(sorted(preds))
+    sql = f"SELECT {sel} FROM orders WHERE {pred}"
+    got = canon_rows(spark.sql(sql).toPandas())
+    want = canon_rows(con.execute(sql).df())
+    assert got == want, sql

@@ -83,6 +83,12 @@ QUERIES = (
     "vector_ivf_stored_probe",
     "skewjoin_aqe_identity",
     "streaming_near_dup_compacted",
+    # round-10: the streaming capstone (state built once per process;
+    # the timed pass measures finalize over the committed catalog) and
+    # the now-exact-oracle theta faces
+    "pipeline_pretraining_stream",
+    "sketch_theta_custkey_sets",
+    "sketch_theta_overlap_matrix",
 )
 
 
