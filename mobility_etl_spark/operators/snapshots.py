@@ -707,7 +707,9 @@ def catalog_log(catalog_path: str) -> list[dict]:
     return out
 
 
-def catalog_vacuum(catalog_path: str, keep_last: int = 2) -> dict:
+def catalog_vacuum(
+    catalog_path: str, keep_last: int = 2, grace_s: float = 0.0
+) -> dict:
     """Retention GC one level up from :func:`vacuum`: drop catalog
     manifests older than the last ``keep_last`` catalog versions, then
     for every table referenced by ANY surviving catalog version, drop
@@ -730,9 +732,20 @@ def catalog_vacuum(catalog_path: str, keep_last: int = 2) -> dict:
     touched (they may be mid-publication: committed but not yet bound
     by an in-flight commit_catalog).
 
+    ``grace_s`` extends :func:`vacuum`'s orphan-file grace period to
+    the catalog walk: unreferenced DATA files younger than ``grace_s``
+    seconds survive (a concurrent writer between its staged-rename and
+    snapshot commit). Manifest/catalog JSON files are not graced —
+    they are only dropped when provably outside the retained reference
+    chain — and neither are dropped-only tables' files (a table
+    removed from the catalog has no legitimate in-flight writer; see
+    the inline note).
+
     Returns ``{"catalog_versions_dropped", "snapshots_dropped",
     "data_files_deleted"}``.
     """
+    import time
+
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = _cat_versions(catalog_path)
@@ -740,6 +753,15 @@ def catalog_vacuum(catalog_path: str, keep_last: int = 2) -> dict:
         raise FileNotFoundError(f"no catalog commits at {catalog_path}")
     drop, keep = versions[:-keep_last], versions[-keep_last:]
     d = _cat_dir(catalog_path)
+    now = time.time()
+
+    def _graced(p: pathlib.Path) -> bool:
+        if grace_s <= 0:
+            return False
+        try:
+            return now - p.stat().st_mtime < grace_s
+        except FileNotFoundError:
+            return True  # raced with its writer/another vacuum: skip
 
     # (table path) -> set of snapshot versions referenced by survivors
     referenced: dict[str, set[int]] = {}
@@ -761,6 +783,12 @@ def catalog_vacuum(catalog_path: str, keep_last: int = 2) -> dict:
     snapshots_dropped = 0
     files_deleted = 0
     for tpath in sorted(dropped_only):
+        # No grace here, deliberately: a table bound ONLY by dropped
+        # catalog versions was removed from the catalog before the
+        # retention horizon — no legitimate writer can be mid-commit
+        # against it (appending to a dropped table is a protocol
+        # violation, and gracing its files while deleting the
+        # manifests that reach them would orphan them permanently).
         root = pathlib.Path(tpath)
         for sv in sorted(_list_versions(tpath)):
             (_snap_dir(tpath) / f"v{sv}.manifest.json").unlink()
@@ -783,6 +811,8 @@ def catalog_vacuum(catalog_path: str, keep_last: int = 2) -> dict:
         root = pathlib.Path(tpath)
         for f in _data_files(tpath):
             if f not in keep_files:
+                if _graced(root / f):
+                    continue
                 (root / f).unlink()
                 files_deleted += 1
     for v in drop:

@@ -787,3 +787,55 @@ def test_append_commit_exhaustion_reclaims_staged_files(
         )
     assert set(snapmod._data_files(path)) == before
     assert read_snapshot(spark, path).count() == 1000
+
+
+def test_catalog_vacuum_grace_spares_inflight_snapshot_writer(
+    spark, tmp_path
+):
+    """catalog_vacuum with grace_s: a data file renamed into a LIVE
+    (catalog-bound) table but not yet snapshot-committed survives the
+    walk; after its commit + rebind it is referenced and a subsequent
+    aged vacuum keeps it."""
+    import os
+    import time
+
+    from mobility_etl_spark.operators.snapshots import (
+        catalog_vacuum,
+        commit_catalog,
+        commit_snapshot,
+        commit_snapshot_update,
+        read_catalog_table,
+    )
+
+    cat = str(tmp_path / "cat")
+    t = str(tmp_path / "t")
+    spark.range(0, 10).write.parquet(t)
+    v1 = commit_snapshot(spark, t, note="v1")
+    commit_catalog(cat, {"t": (t, v1)}, note="c1")
+    spark.range(10, 20).coalesce(1).write.mode("append").parquet(t)
+    v2 = commit_snapshot(spark, t, note="v2")
+    commit_catalog(cat, {"t": (t, v2)}, note="c2")
+    commit_catalog(cat, {"t": (t, v2)}, note="c3")
+
+    # in-flight writer: staged + renamed, not yet committed
+    stage = tmp_path / "stage"
+    spark.range(100, 105).coalesce(1).write.parquet(str(stage))
+    inflight = "append-inflight-00000.parquet"
+    os.rename(
+        sorted(stage.glob("*.parquet"))[0],
+        os.path.join(t, inflight),
+    )
+
+    res = catalog_vacuum(cat, keep_last=2, grace_s=3600.0)
+    assert os.path.exists(os.path.join(t, inflight))
+    assert res["data_files_deleted"] == 0  # v1+v2 files all referenced
+
+    v3 = commit_snapshot_update(
+        spark, t, lambda cur: cur + [inflight], note="v3"
+    )
+    commit_catalog(cat, {"t": (t, v3)}, note="c4")
+    # aged: past grace, but now referenced — must survive
+    old = time.time() - 7200
+    os.utime(os.path.join(t, inflight), (old, old))
+    catalog_vacuum(cat, keep_last=2, grace_s=3600.0)
+    assert read_catalog_table(spark, cat, "t").count() == 25
