@@ -70,14 +70,35 @@ def shingles(df: DataFrame, text_col: str, key_col: str, n: int = 3) -> DataFram
     )
 
 
+def minhash_perm_hash(i: int, shingle_col) -> "F.Column":
+    """The i-th MinHash permutation hash of a shingle: a PORTABLE
+    md5-derived 60-bit integer (first 15 hex chars of md5("{i}|" ||
+    shingle)) — the same portability move as operators/sketch.py:
+    kmv_hash, so a DuckDB oracle can rebuild the identical signatures
+    and the minhash face is exact-oracle checked rather than
+    rows-only. ANSI equivalent:
+    ``('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}|"), shingle_col)), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+    )
+
+
 def minhash_signatures(
     shingle_df: DataFrame, key_col: str, num_perm: int = 32
 ) -> DataFrame:
     """MinHash signature per key: array of num_perm minima of seeded
-    xxhash64 over the shingle set. One aggregation shuffle; signature
-    size is num_perm*8 bytes regardless of document size."""
+    portable hashes (:func:`minhash_perm_hash`) over the shingle set.
+    One aggregation shuffle; signature size is num_perm*8 bytes
+    regardless of document size."""
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(minhash_perm_hash(i, F.col("shingle"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     sig = shingle_df.groupBy(key_col).agg(*mins)
@@ -92,8 +113,11 @@ def lsh_candidate_pairs(
     """Banded-LSH candidate pairs: docs sharing ≥1 band bucket.
 
     Explode each signature into `bands` band-hashes, self-join on
-    (band, band_hash) with key< key to order pairs, distinct. The join
-    keys are (int, bigint) — tiny — and only same-bucket rows pair up.
+    (band, band_hash) with key< key to order pairs, distinct. The
+    band hash is md5 over the band's minima joined with '|' — portable
+    (a DuckDB oracle buckets identically) and still a fixed-width join
+    key (32 chars vs xxhash64's 8 bytes; at 100 TB substring it to 16
+    if the shuffle width matters — the bucketing stays sound).
     """
     rows_per_band = num_perm // bands
     banded = sig_df.select(
@@ -101,7 +125,9 @@ def lsh_candidate_pairs(
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}),"
-                f" b -> xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band})))"
+                f" b -> md5(array_join(transform("
+                f"slice(signature, b * {rows_per_band} + 1, {rows_per_band}),"
+                f" x -> cast(x as string)), '|')))"
             )
         ).alias("band", "band_hash"),
     )

@@ -117,13 +117,83 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", min_jaccard=0.2)
 
 
-@register("minhash_near_dup", oracle=None, tags=("N2",))
+_MH_PERMS, _MH_BANDS = 32, 8
+_MH_R = _MH_PERMS // _MH_BANDS
+
+#: One MIN-of-portable-hash column per permutation (mirrors
+#: operators/dedup.py:minhash_perm_hash exactly).
+_MH_SIG_COLS = ",\n               ".join(
+    f"MIN(CAST(('0x' || substr(md5('{i}|' || shingle), 1, 15)) AS BIGINT))"
+    f" AS h{i}"
+    for i in range(_MH_PERMS)
+)
+#: One SELECT per band: band hash = md5 of the band's minima joined
+#: with '|' (mirrors lsh_candidate_pairs' array_join form — BIGINT
+#: casts to the same plain-digit string in both engines).
+_MH_BANDED = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5("
+    + " || '|' || ".join(
+        f"CAST(h{b * _MH_R + j} AS VARCHAR)" for j in range(_MH_R)
+    )
+    + ") AS band_hash FROM sig"
+    for b in range(_MH_BANDS)
+)
+
+
+@register(
+    "minhash_near_dup",
+    oracle=f"""
+    WITH scoped AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < {PAIR_SCOPE}
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+        FROM scoped, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
+    ),
+    sig AS (
+        SELECT doc_id, {_MH_SIG_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+        {_MH_BANDED}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.key_a, c.key_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.key_a
+        JOIN sh b ON b.doc_id = c.key_b AND b.shingle = a.shingle
+        GROUP BY c.key_a, c.key_b
+    )
+    SELECT key_a, key_b, n_common,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = key_a
+    JOIN sizes sb ON sb.doc_id = key_b
+    WHERE n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE) >= 0.2
+    """,
+    tags=("N2",),
+)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + 8-band LSH candidates, exact-Jaccard verified
     at ≥ 0.2 — the 100 TB near-dup path: signatures are 256 bytes/doc,
-    banding turns the pair space into bucket joins. Rows-only driver
-    check (xxhash64 has no DuckDB analog); recall vs
-    ``ngram_jaccard_pairs`` is asserted in tests/test_dedup.py."""
+    banding turns the pair space into bucket joins. EXACT-oracle
+    checked since r10: permutation hashes are portable md5-derived
+    60-bit integers and band hashes md5 over the joined minima
+    (operators/dedup.py:minhash_perm_hash — the theta/countmin
+    portability move), so DuckDB rebuilds the identical signatures,
+    buckets, candidates, and verified pairs. Recall vs
+    ``ngram_jaccard_pairs`` remains asserted in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
     sh = shingles(docs, "text", "doc_id", n=3)
     sigs = minhash_signatures(sh, "doc_id", num_perm=32)

@@ -28,12 +28,22 @@ DEFAULT_SF = "/root/testdata/sf0.001"
 
 
 def _canon_value(v):
-    """Canonicalize one cell for cross-engine comparison."""
+    """Canonicalize one cell for cross-engine comparison.
+
+    NaN canonicalizes to None (not a distinct "NaN" marker): pandas
+    transport represents SQL NULL as NaN in engine-dependent dtypes —
+    e.g. an ungrouped bool_and/MIN over EMPTY input is NULL in BOTH
+    engines, but DuckDB's .df() hands it over as float NaN while
+    Spark's toPandas hands over object None (fuzzer soak find,
+    2026-08-15; regression pinned in test_differential_fuzz.py).
+    Conflating them is symmetric and masks no real divergence: an
+    expression that truly produces NaN (e.g. sqrt(-1)) does so in both
+    engines, and both then canonicalize to None alike."""
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return None
         return float(v)
     if isinstance(v, Decimal):
         return float(v)

@@ -786,3 +786,24 @@ def test_random_window_nulls_desc_differential(engines2, funcs, preds):
     got = canon_rows(spark.sql(sql).toPandas())
     want = canon_rows(con.execute(sql).df())
     assert got == want, sql
+
+
+def test_empty_input_ungrouped_aggregate_null_transport(engines):
+    """Regression pin for the 2026-08-15 soak find (seed 81502026):
+    an ungrouped aggregate over EMPTY input is NULL in BOTH engines,
+    but the pandas transport differs — DuckDB .df() renders the NULL
+    boolean/double as float NaN, Spark toPandas as object None. Not an
+    engine divergence; canon_rows now folds NaN to None (symmetric).
+    Pins the original falsifying query plus the MIN/MAX-over-empty
+    shape that trips the same artifact on float columns."""
+    spark, con = engines
+    for sql in [
+        "SELECT bool_and(l_quantity > 0.5) AS all_pos FROM lineitem "
+        "WHERE ((NOT (l_linestatus IN ('F'))) AND (NOT ((NOT "
+        "(l_linestatus IN ('F'))) AND (NOT (l_linestatus = 'F')))))",
+        "SELECT MIN(l_extendedprice) AS m, MAX(l_quantity) AS x, "
+        "COUNT(*) AS n FROM lineitem WHERE 1 = 0",
+    ]:
+        got = canon_rows(spark.sql(sql).toPandas())
+        want = canon_rows(con.execute(sql).df())
+        assert got == want, sql
