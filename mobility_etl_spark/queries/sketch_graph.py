@@ -351,9 +351,7 @@ def sketch_theta_custkey_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sketch_theta_overlap_matrix",
-    oracle=f"""
+_THETA_MATRIX_ORACLE = f"""
     WITH h AS (
         SELECT DISTINCT o_orderpriority AS g,
                {_KMV_U_SQL.format(col="o_custkey")} AS u
@@ -403,7 +401,12 @@ def sketch_theta_custkey_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN nb ON nb.g_a = p.g_a AND nb.g_b = p.g_b
     LEFT JOIN nc ON nc.g_a = p.g_a AND nc.g_b = p.g_b
     ORDER BY p.g_a, p.g_b
-    """,
+    """
+
+
+@register(
+    "sketch_theta_overlap_matrix",
+    oracle=_THETA_MATRIX_ORACLE,
     tags=("N10", "N8"),
 )
 def sketch_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,5 +433,106 @@ def sketch_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_sketch(orders, ["o_orderpriority"], "o_custkey", k=_KMV_K)
     return kmv_overlap_matrix(sk, "o_orderpriority", k=_KMV_K).orderBy(
+        "g_a", "g_b"
+    )
+
+
+#: Per-process cache: sf_dir -> merged-sketch state root for the
+#: streaming theta face.
+_THETA_STREAM_CACHE: dict[str, str] = {}
+
+
+@register(
+    "streaming_theta_overlap",
+    oracle=_THETA_MATRIX_ORACLE,
+    tags=("N10", "N13", "E30", "E37"),
+)
+def streaming_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped theta sketches MAINTAINED BY A STREAM: the >150k orders
+    arrive as a 4-micro-batch file stream; each batch reduces to its
+    own grouped KMV partial sketch inside foreachBatch and appends it
+    to a snapshot table (idempotent per-epoch note); at the end the
+    partials merge by one distinct + k-smallest re-rank. Because the
+    k-minimum-values operator is EXACTLY associative (the
+    merge-identity gate in tests/test_sketch.py), the merged sketch is
+    bit-identical to sketching the whole table at once — so this face
+    registers under the SAME DuckDB oracle as
+    ``sketch_theta_overlap_matrix``, and the driver's hash equality
+    proves the stream-maintained sketch end to end. This is the 100 TB
+    cadence for distinct-count state: per-batch work is O(batch +
+    groups·k), the banked state is O(batches · groups · k) until the
+    merge (or a periodic compaction re-ranks it down to groups·k)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from mobility_etl_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        kmv_sketch,
+    )
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        read_snapshot,
+        snapshot_notes,
+    )
+
+    root = _THETA_STREAM_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="theta_stream_")
+        feed_dir = os.path.join(root, "feed")
+        state = os.path.join(root, "state")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice"
+        )
+        hi = orders.agg(F.max("o_orderkey")).first()[0] + 1
+        bounds = [round(i * hi / 4) for i in range(5)]
+        for i in range(4):
+            orders.filter(
+                (F.col("o_orderkey") >= bounds[i])
+                & (F.col("o_orderkey") < bounds[i + 1])
+            ).coalesce(1).write.parquet(os.path.join(feed_dir, f"c{i:02d}"))
+
+        def _apply(batch_df, epoch: int) -> None:
+            note = f"e{epoch}"
+            try:
+                if note in snapshot_notes(state):
+                    return  # replayed epoch: partial already committed
+            except FileNotFoundError:
+                pass
+            part = kmv_sketch(
+                batch_df.filter(F.col("o_totalprice") > 150000.0),
+                ["o_orderpriority"],
+                "o_custkey",
+                k=_KMV_K,
+            )
+            if part.take(1):
+                append_snapshot(spark, state, part.coalesce(1), note=note)
+
+        schema = spark.read.parquet(f"{feed_dir}/*").schema
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{feed_dir}/*")
+            .writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _THETA_STREAM_CACHE[sf_dir] = root
+
+    state = os.path.join(root, "state")
+    # merge: distinct (the same custkey hash may appear in several
+    # partials) + k-smallest per group — kmv union, exact by identity
+    w = Window.partitionBy("o_orderpriority").orderBy("u")
+    merged = (
+        read_snapshot(spark, state)
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= _KMV_K)
+        .drop("__rk")
+    )
+    return kmv_overlap_matrix(merged, "o_orderpriority", k=_KMV_K).orderBy(
         "g_a", "g_b"
     )

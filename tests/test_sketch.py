@@ -221,3 +221,21 @@ def test_kmv_overlap_matrix_error_bounds(spark):
         tol = rse4 * len(A | B)
         assert abs(est_i - len(A & B)) <= tol, (ga, gb, est_i, len(A & B))
         assert abs(est_u - len(A | B)) <= tol, (ga, gb, est_u, len(A | B))
+
+
+def test_streaming_theta_merge_identity(spark):
+    """The stream-maintained grouped theta sketch must be BIT-identical
+    to the batch face (k-smallest is exactly associative, so merging
+    per-batch partials ≡ sketching the whole table) — collected-row
+    equality on the full overlap matrix at sf0.01."""
+    from mobility_etl_spark.queries.sketch_graph import (
+        sketch_theta_overlap_matrix,
+        streaming_theta_overlap,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = sorted(map(tuple, streaming_theta_overlap(spark, sf).collect()))
+    want = sorted(
+        map(tuple, sketch_theta_overlap_matrix(spark, sf).collect())
+    )
+    assert got == want and len(got) == 10
