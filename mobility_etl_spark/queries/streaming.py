@@ -614,7 +614,7 @@ def streaming_near_dup_compacted(
             [(300, 400), (400, 100000), (100000, 200000), (200000, 300000)],
             root=root,
             index_snapshots=True,
-            compact_every=4,
+            compact_every=2,  # r10: chunk appends are single-file now
         )
         _NDUP_SNAP_CACHE[sf_dir] = (dec, root)
         cached = (dec, root)

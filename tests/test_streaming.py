@@ -866,9 +866,13 @@ def test_near_dup_snapshot_index_compacts_without_changing_decisions(
 
     chunks = [(300, 400), (400, 100000), (100000, 200000), (200000, 300000)]
     root = tempfile.mkdtemp(prefix="ndup_snapgate_")
+    # budget 2 (was 4): since r10 each chunk appends ONE coalesced file
+    # (the small-files fix the stress run motivated), so only batches
+    # with acceptees grow the tip — the dup-only batches append nothing
+    # and a budget of 4 would never be exceeded in this fixture
     snap = run_near_dup_stream(
         spark, sf_dir, chunks, root=root, index_snapshots=True,
-        compact_every=4,
+        compact_every=2,
     )
     raw = run_near_dup_stream(spark, sf_dir, chunks)
     got = sorted(map(tuple, snap.collect()))
@@ -877,7 +881,7 @@ def test_near_dup_snapshot_index_compacts_without_changing_decisions(
     index = f"{root}/index"
     log = snapshot_log(index)
     assert sum(e["note"] == "compaction" for e in log) >= 1
-    assert log[-1]["n_files"] <= 5  # bounded, not one-per-chunk forever
+    assert log[-1]["n_files"] <= 3  # bounded, not one-per-chunk forever
 
     # final index == init (vec_id < 300) + every accepted stream vector
     accepted = {t[0] for t in got if t[1] == 1}
@@ -1187,3 +1191,67 @@ def test_pretraining_ingest_rejects_id_disordered_index(spark, sf_dir):
             spark, docs.filter(F.col("doc_id") < 250), 1, root, emb,
             _SEM_TAU,
         )
+
+
+def test_pretraining_stream_resumes_across_sessions(spark, sf_dir):
+    """Engine-level restart (the reference's real cadence: hourly drops
+    arrive OVER TIME, dags/warsaw-delays.py:194): half the feed files
+    are drained in one availableNow run, the stream stops, the other
+    half lands, and a SECOND run on the SAME checkpoint drains only the
+    new files. The finalized corpus must equal the batch capstone —
+    i.e. checkpoint resume neither reprocesses nor skips a batch."""
+    import os
+    import tempfile
+
+    from mobility_etl_spark.queries.corpus_prep import (
+        _SEM_TAU,
+        pipeline_pretraining_full,
+    )
+    from mobility_etl_spark.streaming.jobs import (
+        pretraining_finalize,
+        pretraining_stream_ingest,
+        pretraining_stream_init,
+    )
+
+    root = tempfile.mkdtemp(prefix="pretrain_resume_")
+    feed_dir = os.path.join(root, "feed")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    bounds = [0, round(hi / 4), round(hi / 2), round(3 * hi / 4), hi]
+    for i in range(4):
+        docs.filter(
+            (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
+        ).coalesce(1).write.parquet(os.path.join(feed_dir, f"c{i:02d}"))
+
+    pretraining_stream_init(spark, root)
+    schema = spark.read.parquet(f"{feed_dir}/*").schema
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain(glob):
+        feed = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(glob)
+        )
+        pretraining_stream_ingest(
+            spark, feed, root, ckpt, emb, _SEM_TAU
+        )
+
+    # session 1 sees only the first two drops (glob excludes the rest —
+    # equivalent to them not having arrived yet)
+    drain(f"{feed_dir}/c0[01]")
+    mid = sorted(
+        map(tuple, pretraining_finalize(spark, root).collect())
+    )
+    # session 2, same checkpoint, all four drops present
+    drain(f"{feed_dir}/*")
+
+    got = sorted(map(tuple, pretraining_finalize(spark, root).collect()))
+    want = sorted(
+        map(tuple, pipeline_pretraining_full(spark, sf_dir).collect())
+    )
+    assert got == want
+    assert mid != want  # session 1 really was a partial corpus

@@ -40,6 +40,26 @@ def neardup_growth(spark, sf_dir: str) -> dict:
     n = emb.count()
     init_n, batch_sz = 200, 60
     n_batches = min(30, (n - init_n) // batch_sz)
+
+    # warmup: two throwaway batches on a scratch root so JVM/codegen/
+    # footer-cache cold-start lands outside every mode's first5 window
+    wroot = tempfile.mkdtemp(prefix="ndup_stress_warm_")
+    init_near_dup_index(
+        emb.filter(F.col("vec_id") < init_n), os.path.join(wroot, "idx")
+    )
+    for b in range(2):
+        lo = init_n + b * batch_sz
+        near_dup_apply_batch(
+            spark,
+            emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + batch_sz)
+            ),
+            b,
+            os.path.join(wroot, "idx"),
+            os.path.join(wroot, "dec"),
+            threshold=0.9,
+        )
+    shutil.rmtree(wroot, ignore_errors=True)
     out: dict = {"n_vectors": n, "n_batches": n_batches,
                  "batch_size": batch_sz, "modes": {}}
     for mode, snap, compact in (
