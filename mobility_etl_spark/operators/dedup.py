@@ -202,20 +202,46 @@ def simhash(df: DataFrame, text_col: str, key_col: str, bits: int = 64) -> DataF
     """64-bit SimHash per document from whitespace tokens.
 
     Classic bit-voting: each distinct token votes ±1 on every bit of
-    its xxhash64; the signature bit is 1 where the vote sum is
-    positive. Expressed as explode → per-bit conditional sums → bit
-    reassembly; one aggregation shuffle, output one BIGINT per doc.
+    its hash; the signature bit is 1 where the vote sum is positive.
+    Expressed as explode → per-bit conditional sums → bit reassembly;
+    one aggregation shuffle, output one BIGINT pair per doc.
+
+    The 64 bit-source bits come from TWO portable 32-bit hashes (first
+    8 md5 hex chars of 'lo|'||token and 'hi|'||token) instead of one
+    xxhash64 — the same portability move as minhash_perm_hash, so a
+    DuckDB oracle rebuilds the identical signatures and simhash_docs
+    is exact-oracle checked rather than rows-only. All-integer voting
+    → cross-engine exact.
     """
     toks = df.select(
         F.col(key_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("tok"),
     ).filter(F.length("tok") > 0)
-    hashed = toks.select(key_col, F.xxhash64("tok").alias("h"))
+
+    def _half(salt: str) -> "F.Column":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + "|"), F.col("tok"))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+        )
+
+    hashed = toks.select(
+        key_col, _half("lo").alias("hlo"), _half("hi").alias("hhi")
+    )
     votes = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
+            F.when(
+                F.shiftright(
+                    F.col("hlo" if i < 32 else "hhi"), i % 32
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(bits)
     ]

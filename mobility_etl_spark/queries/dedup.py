@@ -201,12 +201,61 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(sh, "doc_id", candidates=cands, min_jaccard=0.2)
 
 
-@register("simhash_docs", oracle=None, tags=("N2",))
+#: SimHash oracle pieces — mirror operators/dedup.py:simhash exactly.
+_SH_HALF = {
+    "lo": "CAST(('0x' || substr(md5('lo|' || tok), 1, 8)) AS BIGINT)",
+    "hi": "CAST(('0x' || substr(md5('hi|' || tok), 1, 8)) AS BIGINT)",
+}
+_SH_VOTES = ",\n               ".join(
+    f"SUM(CASE WHEN (h{'lo' if i < 32 else 'hi'} >> {i % 32}) & 1 = 1"
+    f" THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(64)
+)
+_SH_LO = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+)
+_SH_HI = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << (i - 32)} ELSE 0 END)"
+    for i in range(32, 64)
+)
+
+
+@register(
+    "simhash_docs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < {PAIR_SCOPE}
+        ) WHERE len(tok) > 0
+    ),
+    h AS (
+        SELECT doc_id,
+               {_SH_HALF["lo"]} AS hlo,
+               {_SH_HALF["hi"]} AS hhi
+        FROM tok
+    ),
+    v AS (
+        SELECT doc_id,
+               {_SH_VOTES}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_SH_LO} AS BIGINT) AS simhash_lo,
+           CAST({_SH_HI} AS BIGINT) AS simhash_hi
+    FROM v
+    """,
+    tags=("N2",),
+)
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (two 32-bit halves packed as longs):
     near-dup lookup becomes hamming distance on one BIGINT pair.
-    Rows-only driver check; hamming≈similarity monotonicity is
-    asserted in tests/test_dedup.py."""
+    EXACT-oracle checked since r10: the bit sources are two portable
+    md5-derived 32-bit hashes (operators/dedup.py:simhash), so DuckDB
+    replays the full bit-voting and the packed signatures match
+    bit-for-bit; hamming≈similarity monotonicity remains asserted in
+    tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
     return simhash(docs, "text", "doc_id")
 
