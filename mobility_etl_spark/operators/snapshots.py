@@ -62,14 +62,26 @@ def _list_versions(table_path: str) -> list[int]:
 def _data_files(table_path: str) -> list[str]:
     """Current parquet data files, relative to the table root; hidden
     dirs (_snapshots, .compaction_tmp …) excluded — same filter as
-    Spark's path listing."""
+    Spark's path listing.
+
+    Walk discipline: hidden/underscore directories are PRUNED before
+    descent (rglob merely filtered them from the results but still
+    traversed them — racing a concurrent writer whose Spark job was
+    deleting its ``.append-stage-*/_temporary`` tree mid-walk raised
+    FileNotFoundError; caught by the r10 graced-vacuum concurrency
+    drill), and a directory vanishing mid-walk is skipped, not fatal
+    (os.walk's default onerror swallow)."""
     root = pathlib.Path(table_path)
     out = []
-    for f in root.rglob("*.parquet"):
-        rel = f.relative_to(root)
-        if any(p.startswith((".", "_")) for p in rel.parts):
-            continue
-        out.append(str(rel))
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [
+            d for d in dirnames if not d.startswith((".", "_"))
+        ]
+        rel_dir = pathlib.Path(dirpath).relative_to(root)
+        for f in filenames:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                rel = rel_dir / f if str(rel_dir) != "." else pathlib.Path(f)
+                out.append(str(rel))
     return sorted(out)
 
 

@@ -839,3 +839,105 @@ def test_catalog_vacuum_grace_spares_inflight_snapshot_writer(
     os.utime(os.path.join(t, inflight), (old, old))
     catalog_vacuum(cat, keep_last=2, grace_s=3600.0)
     assert read_catalog_table(spark, cat, "t").count() == 25
+
+
+def test_graced_vacuum_races_appenders_and_compactor(spark, tmp_path):
+    """The hazard the r10 grace period was built for, under REAL
+    concurrency: 3 appender threads and 1 compactor race 1 maintenance
+    thread running vacuum(grace_s=3600) — every writer's
+    staged-then-renamed files are unreferenced-by-every-manifest
+    exactly while vacuum walks, and ONLY the grace keeps them alive.
+    Invariants: no appended row lost or duplicated in the final
+    snapshot, no append commit missing from the note ledger
+    (snapshot_notes — live + preserved across manifest GC), and every
+    surviving data file is referenced by a retained manifest.
+    Retention (keep_last=6) deliberately exceeds any reader's
+    in-flight window — the standard table-format rule that retention
+    must outlive the longest concurrent reader/compactor."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mobility_etl_spark.operators.snapshots import (
+        _data_files,
+        append_snapshot,
+        compact_snapshot,
+        read_snapshot,
+        snapshot_notes,
+    )
+
+    t = str(tmp_path / "t")
+    append_snapshot(spark, t, spark.range(0, 100), note="seed")
+
+    def appender(k: int) -> None:
+        for b in range(4):
+            lo = 1000 * (k + 1) + 20 * b
+            append_snapshot(
+                spark, t, spark.range(lo, lo + 20), note=f"a{k}b{b}"
+            )
+
+    def compactor() -> None:
+        for _ in range(4):
+            compact_snapshot(spark, t, target_file_bytes=1 << 30)
+            time.sleep(0.05)
+
+    deleted = []
+
+    def maintenance() -> None:
+        from mobility_etl_spark.operators.snapshots import vacuum
+
+        for _ in range(3):
+            time.sleep(0.4)
+            deleted.append(vacuum(t, keep_last=6, grace_s=3600.0))
+
+    jobs = [lambda k=k: appender(k) for k in range(3)]
+    jobs.append(compactor)
+    jobs.append(maintenance)
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        for f in [pool.submit(j) for j in jobs]:
+            f.result()
+
+    want = set(range(100)) | {
+        1000 * (k + 1) + 20 * b + i
+        for k in range(3)
+        for b in range(4)
+        for i in range(20)
+    }
+    final = [r.id for r in read_snapshot(spark, t).collect()]
+    assert len(final) == len(want) and set(final) == want
+
+    # every append commit is in the ledger, even if its manifest was
+    # GC'd (note preservation)
+    notes = snapshot_notes(t)
+    assert {"seed"} | {
+        f"a{k}b{b}" for k in range(3) for b in range(4)
+    } <= notes
+
+    # During the race every file is younger than grace_s, so the
+    # concurrent vacuums delete NOTHING (that is the point) — files
+    # referenced only by since-dropped manifests may legitimately
+    # linger. The contract completes with an AGED final vacuum: age
+    # everything past the grace, reclaim, and THEN no unreferenced
+    # file may remain while the tip still reads the full row set.
+    import json as _json
+    import os as _os
+    import pathlib as _pl
+
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        vacuum,
+    )
+
+    old = time.time() - 7200
+    for f in _data_files(t):
+        _os.utime(_pl.Path(t) / f, (old, old))
+    vacuum(t, keep_last=2, grace_s=3600.0)
+
+    referenced: set[str] = set()
+    for v in _list_versions(t):
+        m = _json.loads(
+            (_pl.Path(t) / "_snapshots" / f"v{v}.manifest.json").read_text()
+        )
+        referenced.update(m["files"])
+    assert set(_data_files(t)) <= referenced
+    final2 = [r.id for r in read_snapshot(spark, t).collect()]
+    assert set(final2) == want and len(final2) == len(want)
