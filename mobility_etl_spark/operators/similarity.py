@@ -742,3 +742,66 @@ def ivf_topk_from_store(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def exact_probe_blas(
+    increment: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    key_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine probe of a bounded increment against a large
+    corpus, distributed AND vectorized: the increment (a micro-batch —
+    bounded by construction) is collected once and shipped in the
+    task closure as one normalized numpy matrix; each CORPUS partition
+    then computes a single BLAS gram (chunk × incrementᵀ) inside
+    Arrow-batched ``mapInPandas`` and emits only the (inc_id, corp_id,
+    ge-threshold) hits. No shuffle at all: a map-only pass over the
+    corpus — the right 100 TB shape for an exact-witness probe, and
+    the vectorized replacement for a per-pair ``zip_with`` crossJoin
+    (the same interpreted-fold-vs-BLAS gap the batch capstone measured
+    at 25 s → ms, SCALING.md).
+
+    Decision-identical to the expression form wherever decisions are
+    margin-protected (the capstone gates margins ≥ 2.4e-5 vs ~1e-13
+    float noise); parity is gated in tests/test_similarity.py.
+    Returns (inc_id, corp_id) — corp rows within ``threshold`` cosine
+    of an increment row, every (corp < inc) orientation decision left
+    to the caller."""
+    import numpy as np
+    import pandas as pd
+
+    inc_rows = increment.select(key_col, vec_col).collect()
+    if not inc_rows:
+        return (
+            corpus.sparkSession.createDataFrame(
+                [], "inc_id long, corp_id long"
+            )
+        )
+    inc_ids = np.array([r[key_col] for r in inc_rows], dtype=np.int64)
+    inc_m = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in inc_rows]
+    )
+    inc_m /= np.linalg.norm(inc_m, axis=1, keepdims=True)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ inc_m.T  # |chunk| x |increment| gram, one BLAS call
+            ci, ii = np.nonzero(sims >= threshold)
+            yield pd.DataFrame(
+                {
+                    "inc_id": inc_ids[ii],
+                    "corp_id": pdf[key_col].values[ci],
+                }
+            )
+
+    return corpus.select(key_col, vec_col).mapInPandas(
+        probe, "inc_id long, corp_id long"
+    )

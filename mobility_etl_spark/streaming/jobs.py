@@ -1124,42 +1124,23 @@ def pretraining_apply_batch(
             "— the index violates the id-ordered admission contract"
         )
 
-    def _cos(a: str, b: str):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(a).cast("array<double>"),
-                F.col(b).cast("array<double>"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        nrm = lambda c: F.aggregate(  # noqa: E731
-            F.col(c).cast("array<double>"),
-            F.lit(0.0),
-            lambda acc, v: acc + v * v,
-        )
-        return dot / F.sqrt(nrm(a) * nrm(b))
+    # Exact-witness probe, distributed + vectorized: one BLAS gram per
+    # corpus partition against the closure-shipped batch matrix
+    # (operators/similarity.py:exact_probe_blas — map-only over the
+    # index, no shuffle; decision-identical to the expression form
+    # because the capstone's decisions are margin-gated at >= 2.4e-5
+    # vs ~1e-13 float noise). Witnesses are LOWER-id embedded docs —
+    # kept or dropped — so the whole stage stays in-frame.
+    from mobility_etl_spark.operators.similarity import exact_probe_blas
 
-    inc = embedded.select(
-        F.col("doc_id").alias("inc_id"), F.col("embedding").alias("__iv")
-    )
-    corp = idx.select(
-        F.col("doc_id").alias("corp_id"), F.col("embedding").alias("__cv")
-    )
     hits_index = (
-        inc.crossJoin(corp)
+        exact_probe_blas(embedded, idx, sem_tau)
         .filter(F.col("corp_id") < F.col("inc_id"))
-        .filter(_cos("__iv", "__cv") >= sem_tau)
         .select(F.col("inc_id").alias("doc_id"))
     )
-    lo = embedded.select(
-        F.col("doc_id").alias("corp_id"), F.col("embedding").alias("__cv")
-    )
     hits_intra = (
-        inc.crossJoin(lo)
+        exact_probe_blas(embedded, embedded, sem_tau)
         .filter(F.col("corp_id") < F.col("inc_id"))
-        .filter(_cos("__iv", "__cv") >= sem_tau)
         .select(F.col("inc_id").alias("doc_id"))
     )
     sem_drop = hits_index.union(hits_intra).distinct()

@@ -415,3 +415,65 @@ def test_ivf_stored_probe_identical_and_partition_pruned(spark, sf_dir):
     plan = stored._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "PartitionFilters" in plan
+
+
+def test_exact_probe_blas_matches_expression_form(spark, sf_dir):
+    """The distributed-BLAS exact probe must produce the identical hit
+    set to a literal per-pair cosine crossJoin at the capstone's tau —
+    both computed in float64; decisions are margin-protected so
+    summation-order noise cannot flip one."""
+    from mobility_etl_spark.operators.similarity import exact_probe_blas
+    from mobility_etl_spark.queries.corpus_prep import _SEM_TAU
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    inc = emb.filter(F.col("doc_id") < 150)
+    corp = emb.filter(F.col("doc_id") >= 150)
+
+    got = sorted(
+        map(tuple, exact_probe_blas(inc, corp, _SEM_TAU).collect())
+    )
+
+    def cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(a).cast("array<double>"),
+                F.col(b).cast("array<double>"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        nrm = lambda c: F.aggregate(  # noqa: E731
+            F.col(c).cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+        return dot / F.sqrt(nrm(a) * nrm(b))
+
+    want = sorted(
+        map(
+            tuple,
+            inc.select(
+                F.col("doc_id").alias("inc_id"),
+                F.col("embedding").alias("__iv"),
+            )
+            .crossJoin(
+                corp.select(
+                    F.col("doc_id").alias("corp_id"),
+                    F.col("embedding").alias("__cv"),
+                )
+            )
+            .filter(cos("__iv", "__cv") >= _SEM_TAU)
+            .select("inc_id", "corp_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # empty increment: schema-stable empty result
+    assert (
+        exact_probe_blas(inc.filter(F.lit(False)), corp, _SEM_TAU).count()
+        == 0
+    )
