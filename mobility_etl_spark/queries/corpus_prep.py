@@ -1067,3 +1067,66 @@ def pipeline_pretraining_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mobility_etl_spark.streaming.jobs import pretraining_finalize
 
     return pretraining_finalize(spark, root)
+
+
+@register(
+    "snapshot_change_feed",
+    oracle="""
+    SELECT 'append' AS path, doc_id, lang, n_chars
+    FROM documents WHERE doc_id >= 200 AND doc_id < 500
+    UNION ALL
+    SELECT 'rewrite' AS path, doc_id, lang, n_chars
+    FROM documents WHERE doc_id >= 200 AND doc_id < 500
+    """,
+    tags=("N11", "N13", "E5"),
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CHANGE FEED over the manifest layer
+    (operators/snapshots.py:snapshot_changes): commit documents <200 as
+    v1, append 200-350 (v2) and 350-500 (v3), and read "what changed
+    since v1" through BOTH paths — the pure-append fast path (scan of
+    exactly the new files, O(delta) at any table size) and, after a
+    compaction rewrites the tip, the exceptAll fallback (file identity
+    no longer maps to row identity; the multiset difference is still
+    exact because compaction is content-preserving). The oracle states
+    both answers directly from the id ranges, so the hash equality
+    proves the manifest diff returns precisely the appended rows —
+    nothing lost, nothing duplicated, no pre-v1 row leaking in."""
+    import tempfile
+
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        compact_snapshot,
+        snapshot_changes,
+    )
+
+    path = tempfile.mkdtemp(prefix="snap_cdf_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.filter(F.col("doc_id") < 200).write.mode("overwrite").parquet(
+        path
+    )
+    from mobility_etl_spark.operators.snapshots import commit_snapshot
+
+    v1 = commit_snapshot(spark, path, note="v1")
+    append_snapshot(
+        spark,
+        path,
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)),
+        note="v2",
+    )
+    v3 = append_snapshot(
+        spark,
+        path,
+        docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)),
+        note="v3",
+    )
+    appended = snapshot_changes(spark, path, v1, v3).select(
+        F.lit("append").alias("path"), "doc_id", "lang", "n_chars"
+    )
+    v4 = compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    rewritten = snapshot_changes(spark, path, v1, v4).select(
+        F.lit("rewrite").alias("path"), "doc_id", "lang", "n_chars"
+    )
+    return appended.unionAll(rewritten)

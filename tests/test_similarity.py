@@ -477,3 +477,24 @@ def test_exact_probe_blas_matches_expression_form(spark, sf_dir):
         exact_probe_blas(inc.filter(F.lit(False)), corp, _SEM_TAU).count()
         == 0
     )
+
+
+def test_exact_probe_blas_plan_is_map_only(spark, sf_dir):
+    """The probe's scale claim, asserted on the executed plan: one
+    Arrow-batched python map over the corpus scan — NO Exchange (the
+    batch rides the task closure, so nothing shuffles at any corpus
+    size)."""
+    from mobility_etl_spark.operators.similarity import exact_probe_blas
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    probed = exact_probe_blas(
+        emb.filter(F.col("doc_id") < 50),
+        emb.filter(F.col("doc_id") >= 50),
+        0.5,
+    )
+    probed.write.format("noop").mode("overwrite").save()
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan

@@ -941,3 +941,41 @@ def test_graced_vacuum_races_appenders_and_compactor(spark, tmp_path):
     assert set(_data_files(t)) <= referenced
     final2 = [r.id for r in read_snapshot(spark, t).collect()]
     assert set(final2) == want and len(final2) == len(want)
+
+
+def test_snapshot_changes_pure_append_scans_only_new_files(spark, table):
+    """Change-feed contract: between pure-append versions the plan
+    reads EXACTLY the files the newer manifest added (O(delta) at any
+    table size — inputFiles is the proof), the empty range returns a
+    schema-stable zero-row frame, and invalid ranges fail loudly."""
+    from mobility_etl_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_changes,
+    )
+
+    path, v1, v2 = table
+    delta = snapshot_changes(spark, path, v1, v2)
+    ids = sorted(r.event_id for r in delta.select("event_id").collect())
+    assert len(ids) == 500 and ids[0] == 500 and ids[-1] == 999
+    full = set(read_snapshot(spark, path, v2).inputFiles())
+    old = set(read_snapshot(spark, path, v1).inputFiles())
+    assert set(delta.inputFiles()) == full - old  # file-level delta
+
+    assert snapshot_changes(spark, path, v2, v2).count() == 0
+    with pytest.raises(ValueError):
+        snapshot_changes(spark, path, v2, v1)
+    with pytest.raises(FileNotFoundError):
+        snapshot_changes(spark, path, v1, 99)
+
+
+def test_snapshot_changes_rewrite_fallback_is_exact(spark, table):
+    """When compaction crosses the range, the change feed falls back to
+    the exceptAll multiset difference — still exactly the appended
+    rows (compaction is content-preserving, so its rewrites cancel)."""
+    from mobility_etl_spark.operators.snapshots import snapshot_changes
+
+    path, v1, v2 = table
+    v3 = compact_snapshot(spark, path, target_file_bytes=1 << 30)
+    delta = snapshot_changes(spark, path, v1, v3)
+    ids = sorted(r.event_id for r in delta.select("event_id").collect())
+    assert len(ids) == 500 and ids[0] == 500 and ids[-1] == 999
