@@ -1130,3 +1130,101 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rewrite").alias("path"), "doc_id", "lang", "n_chars"
     )
     return appended.unionAll(rewritten)
+
+
+@register(
+    "snapshot_change_feed_ivm",
+    oracle="""
+    SELECT CAST(1 AS INT) AS after_version, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id < 200 GROUP BY lang
+    UNION ALL
+    SELECT CAST(2 AS INT) AS after_version, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id < 350 GROUP BY lang
+    UNION ALL
+    SELECT CAST(3 AS INT) AS after_version, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id < 500 GROUP BY lang
+    """,
+    tags=("N11", "N13", "N16"),
+)
+def snapshot_change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW MAINTENANCE over the change feed — the
+    consumer side of the snapshot loop: a per-lang (count, sum)
+    aggregate is maintained by folding in ONLY each version's delta
+    (operators/snapshots.py:snapshot_changes — the O(delta) file-level
+    path; the base table is never rescanned after v1), and the
+    maintained state after EVERY version must equal the from-scratch
+    aggregate at that version — which is exactly what the oracle
+    states from the id ranges. Additive aggregates (COUNT/SUM) fold by
+    a keyed outer-merge; this is the maintenance rule a 100 TB rollup
+    runs per snapshot commit instead of per full scan, and the same
+    cursor loop a downstream Structured Streaming consumer would run
+    per trigger."""
+    import tempfile
+
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        commit_snapshot,
+        snapshot_changes,
+    )
+
+    path = tempfile.mkdtemp(prefix="snap_ivm_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    docs.filter(F.col("doc_id") < 200).write.mode("overwrite").parquet(
+        path
+    )
+    versions = [commit_snapshot(spark, path, note="v1")]
+    for lo, hi, note in ((200, 350, "v2"), (350, 500, "v3")):
+        versions.append(
+            append_snapshot(
+                spark,
+                path,
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                ),
+                note=note,
+            )
+        )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+
+    # v1 bootstrap, then fold each version's DELTA into the state
+    from mobility_etl_spark.operators.snapshots import read_snapshot
+
+    state = agg(read_snapshot(spark, path, versions[0]))
+    out = [
+        state.select(F.lit(1).cast("int").alias("after_version"), "*")
+    ]
+    for i, (v_from, v_to) in enumerate(
+        zip(versions, versions[1:]), start=2
+    ):
+        delta = agg(snapshot_changes(spark, path, v_from, v_to))
+        state = (
+            state.select("lang", "n_docs", "sum_chars")
+            .unionByName(delta)
+            .groupBy("lang")
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_chars").cast("bigint").alias("sum_chars"),
+            )
+        )
+        out.append(
+            state.select(
+                F.lit(i).cast("int").alias("after_version"), "*"
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
