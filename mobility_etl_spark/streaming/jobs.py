@@ -987,10 +987,17 @@ def corpus_index_stream_maintain(
 #: ONE catalog commit.
 _PRETRAIN_TABLES = ("survivors", "evalgrams", "traingrams", "embindex")
 
+#: Gram state is banked as 64-bit xxhash64 FINGERPRINTS, not strings —
+#: the state-size move the 100 TB deployment needs (8 bytes/gram vs
+#: ~30-char shingles). Decontamination joins on the fingerprint; a
+#: false contamination needs two DISTINCT grams colliding in 64 bits
+#: with one on each side of the eval split (P ≈ n_train·n_eval/2^64 ≈
+#: 1e-9 at 100 TB scale) — and the face's oracle equality verifies on
+#: the actual data that none occurred.
 _PRETRAIN_SCHEMAS = {
     "survivors": "doc_id long, lang string, n_tokens int, sem_kept boolean",
-    "evalgrams": "ng string",
-    "traingrams": "doc_id long, ng string",
+    "evalgrams": "ngh long",
+    "traingrams": "doc_id long, ngh long",
     "embindex": "doc_id long, embedding array<float>",
 }
 
@@ -1049,12 +1056,13 @@ def pretraining_apply_batch(
       (operators/similarity.py).
     * DECONTAM BOOKKEEPING (stage 3): the batch's eval docs
       (doc_id % 97 == 0, quality-filtered or NOT — the batch oracle
-      shingles ALL eval docs) append their distinct 5-grams to
-      ``evalgrams``; quality-passing train docs append (doc_id, ng)
-      pairs to ``traingrams``. Contamination is inherently
-      retroactive (a late eval doc contaminates earlier train docs),
-      so the JOIN runs once at finalize over the banked grams; at
-      100 TB the gram strings become 64-bit fingerprints.
+      shingles ALL eval docs) append their distinct 5-gram
+      FINGERPRINTS (64-bit xxhash64 — see _PRETRAIN_SCHEMAS for the
+      collision math) to ``evalgrams``; quality-passing train docs
+      append (doc_id, ngh) pairs to ``traingrams``. Contamination is
+      inherently retroactive (a late eval doc contaminates earlier
+      train docs), so the JOIN runs once at finalize over the banked
+      fingerprints.
     * SURVIVORS: every quality-passing doc lands in ``survivors`` with
       its sem_kept decision.
 
@@ -1153,15 +1161,19 @@ def pretraining_apply_batch(
         )
     )
 
-    # ---- stage 3 bookkeeping: 5-gram shingles
+    # ---- stage 3 bookkeeping: 5-gram shingles, banked as 64-bit
+    # fingerprints (see _PRETRAIN_SCHEMAS — 8 bytes/gram state)
     ngrams = F.array_distinct(ngram_expr(F.col("toks"), _DECON_N))
     eval_g = (
         base.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode(ngrams).alias("ng"))
+        .select(F.xxhash64("ng").alias("ngh"))
         .distinct()
     )
-    train_g = s1.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id", F.explode(ngrams).alias("ng")
+    train_g = (
+        s1.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(ngrams).alias("ng"))
+        .select("doc_id", F.xxhash64("ng").alias("ngh"))
     )
 
     note = f"e{epoch}"
@@ -1292,7 +1304,7 @@ def pretraining_finalize(
 
     s2 = surv.filter(F.col("sem_kept")).select("doc_id", "lang", "n_tokens")
     contaminated = (
-        train_g.join(F.broadcast(eval_g.select("ng").distinct()), "ng")
+        train_g.join(F.broadcast(eval_g.select("ngh").distinct()), "ngh")
         .select("doc_id")
         .distinct()
     )
