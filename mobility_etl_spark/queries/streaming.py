@@ -756,3 +756,91 @@ def streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 20)
     )
+
+
+#: Per-process cache: sf_dir -> (table root, collected per-lang rows).
+_SNAP_SRC_CACHE: dict[str, str] = {}
+
+
+@register(
+    "streaming_snapshot_source",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id >= 200 AND doc_id < 500
+    GROUP BY lang
+    """,
+    tags=("N13", "E30", "R1"),
+)
+def streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table AS A STREAMING SOURCE (Spark 4 Python
+    DataSourceStreamReader, sources/pydatasource.py:
+    SnapshotChangeFeedDataSource): offsets are snapshot VERSIONS, each
+    micro-batch is the committed change feed between two manifests,
+    each input partition one added data file (executor-parallel,
+    exactly-once — committed file lists are immutable). A documents
+    table is committed as v1 (<200) then appended twice (200-350,
+    350-500); the stream starts AT v1 (``start_version``), so it must
+    deliver exactly the post-v1 appends — the oracle states them from
+    the id ranges. This closes the loop the change-feed faces opened:
+    producers commit snapshot versions, and a downstream Structured
+    Streaming job consumes them as a first-class source instead of a
+    polling cursor."""
+    import os
+    import tempfile
+
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        commit_snapshot,
+    )
+    from mobility_etl_spark.sources.pydatasource import (
+        SnapshotChangeFeedDataSource,
+    )
+
+    root = _SNAP_SRC_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snap_src_")
+        tbl = os.path.join(root, "tbl")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        docs.filter(F.col("doc_id") < 200).write.parquet(tbl)
+        commit_snapshot(spark, tbl, note="v1")
+        append_snapshot(
+            spark,
+            tbl,
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)),
+            note="v2",
+        )
+        append_snapshot(
+            spark,
+            tbl,
+            docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)),
+            note="v3",
+        )
+        spark.dataSource.register(SnapshotChangeFeedDataSource)
+        out = os.path.join(root, "out")
+        stream = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", tbl)
+            .option("start_version", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SNAP_SRC_CACHE[sf_dir] = root
+
+    return (
+        spark.read.parquet(os.path.join(root, "out"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

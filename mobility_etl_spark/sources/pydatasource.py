@@ -24,6 +24,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
@@ -303,3 +304,155 @@ class LedgerStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         _unlink_parts(self.path, messages)
+
+
+# ------------------------------------- snapshot change-feed stream source
+
+SNAPSHOT_CHANGES_SOURCE_NAME = "snapshot_changes"
+
+
+def _arrow_to_spark_type(t):
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if pa.types.is_int64(t):
+        return T.LongType()
+    if pa.types.is_int32(t):
+        return T.IntegerType()
+    if pa.types.is_float64(t):
+        return T.DoubleType()
+    if pa.types.is_float32(t):
+        return T.FloatType()
+    if pa.types.is_boolean(t):
+        return T.BooleanType()
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return T.StringType()
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return T.ArrayType(_arrow_to_spark_type(t.value_type))
+    raise TypeError(f"snapshot_changes source: unmapped arrow type {t}")
+
+
+class _SnapshotFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
+    """The snapshot table AS A STREAMING SOURCE (Spark 4 Python
+    DataSourceStreamReader): offsets are snapshot VERSIONS, each
+    micro-batch is the change feed between two committed manifests,
+    and each input partition is ONE newly-added data file — so the
+    read is executor-parallel and exactly-once by construction (the
+    file list between two versions is immutable once committed, the
+    deterministic-replay property checkpoint recovery needs).
+
+    APPEND-ONLY CONTRACT: like operators/snapshots.py:snapshot_changes'
+    fast path, a version range crossed by a REWRITE (compaction) has no
+    file-level row delta; ``partitions`` raises then — a deployment
+    consumes between compactions or replaces files with delete-vector
+    deltas. The snapshot-backed ledgers this engine streams
+    (near-dup index, pretraining state) are all append-only."""
+
+    def __init__(self, options: dict):
+        self.table = options["path"]
+        self.start_version = int(options.get("start_version", 0))
+
+    def _versions(self) -> list[int]:
+        from mobility_etl_spark.operators.snapshots import _list_versions
+
+        return _list_versions(self.table)
+
+    def _files(self, version: int) -> list[str]:
+        if version == 0:
+            return []
+        import json as _json
+        import pathlib as _pl
+
+        mf = (
+            _pl.Path(self.table)
+            / "_snapshots"
+            / f"v{version}.manifest.json"
+        )
+        try:
+            return _json.loads(mf.read_text())["files"]
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot_changes source: retention expired for "
+                f"offset v{version} (manifest vacuumed) — the consumer "
+                "fell behind the table's keep_last horizon; "
+                "re-bootstrap from a full snapshot read"
+            ) from None
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        vs = self._versions()
+        return {"version": vs[-1] if vs else self.start_version}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return []
+        from_files = set(self._files(v0))
+        to_files = self._files(v1)
+        if not from_files <= set(to_files):
+            raise ValueError(
+                f"snapshot_changes source: a rewrite crossed v{v0}->"
+                f"v{v1} (files removed); the streaming change feed is "
+                "defined for append-only ranges — consume between "
+                "compactions"
+            )
+        import os as _os
+
+        return [
+            _SnapshotFilePartition(_os.path.join(self.table, f))
+            for f in to_files
+            if f not in from_files
+        ]
+
+    def read(self, partition: _SnapshotFilePartition) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        for batch in pq.ParquetFile(partition.path).iter_batches():
+            yield from zip(*(c.to_pylist() for c in batch.columns))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable snapshot versions; nothing to ack
+
+    def stop(self) -> None:
+        pass
+
+
+class SnapshotChangeFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return SNAPSHOT_CHANGES_SOURCE_NAME
+
+    def schema(self) -> StructType:
+        """Infer from the latest manifest's first data file footer —
+        callers may also pass an explicit .schema() and skip this."""
+        import json as _json
+        import pathlib as _pl
+
+        import pyarrow.parquet as pq
+
+        table = self.options["path"]
+        snapdir = _pl.Path(table) / "_snapshots"
+        versions = sorted(
+            int(p.name.split(".", 1)[0][1:])
+            for p in snapdir.glob("v*.manifest.json")
+        )
+        files = _json.loads(
+            (snapdir / f"v{versions[-1]}.manifest.json").read_text()
+        )["files"]
+        sch = pq.ParquetFile(_pl.Path(table) / files[0]).schema_arrow
+        return StructType(
+            [
+                StructField(f.name, _arrow_to_spark_type(f.type))
+                for f in sch
+            ]
+        )
+
+    def streamReader(self, schema: StructType):
+        return SnapshotChangeFeedStreamReader(self.options)

@@ -1255,3 +1255,84 @@ def test_pretraining_stream_resumes_across_sessions(spark, sf_dir):
     )
     assert got == want
     assert mid != want  # session 1 really was a partial corpus
+
+
+def test_snapshot_source_streams_new_versions_incrementally(
+    spark, sf_dir, tmp_path
+):
+    """The snapshot-table streaming source (Spark 4 Python
+    DataSourceStreamReader) must (a) deliver exactly the committed
+    change feed from its start_version, (b) on a SECOND availableNow
+    run over the same checkpoint deliver ONLY versions committed in
+    between (offsets are durable snapshot versions), and (c) refuse a
+    range crossed by a rewrite (append-only contract)."""
+    import os
+
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        commit_snapshot,
+        compact_snapshot,
+        vacuum,
+    )
+    from mobility_etl_spark.sources.pydatasource import (
+        SnapshotChangeFeedDataSource,
+        SnapshotChangeFeedStreamReader,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    ev.filter(F.col("event_id") < 300).write.parquet(tbl)
+    commit_snapshot(spark, tbl, note="v1")
+    append_snapshot(
+        spark, tbl,
+        ev.filter((F.col("event_id") >= 300) & (F.col("event_id") < 600)),
+        note="v2",
+    )
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", tbl)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    ids = sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    )
+    assert len(ids) == 600 and ids[0] == 0 and ids[-1] == 599
+
+    # new version lands; the SAME checkpoint delivers only its rows
+    append_snapshot(
+        spark, tbl,
+        ev.filter((F.col("event_id") >= 600) & (F.col("event_id") < 700)),
+        note="v3",
+    )
+    drain()
+    ids = sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    )
+    assert len(ids) == 700 and ids[-1] == 699  # no duplicates, no gaps
+
+    # rewrite crossing the range is refused (append-only contract)
+    compact_snapshot(spark, tbl, target_file_bytes=1 << 30)
+    rdr = SnapshotChangeFeedStreamReader({"path": tbl})
+    with pytest.raises(ValueError, match="rewrite crossed"):
+        rdr.partitions({"version": 3}, rdr.latestOffset())
+
+    # and a consumer that fell behind the retention horizon gets a
+    # clear re-bootstrap error, not a raw missing-file crash
+    vacuum(tbl, keep_last=1)
+    with pytest.raises(ValueError, match="retention expired"):
+        rdr.partitions({"version": 3}, rdr.latestOffset())
