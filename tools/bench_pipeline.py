@@ -89,6 +89,10 @@ QUERIES = (
     "pipeline_pretraining_stream",
     "sketch_theta_custkey_sets",
     "sketch_theta_overlap_matrix",
+    "streaming_theta_overlap",
+    "snapshot_change_feed",
+    "snapshot_change_feed_ivm",
+    "streaming_snapshot_source",
 )
 
 
