@@ -979,3 +979,119 @@ def test_snapshot_changes_rewrite_fallback_is_exact(spark, table):
     delta = snapshot_changes(spark, path, v1, v3)
     ids = sorted(r.event_id for r in delta.select("event_id").collect())
     assert len(ids) == 500 and ids[0] == 500 and ids[-1] == 999
+
+
+def test_snapshot_lifecycle_state_machine_with_grace(spark, tmp_path):
+    """Lifecycle fuzz EXTENDED with the r10 grace-period algebra:
+    random programs of append / compact / in-flight-orphan injection /
+    graced vacuum / orphan commit / aged vacuum against the dict
+    model. Pins: a graced vacuum never touches a fresh orphan (the
+    in-flight writer survives), committing an orphan folds its rows in
+    exactly once, an AGED vacuum reclaims precisely the uncommitted
+    orphans, and every retained version's content always equals the
+    model."""
+    import os
+    import random
+    import time
+
+    from mobility_etl_spark.operators.snapshots import (
+        _data_files,
+        append_snapshot,
+        commit_snapshot_update,
+        compact_snapshot,
+        read_snapshot,
+        vacuum,
+    )
+
+    def run_program(seed: int, root: str) -> None:
+        rng = random.Random(seed)
+        t = f"{root}/g{seed}"
+        next_id = 0
+        model: dict[int, set] = {}
+        pending: dict[str, set] = {}  # orphan file -> its id set
+
+        def do_append():
+            nonlocal next_id
+            n = rng.randint(1, 20)
+            ids = set(range(next_id, next_id + n))
+            next_id += n
+            v = append_snapshot(
+                spark, t, spark.range(min(ids), max(ids) + 1)
+            )
+            model[v] = (model[max(model)] if model else set()) | ids
+
+        def do_orphan():
+            nonlocal next_id
+            n = rng.randint(1, 10)
+            ids = set(range(next_id, next_id + n))
+            next_id += n
+            stage = f"{t}/.orphan-stage-{len(pending)}"
+            spark.range(min(ids), max(ids) + 1).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            import pathlib as _pl
+
+            name = f"append-inflight-{seed}-{len(pending):03d}.parquet"
+            os.rename(
+                sorted(_pl.Path(stage).glob("*.parquet"))[0],
+                f"{t}/{name}",
+            )
+            pending[name] = ids
+
+        def do_commit_orphan():
+            if not pending:
+                return
+            name = sorted(pending)[0]
+            ids = pending.pop(name)
+            v = commit_snapshot_update(
+                spark, t, lambda cur: cur + [name], note="slow-commit"
+            )
+            model[v] = model[max(k for k in model if k < v)] | ids
+
+        do_append()
+        for _ in range(rng.randint(4, 12)):
+            op = rng.choice(
+                ["append", "append", "compact", "orphan",
+                 "commit_orphan", "graced_vacuum", "read"]
+            )
+            if op == "append":
+                do_append()
+            elif op == "compact":
+                v = compact_snapshot(spark, t, target_file_bytes=1 << 30)
+                assert v is not None
+                model[v] = model[v - 1]
+            elif op == "orphan":
+                do_orphan()
+            elif op == "commit_orphan":
+                do_commit_orphan()
+            elif op == "graced_vacuum":
+                keep = rng.randint(1, 3)
+                vacuum(t, keep_last=keep, grace_s=3600.0)
+                for dropped in sorted(model)[:-keep]:
+                    model.pop(dropped)
+                # every fresh in-flight orphan survived
+                for name in pending:
+                    assert os.path.exists(f"{t}/{name}"), (seed, name)
+            else:
+                v = rng.choice(sorted(model))
+                got = {r.id for r in
+                       read_snapshot(spark, t, version=v).collect()}
+                assert got == model[v], f"seed {seed} v{v}"
+
+        # endgame: age everything, one aged vacuum — uncommitted
+        # orphans reclaimed exactly, retained versions untouched
+        old = time.time() - 7200
+        for f in _data_files(t):
+            os.utime(f"{t}/{f}", (old, old))
+        vacuum(t, keep_last=1, grace_s=3600.0)
+        for dropped in sorted(model)[:-1]:
+            model.pop(dropped)
+        for name in pending:
+            assert not os.path.exists(f"{t}/{name}"), (seed, name)
+        tip = max(model)
+        got = {r.id for r in
+               read_snapshot(spark, t, version=tip).collect()}
+        assert got == model[tip], f"seed {seed} endgame"
+
+    for seed in (7, 19, 42, 63, 88):
+        run_program(seed, str(tmp_path))
