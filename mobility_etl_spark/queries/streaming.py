@@ -844,3 +844,60 @@ def streaming_snapshot_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "streaming_snapshot_source_agg",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id < 500
+    GROUP BY lang
+    """,
+    tags=("N13", "E30", "E31"),
+)
+def streaming_snapshot_source_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The snapshot-table source feeding Spark's NATIVE stateful
+    streaming aggregation: the same committed-version feed as
+    streaming_snapshot_source, but from version 0 and with the
+    maintenance done by the ENGINE — readStream → groupBy(lang) →
+    complete-mode memory sink — instead of a hand-rolled fold. Each
+    committed snapshot version arrives as one micro-batch of added
+    files; the streaming agg's state IS the incrementally-maintained
+    rollup, and the drained result must equal the from-scratch batch
+    aggregate over everything committed (the oracle). Custom source +
+    built-in stateful operator composing cleanly is the point: the
+    snapshot log behaves like any other Spark stream."""
+    import uuid as _uuid
+
+    from mobility_etl_spark.sources.pydatasource import (
+        SnapshotChangeFeedDataSource,
+    )
+
+    # ensure the committed fixture table exists (shared with the
+    # sibling face's per-process cache)
+    streaming_snapshot_source(spark, sf_dir)
+    import os
+
+    tbl = os.path.join(_SNAP_SRC_CACHE[sf_dir], "tbl")
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+    name = f"snap_src_agg_{_uuid.uuid4().hex[:10]}"
+    q = (
+        spark.readStream.format("snapshot_changes")
+        .option("path", tbl)
+        .load()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
