@@ -408,8 +408,9 @@ def snapshot_changes(
         "files"
     ]
     root = pathlib.Path(table_path)
-    if set(files_from) <= set(files_to):
-        new = [f for f in files_to if f not in set(files_from)]
+    from_set = set(files_from)
+    if from_set <= set(files_to):
+        new = [f for f in files_to if f not in from_set]
         if not new:
             return read_snapshot(spark, table_path, v_to).limit(0)
         return spark.read.parquet(*(str(root / f) for f in new))
@@ -585,19 +586,38 @@ def vacuum(
                 continue  # raced with its own writer/another vacuum
         (root / f).unlink()
         deleted += 1
-    dropped_notes = []
-    for v in drop:
-        mf = _snap_dir(table_path) / f"v{v}.manifest.json"
+    _preserve_notes_then_drop(
+        table_path,
+        [_snap_dir(table_path) / f"v{v}.manifest.json" for v in drop],
+    )
+    return deleted
+
+
+def _preserve_notes_then_drop(
+    table_path: str, manifest_paths: list
+) -> int:
+    """Append the non-empty commit notes of ``manifest_paths`` to the
+    table's ``.notes.log`` sidecar, THEN unlink the manifests — in
+    that order, so a crash between the two steps can only leave a
+    duplicate sidecar line (harmless: :func:`snapshot_notes` returns a
+    set), never a lost note (which would break a replayed writer's
+    idempotence check — ADVICE r10). Every retention path that drops
+    snapshot manifests (:func:`vacuum` and both of
+    :func:`catalog_vacuum`'s) must go through this. Returns the number
+    of manifests dropped."""
+    notes = []
+    for mf in manifest_paths:
         note = json.loads(mf.read_text()).get("note", "")
         if note:
-            dropped_notes.append(note)
-        mf.unlink()
-    if dropped_notes:
+            notes.append(note)
+    if notes:
         # O_APPEND single-write: atomic enough for one-line notes even
         # under a racing second vacuum
         with open(_snap_dir(table_path) / _NOTESLOG, "a") as fh:
-            fh.write("".join(n + "\n" for n in dropped_notes))
-    return deleted
+            fh.write("".join(n + "\n" for n in notes))
+    for mf in manifest_paths:
+        mf.unlink()
+    return len(manifest_paths)
 
 
 def streaming_snapshot_sink(
@@ -855,15 +875,20 @@ def catalog_vacuum(
         # violation, and gracing its files while deleting the
         # manifests that reach them would orphan them permanently).
         root = pathlib.Path(tpath)
-        for sv in sorted(_list_versions(tpath)):
-            (_snap_dir(tpath) / f"v{sv}.manifest.json").unlink()
-            snapshots_dropped += 1
+        snapshots_dropped += _preserve_notes_then_drop(
+            tpath,
+            [
+                _snap_dir(tpath) / f"v{sv}.manifest.json"
+                for sv in sorted(_list_versions(tpath))
+            ],
+        )
         for f in _data_files(tpath):
             (root / f).unlink()
             files_deleted += 1
     for tpath, keep_snaps in referenced.items():
         newest_bound = max(keep_snaps)
         keep_files: set[str] = set()
+        over_retention = []
         for sv in sorted(_list_versions(tpath)):
             if sv in keep_snaps or sv > newest_bound:
                 m = json.loads(
@@ -871,8 +896,12 @@ def catalog_vacuum(
                 )
                 keep_files.update(m["files"])
             else:
-                (_snap_dir(tpath) / f"v{sv}.manifest.json").unlink()
-                snapshots_dropped += 1
+                over_retention.append(
+                    _snap_dir(tpath) / f"v{sv}.manifest.json"
+                )
+        snapshots_dropped += _preserve_notes_then_drop(
+            tpath, over_retention
+        )
         root = pathlib.Path(tpath)
         for f in _data_files(tpath):
             if f not in keep_files:

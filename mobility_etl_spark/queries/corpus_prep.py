@@ -165,7 +165,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                len(list_distinct(toks)) AS n_distinct_tokens,
                list_transform(
                    generate_series(1, greatest(len(toks) - 2, 1)),
-                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])
                ) AS grams
         FROM t
     )
@@ -516,7 +516,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE len(toks) BETWEEN 50 AND 2000
           AND 1.0 - len(list_distinct(list_transform(
                   generate_series(1, greatest(len(toks) - 2, 1)),
-                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))
               / CAST(greatest(len(toks) - 2, 1) AS DOUBLE) <= 0.5
     ),
     reps AS (

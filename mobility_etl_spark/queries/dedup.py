@@ -87,7 +87,7 @@ def dedup_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+               concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS shingle
         FROM scoped, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
@@ -149,7 +149,7 @@ _MH_BANDED = "\n        UNION ALL ".join(
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+               concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS shingle
         FROM scoped, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
     ),
     sig AS (
@@ -269,7 +269,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sh AS (
         SELECT DISTINCT doc_id,
-               toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS shingle
+               concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS shingle
         FROM scoped, UNNEST(generate_series(1, greatest(len(toks) - 2, 1))) AS g(i)
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),

@@ -353,9 +353,15 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
     deltas. The snapshot-backed ledgers this engine streams
     (near-dup index, pretraining state) are all append-only."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         self.table = options["path"]
         self.start_version = int(options.get("start_version", 0))
+        # Spark maps yielded tuples onto the DECLARED schema
+        # positionally, so rows must follow the resolved schema's
+        # column order, not the parquet file's physical order — a
+        # caller-supplied .schema() with reordered columns would
+        # otherwise silently transpose values (ADVICE r10).
+        self.columns = [f.name for f in schema] if schema else None
 
     def _versions(self) -> list[int]:
         from mobility_etl_spark.operators.snapshots import _list_versions
@@ -415,7 +421,11 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         for batch in pq.ParquetFile(partition.path).iter_batches():
-            yield from zip(*(c.to_pylist() for c in batch.columns))
+            if self.columns is not None:  # declared-schema order
+                cols = [batch.column(name) for name in self.columns]
+            else:
+                cols = batch.columns
+            yield from zip(*(c.to_pylist() for c in cols))
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable snapshot versions; nothing to ack
@@ -455,4 +465,4 @@ class SnapshotChangeFeedDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType):
-        return SnapshotChangeFeedStreamReader(self.options)
+        return SnapshotChangeFeedStreamReader(self.options, schema)

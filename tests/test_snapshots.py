@@ -1095,3 +1095,100 @@ def test_snapshot_lifecycle_state_machine_with_grace(spark, tmp_path):
 
     for seed in (7, 19, 42, 63, 88):
         run_program(seed, str(tmp_path))
+
+
+def test_catalog_vacuum_preserves_notes_of_dropped_manifests(
+    spark, tmp_path
+):
+    """ADVICE r10 (medium): catalog_vacuum's retention paths — BOTH the
+    kept-table over-retention unlink and the dropped-only-table unlink
+    — must preserve commit notes to _snapshots/.notes.log exactly like
+    vacuum() does, or a stream replayed past the retention horizon
+    against the same root (lost checkpoint) silently re-appends
+    already-committed epochs."""
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        catalog_vacuum,
+        commit_catalog,
+        commit_snapshot,
+        snapshot_notes,
+    )
+
+    cat = str(tmp_path / "cat")
+    kept_t = str(tmp_path / "cat" / "kept")
+    dropped_t = str(tmp_path / "cat" / "dropped")
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    versions = {}
+    for t in (kept_t, dropped_t):
+        df.coalesce(1).write.parquet(t)
+        versions[t] = commit_snapshot(spark, t, note="e0")
+    # catalog v1 binds both tables; later versions bind only kept_t,
+    # whose snapshots keep advancing via per-epoch-noted appends
+    commit_catalog(
+        cat,
+        {"kept": (kept_t, versions[kept_t]),
+         "dropped": (dropped_t, versions[dropped_t])},
+        note="c1",
+    )
+    for epoch in (1, 2, 3, 4):
+        v = append_snapshot(spark, kept_t, df, note=f"e{epoch}")
+        commit_catalog(cat, {"kept": (kept_t, v)}, note=f"c{1+epoch}")
+
+    catalog_vacuum(cat, keep_last=2)
+    # kept table: e0..e2 manifests fell out of retention, notes live on
+    assert {"e0", "e1", "e2", "e3", "e4"} <= snapshot_notes(kept_t)
+    # dropped-only table: every manifest was reclaimed with its storage
+    # — but its notes survive in the sidecar for replay idempotence
+    assert "e0" in snapshot_notes(dropped_t)
+    # idempotent: a second vacuum neither loses nor chokes on notes
+    catalog_vacuum(cat, keep_last=2)
+    assert {"e0", "e1", "e2"} <= snapshot_notes(kept_t)
+
+
+def test_shingle_short_doc_oracle_parity(spark):
+    """ADVICE r10 (low): Spark's shingles() emits an all-tokens-joined
+    shingle for docs shorter than n (concat_ws skips the zip_with null
+    padding); the DuckDB oracles now mirror that with concat_ws —
+    assert the two engines agree ON short docs, which current SF
+    fixtures never contain."""
+    import duckdb
+
+    from mobility_etl_spark.operators.dedup import shingles
+
+    rows = [
+        (1, "one"),
+        (2, "two tokens"),
+        (3, "exactly three tokens"),
+        (4, "now four whole tokens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.shingle)
+        for r in shingles(df, "text", "doc_id", n=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+        )
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])
+                   AS shingle
+        FROM t, UNNEST(generate_series(1, greatest(len(toks) - 2, 1)))
+            AS g(i)
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert (1, "one") in got and (2, "two tokens") in got

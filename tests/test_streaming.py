@@ -1336,3 +1336,44 @@ def test_snapshot_source_streams_new_versions_incrementally(
     vacuum(tbl, keep_last=1)
     with pytest.raises(ValueError, match="retention expired"):
         rdr.partitions({"version": 3}, rdr.latestOffset())
+
+
+def test_snapshot_source_respects_declared_schema_order(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10 (low): a caller-supplied .schema() whose column
+    order differs from the parquet files' physical order must get
+    values BY NAME, not positionally transposed."""
+    from mobility_etl_spark.operators.snapshots import commit_snapshot
+    from mobility_etl_spark.sources.pydatasource import (
+        SnapshotChangeFeedDataSource,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    out = str(tmp_path / "out")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    ev.filter(F.col("event_id") < 50).write.parquet(tbl)
+    commit_snapshot(spark, tbl, note="v1")
+    spark.dataSource.register(SnapshotChangeFeedDataSource)
+    q = (
+        spark.readStream.format("snapshot_changes")
+        # REORDERED vs the file's (event_id, user_id, value)
+        .schema("value double, event_id bigint, user_id bigint")
+        .option("path", tbl)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    want = ev.filter(F.col("event_id") < 50).select(
+        "value", "event_id", "user_id"
+    )
+    assert got.count() == 50
+    assert sorted(got.columns) == sorted(want.columns)
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
