@@ -98,7 +98,10 @@ def _file_column_stats(
     out: dict[str, dict] = {}
     for f in files:
         md = pq.ParquetFile(root / f).metadata
-        per: dict[str, list] = {}
+        # row count rides along under a reserved key (Iceberg's
+        # record_count): a provably EMPTY file is prunable by every
+        # reader regardless of which column it filters on
+        per: dict[str, object] = {"_rows": md.num_rows}
         invalid: set[str] = set()
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
@@ -354,8 +357,11 @@ def read_snapshot(
         kept = [
             f
             for f in files
-            if (span := stats.get(f, {}).get(col)) is None
-            or (span[0] <= hi and span[1] >= lo)
+            if stats.get(f, {}).get("_rows") != 0
+            and (
+                (span := stats.get(f, {}).get(col)) is None
+                or (span[0] <= hi and span[1] >= lo)
+            )
         ]
         if not kept:  # provably empty: schema-stable zero-row frame
             return spark.read.parquet(
@@ -438,6 +444,8 @@ def compact_snapshot(
     target_file_bytes: int = 128 * 1024 * 1024,
     note: str = "compaction",
     stats_cols: tuple[str, ...] = (),
+    layout_col: str | None = None,
+    layout_files: int | None = None,
 ) -> int | None:
     """Table-format-style compaction: rewrite the LATEST snapshot's
     data into right-sized files and commit them as a new snapshot —
@@ -470,9 +478,21 @@ def compact_snapshot(
     n_target = max(1, math.ceil(manifest["bytes"] / target_file_bytes))
     token = uuid.uuid4().hex[:12]
     stage = root / f".compact-stage-{token}"
-    read_snapshot(spark, table_path, version=manifest["version"]).coalesce(
-        n_target
-    ).write.mode("overwrite").parquet(str(stage))
+    tip = read_snapshot(spark, table_path, version=manifest["version"])
+    if layout_col is not None:
+        # LAYOUT-PRESERVING compaction (Iceberg's sort-order rewrite):
+        # range-partition + sort on the clustering column so each
+        # output file covers a contiguous span of it — the property
+        # the manifest-stats file pruning (read_snapshot where=,
+        # similarity.prune_probe_files) depends on; a coalesce here
+        # would interleave cells and destroy every file's span.
+        n_target = max(n_target, layout_files or 1)
+        tip = tip.repartitionByRange(
+            n_target, layout_col
+        ).sortWithinPartitions(layout_col)
+    else:
+        tip = tip.coalesce(n_target)
+    tip.write.mode("overwrite").parquet(str(stage))
     new_files = []
     for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
         name = f"compacted-{token}-{i:05d}.parquet"
@@ -771,6 +791,31 @@ def read_catalog_table(
     return read_snapshot(
         spark, entry["path"], entry["version"], where=where
     )
+
+
+def catalog_table_entry(
+    catalog_path: str, name: str, catalog_version: int | None = None
+) -> tuple[str, int]:
+    """Resolve ``name`` through a catalog version to its bound
+    ``(table_path, snapshot_version)`` — for callers that need the
+    pinned snapshot's MANIFEST (file-pruning stats, change feeds), not
+    just its rows."""
+    versions = _cat_versions(catalog_path)
+    if not versions:
+        raise FileNotFoundError(f"no catalog commits at {catalog_path}")
+    v = versions[-1] if catalog_version is None else catalog_version
+    if v not in versions:
+        raise FileNotFoundError(f"catalog v{v} not found (have {versions})")
+    manifest = json.loads(
+        (_cat_dir(catalog_path) / f"v{v}.catalog.json").read_text()
+    )
+    entry = manifest["tables"].get(name)
+    if entry is None:
+        raise KeyError(
+            f"table {name!r} not in catalog v{v} "
+            f"(has {sorted(manifest['tables'])})"
+        )
+    return entry["path"], entry["version"]
 
 
 def catalog_log(catalog_path: str) -> list[dict]:

@@ -1013,7 +1013,8 @@ def run_pretraining_stream(
             (F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1])
         ).coalesce(1).write.parquet(os.path.join(feed_dir, f"c{i:02d}"))
 
-    pretraining_stream_init(spark, root)
+    emb_static = load_table(spark, sf_dir, "embeddings")
+    pretraining_stream_init(spark, root, emb=emb_static)
     schema = spark.read.parquet(f"{feed_dir}/*").schema
     feed = (
         spark.readStream.schema(schema)

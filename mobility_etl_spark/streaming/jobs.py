@@ -998,15 +998,58 @@ _PRETRAIN_SCHEMAS = {
     "survivors": "doc_id long, lang string, n_tokens int, sem_kept boolean",
     "evalgrams": "ngh long",
     "traingrams": "doc_id long, ngh long",
-    "embindex": "doc_id long, embedding array<float>",
+    "embindex": "doc_id long, embedding array<float>, cell int, ccos double",
 }
 
+#: Coarse-quantizer width and the stored-IVF layout knobs for the
+#: embedding index (VERDICT r10 #1): every embindex append/compaction
+#: is range-partitioned on ``cell`` into ``_EMBINDEX_FILES`` files and
+#: commits per-file [cell span, min ccos, doc_id span] stats into the
+#: manifest, so the semantic probe prunes FILES by the angular bound
+#: (operators/similarity.py:prune_probe_files) and the id-contract
+#: check prunes by doc_id — metadata-only planning at any index size.
+_PRETRAIN_CELLS = 16
+_EMBINDEX_FILES = _PRETRAIN_CELLS  # one file per cell: true stored-IVF
+_EMBINDEX_STATS = ("cell", "ccos", "doc_id")
 
-def pretraining_stream_init(spark: SparkSession, root: str) -> None:
+
+def _load_centroids(root: str):
+    """The stream's coarse-quantizer centroids (trained once at init,
+    immutable), as a normalized float64 numpy matrix — or None for
+    roots initialized without embeddings (the pruning-less fallback
+    the crash drills and pre-r11 roots use)."""
+    import json
+    import os
+
+    import numpy as np
+
+    path = os.path.join(root, "centroids.json")
+    if not os.path.exists(path):
+        return None
+    return np.asarray(json.loads(open(path).read()), dtype=np.float64)
+
+
+def pretraining_stream_init(
+    spark: SparkSession,
+    root: str,
+    emb: DataFrame | None = None,
+    n_cells: int = _PRETRAIN_CELLS,
+) -> None:
     """Seed the four pretraining state tables with empty (0-row,
     schema-bearing) snapshots and bind them in catalog v1, so the
     first micro-batch's reads resolve through the catalog like every
-    later one."""
+    later one.
+
+    When ``emb`` is given, additionally train the stream's coarse
+    quantizer (deterministic k-means over the first vectors by id —
+    operators/similarity.py:train_kmeans_centroids) and persist it to
+    ``root/centroids.json``: the fixed centroid set every batch's
+    embindex appends are clustered by and every probe prunes against.
+    Trained ONCE from the static embedding side, it is identical
+    across micro-batch boundaries and replays, so it cannot perturb
+    the boundary-invariance or exactly-once gates. Without ``emb`` the
+    stream runs the pruning-less full-probe fallback."""
+    import json
     import os
 
     from mobility_etl_spark.operators.snapshots import (
@@ -1014,13 +1057,33 @@ def pretraining_stream_init(spark: SparkSession, root: str) -> None:
         commit_snapshot,
     )
 
+    if emb is not None:
+        from mobility_etl_spark.operators.similarity import (
+            train_kmeans_centroids,
+        )
+
+        cents = train_kmeans_centroids(emb, n_cells=n_cells)
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "centroids.json"), "w") as fh:
+            json.dump([[float(x) for x in c] for c in cents], fh)
     tables = {}
     for name in _PRETRAIN_TABLES:
         path = os.path.join(root, name)
         spark.createDataFrame([], _PRETRAIN_SCHEMAS[name]).coalesce(
             1
         ).write.parquet(path)
-        tables[name] = (path, commit_snapshot(spark, path, note="init"))
+        # stats for embindex's 0-row seed file record _rows = 0, so
+        # the pruned probe can provably skip it instead of keeping it
+        # forever as a stats-less unknown
+        tables[name] = (
+            path,
+            commit_snapshot(
+                spark,
+                path,
+                note="init",
+                stats_cols=_EMBINDEX_STATS if name == "embindex" else (),
+            ),
+        )
     commit_catalog(root, tables, note="init")
 
 
@@ -1114,13 +1177,18 @@ def pretraining_apply_batch(
     embedded = s1.select("doc_id").join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
-    idx = read_catalog_table(spark, root, "embindex")
 
     # contract check: any indexed id >= this batch's min that is not
-    # the batch's own (replayed) append violates id-ordering
+    # the batch's own (replayed) append violates id-ordering. The read
+    # is manifest-pruned on the committed per-file doc_id spans
+    # (where=), so with id-ordered appends it opens O(1) recent files,
+    # not the index.
     batch_min = batch_df.agg(F.min("doc_id")).first()[0]
     stray = (
-        idx.filter(F.col("doc_id") >= batch_min)
+        read_catalog_table(
+            spark, root, "embindex", where=("doc_id", batch_min, 1 << 62)
+        )
+        .filter(F.col("doc_id") >= batch_min)
         .join(batch_df.select("doc_id"), "doc_id", "left_anti")
         .limit(1)
         .collect()
@@ -1134,18 +1202,34 @@ def pretraining_apply_batch(
 
     # Exact-witness probe, distributed + vectorized: one BLAS gram per
     # corpus partition against the closure-shipped batch matrix
-    # (operators/similarity.py:exact_probe_blas — map-only over the
-    # index, no shuffle; decision-identical to the expression form
-    # because the capstone's decisions are margin-gated at >= 2.4e-5
-    # vs ~1e-13 float noise). Witnesses are LOWER-id embedded docs —
-    # kept or dropped — so the whole stage stays in-frame.
-    from mobility_etl_spark.operators.similarity import exact_probe_blas
-
-    hits_index = (
-        exact_probe_blas(embedded, idx, sem_tau)
-        .filter(F.col("corp_id") < F.col("inc_id"))
-        .select(F.col("inc_id").alias("doc_id"))
+    # (operators/similarity.py — map-only over the index, no shuffle;
+    # decision-identical to the expression form because the capstone's
+    # decisions are margin-gated at >= 2.4e-5 vs ~1e-13 float noise).
+    # Witnesses are LOWER-id embedded docs — kept or dropped — so the
+    # whole stage stays in-frame. With a trained quantizer the probe
+    # is CLUSTER-PRUNED (VERDICT r10 #1): the index is stored
+    # range-clustered by cell with manifest stats, and files whose
+    # angular bound cos(max(0, α − θ)) < τ are skipped before any
+    # footer opens — provably witness-free, so decisions (and the
+    # shared batch-capstone oracle hash) are unchanged on any data.
+    from mobility_etl_spark.operators.similarity import (
+        exact_probe_blas,
+        exact_probe_blas_pruned,
     )
+    from mobility_etl_spark.operators.snapshots import catalog_table_entry
+
+    centroids = _load_centroids(root)
+    if centroids is not None:
+        idx_path, idx_version = catalog_table_entry(root, "embindex")
+        hits_index_raw = exact_probe_blas_pruned(
+            spark, embedded, idx_path, idx_version, centroids, sem_tau
+        )
+    else:  # pruning-less fallback (roots initialized without emb)
+        idx = read_catalog_table(spark, root, "embindex")
+        hits_index_raw = exact_probe_blas(embedded, idx, sem_tau)
+    hits_index = hits_index_raw.filter(
+        F.col("corp_id") < F.col("inc_id")
+    ).select(F.col("inc_id").alias("doc_id"))
     hits_intra = (
         exact_probe_blas(embedded, embedded, sem_tau)
         .filter(F.col("corp_id") < F.col("inc_id"))
@@ -1176,12 +1260,24 @@ def pretraining_apply_batch(
         .select("doc_id", F.xxhash64("ng").alias("ngh"))
     )
 
+    if centroids is not None:
+        from mobility_etl_spark.operators.similarity import assign_cells
+
+        emb_payload = assign_cells(embedded, centroids)
+    else:
+        emb_payload = embedded.select(
+            "doc_id",
+            "embedding",
+            F.lit(-1).alias("cell"),
+            F.lit(1.0).alias("ccos"),
+        )
+
     note = f"e{epoch}"
     payloads = {
         "survivors": survivors,
         "evalgrams": eval_g,
         "traingrams": train_g,
-        "embindex": embedded.select("doc_id", "embedding"),
+        "embindex": emb_payload,
     }
     for name in _PRETRAIN_TABLES:
         path = os.path.join(root, name)
@@ -1189,11 +1285,28 @@ def pretraining_apply_batch(
             continue  # this epoch's append already committed (replay)
         df = payloads[name]
         if df.take(1):
-            # batch-sized state deltas: one file per (table, epoch)
-            # append, or un-coalesced writes leave one parquet per
-            # shuffle partition and the tips hit the compaction budget
-            # immediately (measured in the r10 near-dup stress run)
-            append_snapshot(spark, path, df.coalesce(1), note=note)
+            if name == "embindex" and centroids is not None:
+                # stored-IVF layout: range-clustered by cell so each
+                # file covers a contiguous cell span, with per-file
+                # [cell, ccos, doc_id] stats committed to the manifest
+                # — the metadata the pruned probe and the id-contract
+                # check plan against
+                append_snapshot(
+                    spark,
+                    path,
+                    df.repartitionByRange(
+                        _EMBINDEX_FILES, "cell"
+                    ).sortWithinPartitions("cell"),
+                    note=note,
+                    stats_cols=_EMBINDEX_STATS,
+                )
+            else:
+                # batch-sized state deltas: one file per (table, epoch)
+                # append, or un-coalesced writes leave one parquet per
+                # shuffle partition and the tips hit the compaction
+                # budget immediately (measured in the r10 near-dup
+                # stress run)
+                append_snapshot(spark, path, df.coalesce(1), note=note)
         if fail_after == name:
             raise RuntimeError(f"simulated crash after {name} append")
 
@@ -1254,10 +1367,31 @@ def pretraining_stream_ingest(
         if compact_every <= 0:
             return
         compacted = False
+        has_cents = _load_centroids(root) is not None
         for name in _PRETRAIN_TABLES:
             path = os.path.join(root, name)
-            if snapshot_log(path)[-1]["n_files"] > compact_every:
-                compact_snapshot(spark, path)
+            # the cell-clustered index's post-compaction floor is
+            # _EMBINDEX_FILES files (one per cell), so its budget sits
+            # that much above the plain tables'
+            budget = compact_every + (
+                _EMBINDEX_FILES
+                if name == "embindex" and has_cents
+                else 0
+            )
+            if snapshot_log(path)[-1]["n_files"] > budget:
+                if name == "embindex" and has_cents:
+                    # compaction must PRESERVE the cell-clustered
+                    # layout + manifest stats or it would erase the
+                    # pruned probe's file spans
+                    compact_snapshot(
+                        spark,
+                        path,
+                        layout_col="cell",
+                        layout_files=_EMBINDEX_FILES,
+                        stats_cols=_EMBINDEX_STATS,
+                    )
+                else:
+                    compact_snapshot(spark, path)
                 compacted = True
         if compacted:
             commit_catalog(

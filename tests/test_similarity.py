@@ -498,3 +498,190 @@ def test_exact_probe_blas_plan_is_map_only(spark, sf_dir):
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+# ----------------------------------------------- pruned probe (r11 #1)
+
+
+def _make_snapshot_index(spark, tmp_path, vecs, centroids, files=4):
+    """Write (doc_id, embedding) vectors as a cell-clustered snapshot
+    table with manifest stats — the capstone's embindex layout."""
+    import numpy as np
+
+    from mobility_etl_spark.operators.similarity import assign_cells
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        append_snapshot,
+        commit_snapshot,
+    )
+
+    path = str(tmp_path / "embindex")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "doc_id long, embedding array<float>",
+    )
+    tagged = assign_cells(df, centroids)
+    spark.createDataFrame(
+        [], "doc_id long, embedding array<float>, cell int, ccos double"
+    ).coalesce(1).write.parquet(path)
+    commit_snapshot(spark, path, note="init")
+    append_snapshot(
+        spark,
+        path,
+        tagged.repartitionByRange(files, "cell").sortWithinPartitions(
+            "cell"
+        ),
+        note="e0",
+        stats_cols=("cell", "ccos", "doc_id"),
+    )
+    return path, _list_versions(path)[-1]
+
+
+def _probe_pair_sets(df):
+    return {(r.inc_id, r.corp_id) for r in df.collect()}
+
+
+def test_pruned_probe_identical_on_isotropic_data(spark, sf_dir, tmp_path):
+    """Exactness on the WORST-CASE geometry: the sf embeddings are
+    isotropic (SCALING.md r11 measures it), so the angular bound can
+    rarely prove a file witness-free — the pruned probe must then
+    degrade to (a subset-free) full probe with IDENTICAL hits."""
+    import numpy as np
+
+    from mobility_etl_spark.operators.similarity import (
+        exact_probe_blas,
+        exact_probe_blas_pruned,
+        train_kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_kmeans_centroids(emb, n_cells=16)
+    rows = emb.orderBy("vec_id").collect()
+    vecs = [r.embedding for r in rows]
+    path, v = _make_snapshot_index(spark, tmp_path, vecs, cents)
+    inc = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "doc_id long, embedding array<float>",
+    )
+    full = exact_probe_blas(
+        inc,
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "doc_id long, embedding array<float>",
+        ),
+        0.47,
+    )
+    pruned = exact_probe_blas_pruned(spark, inc, path, v, cents, 0.47)
+    assert _probe_pair_sets(pruned) == _probe_pair_sets(full)
+    assert len(_probe_pair_sets(pruned)) >= 40  # self-copies hit
+
+
+def _clusterable(n, d=64, k=20, spread=0.05, seed=7):
+    """Mixture-of-tight-Gaussians on the sphere: the geometry real
+    document-embedding corpora have (and the synthetic sf tables lack)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(k, d)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, k, size=n)
+    v = centers[assign] + spread * rng.randn(n, d)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v, assign
+
+
+def test_pruned_probe_skips_majority_on_clusterable_data(spark, tmp_path):
+    """The VERDICT r10 #1 gate: on clusterable embeddings the
+    manifest-level angular bound must skip > 50% of index files for a
+    cluster-local increment, while the surviving-file probe stays
+    byte-identical to the full scan."""
+    import numpy as np
+
+    from mobility_etl_spark.operators.similarity import (
+        _collect_normalized,
+        exact_probe_blas,
+        exact_probe_blas_pruned,
+        prune_probe_files,
+        train_kmeans_centroids,
+    )
+
+    # 12 tight components (intra-cluster angle ~9 deg — real near-dup
+    # cluster geometry; at spread 0.05 the 64-d noise angle is already
+    # ~26 deg and tau=0.47's 62-deg threshold angle leaves no slack)
+    vecs, assign = _clusterable(1200, k=12, spread=0.02)
+    emb_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = train_kmeans_centroids(emb_df, n_cells=16, sample_n=1024)
+    # one file per cell: the 100 TB stored-IVF shape
+    path, v = _make_snapshot_index(
+        spark, tmp_path, vecs, cents, files=16
+    )
+    # increment drawn from TWO mixture components
+    inc_rows = [i for i in range(1200) if assign[i] in (3, 11)][:60]
+    inc = spark.createDataFrame(
+        [
+            (10_000 + i, [float(x) for x in vecs[i]])
+            for i in inc_rows
+        ],
+        "doc_id long, embedding array<float>",
+    )
+    _, inc_m = _collect_normalized(inc, "doc_id", "embedding")
+    kept, allf = prune_probe_files(path, v, inc_m, cents, 0.47)
+    skipped = len(allf) - len(kept)
+    assert skipped / len(allf) > 0.5, (skipped, len(allf))
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vv]) for i, vv in enumerate(vecs)],
+        "doc_id long, embedding array<float>",
+    )
+    full = exact_probe_blas(inc, corpus, 0.47)
+    pruned = exact_probe_blas_pruned(spark, inc, path, v, cents, 0.47)
+    assert _probe_pair_sets(pruned) == _probe_pair_sets(full)
+
+
+def test_prune_bound_soundness_fuzz(spark, tmp_path):
+    """Adversarial soundness fuzz: across seeds and geometries, every
+    file the bound SKIPS must truly contain no pair >= tau (recomputed
+    by exhaustive numpy), for several thresholds."""
+    import numpy as np
+
+    from mobility_etl_spark.operators.similarity import (
+        prune_probe_files,
+        train_kmeans_centroids,
+    )
+
+    for seed, spread in ((1, 0.05), (2, 0.3), (3, 1.5)):
+        vecs, _ = _clusterable(600, k=8, spread=spread, seed=seed)
+        emb_df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = train_kmeans_centroids(emb_df, n_cells=8, sample_n=512)
+        path, v = _make_snapshot_index(
+            spark, tmp_path / f"s{seed}", vecs, cents, files=8
+        )
+        rng = np.random.RandomState(100 + seed)
+        q = vecs[rng.randint(0, len(vecs), size=25)]
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        # float32 storage round-trip, as the probe sees it
+        stored = {}
+        import pyarrow.parquet as pq
+        import pathlib
+
+        for tau in (0.3, 0.47, 0.7, 0.95):
+            kept, allf = prune_probe_files(path, v, qn, cents, tau)
+            for f in set(allf) - set(kept):
+                t = pq.read_table(pathlib.Path(path) / f)
+                if t.num_rows == 0:
+                    continue  # empty file: trivially witness-free
+                m = np.stack(
+                    [
+                        np.asarray(x, dtype=np.float64)
+                        for x in t.column("embedding").to_pylist()
+                    ]
+                )
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                worst = float((m @ qn.T).max())
+                assert worst < tau, (seed, spread, tau, f, worst)
