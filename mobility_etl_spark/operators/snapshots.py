@@ -139,6 +139,8 @@ def commit_snapshot(
     note: str = "",
     files: list[str] | None = None,
     stats_cols: tuple[str, ...] = (),
+    op: str | None = None,
+    added: list[str] | None = None,
 ) -> int:
     """Commit a snapshot: the table's current data files, or an
     explicit ``files`` list (relative paths) for operations like
@@ -171,6 +173,13 @@ def commit_snapshot(
                 "n_files": len(files),
                 "bytes": sum((root / f).stat().st_size for f in files),
                 "stats": stats,
+                # operation typing (Iceberg's snapshot summary):
+                # "append" commits declare exactly which files carry
+                # their NEW rows; "replace" declares the commit
+                # content-preserving — what lets snapshot_changes walk
+                # a version chain ACROSS compactions at file level
+                "op": op,
+                "added": added,
             }
             tmp.write_text(json.dumps(manifest, indent=1))
             try:
@@ -192,6 +201,8 @@ def commit_snapshot_update(
     update_fn,
     note: str = "",
     stats_cols: tuple[str, ...] = (),
+    op: str | None = None,
+    added: list[str] | None = None,
 ) -> int | None:
     """Commit a CONTENT-AWARE update: ``update_fn(tip_files)`` maps the
     current snapshot's file list to the new one, and is RE-APPLIED to
@@ -248,6 +259,8 @@ def commit_snapshot_update(
                     (root / f).stat().st_size for f in new_files
                 ),
                 "stats": stats,
+                "op": op,  # see commit_snapshot's manifest note
+                "added": added,
             }
             tmp.write_text(json.dumps(manifest, indent=1))
             try:
@@ -300,6 +313,8 @@ def append_snapshot(
             lambda cur: cur + new_files,
             note=note,
             stats_cols=stats_cols,
+            op="append",
+            added=new_files,
         )
     except RuntimeError:
         # commit-race exhaustion: our renamed-but-never-committed files
@@ -371,6 +386,12 @@ def read_snapshot(
     return spark.read.parquet(*(str(root / f) for f in files))
 
 
+#: Which snapshot_changes path served each call (observability only):
+#: "fast" = pure-append file diff, "lineage" = op-typed walk across
+#: rewrites, "full_diff" = two-snapshot exceptAll. Tests reset + read.
+CHANGES_PATH_STATS = {"fast": 0, "lineage": 0, "full_diff": 0}
+
+
 def snapshot_changes(
     spark: SparkSession, table_path: str, v_from: int, v_to: int
 ) -> DataFrame:
@@ -388,15 +409,24 @@ def snapshot_changes(
     (streaming near-dup index, the pretraining capstone's ledgers)
     always hit.
 
-    Fallback — a REWRITE crossed the range (compaction/merge dropped a
-    ``v_from`` file): file identity no longer maps to row identity, so
-    the delta is the exact multiset difference
-    ``read(v_to) exceptAll read(v_from)`` — still correct (compaction
-    is content-preserving, so its rewrites cancel in the difference),
-    but costed by the two snapshots instead of the delta; a 100 TB
-    deployment schedules change-feed reads between compactions or
-    consumes at file level with delete-vectors. Both paths are gated
-    in tests/test_snapshots.py against the same oracle rows.
+    Fast path — OPERATION-TYPED CHAIN (r11, Iceberg's incremental-read
+    move): when a compaction rewrote ``v_from`` files, the delta is
+    still file-level if every manifest in ``(v_from, v_to]`` declares
+    its operation — "append" commits contribute exactly their
+    ``added`` files (which stay on disk until vacuum even after later
+    rewrites de-reference them, because earlier manifests and the
+    grace chain keep them), "replace" commits are content-preserving
+    and contribute nothing. The scan is the union of appended files:
+    O(delta) ACROSS compactions.
+
+    Fallback — an untyped or genuinely row-rewriting commit crossed
+    the range, or retention already reclaimed an appended file: file
+    identity no longer maps to row identity, so the delta is the exact
+    multiset difference ``read(v_to) exceptAll read(v_from)`` — still
+    correct (rewrites are content-preserving, so they cancel in the
+    difference), but costed by the two snapshots instead of the delta.
+    All three paths are gated in tests/test_snapshots.py against the
+    same oracle rows; ``CHANGES_PATH_STATS`` records which one ran.
     """
     versions = _list_versions(table_path)
     for v in (v_from, v_to):
@@ -414,15 +444,65 @@ def snapshot_changes(
         "files"
     ]
     root = pathlib.Path(table_path)
-    from_set = set(files_from)
-    if from_set <= set(files_to):
-        new = [f for f in files_to if f not in from_set]
-        if not new:
+    delta_files = changed_files(table_path, v_from, v_to)
+    if delta_files is not None:
+        if not delta_files:
             return read_snapshot(spark, table_path, v_to).limit(0)
-        return spark.read.parquet(*(str(root / f) for f in new))
+        return spark.read.parquet(
+            *(str(root / f) for f in delta_files)
+        )
+    CHANGES_PATH_STATS["full_diff"] += 1
     return read_snapshot(spark, table_path, v_to).exceptAll(
         read_snapshot(spark, table_path, v_from)
     )
+
+
+def changed_files(
+    table_path: str, v_from: int, v_to: int
+) -> list[str] | None:
+    """The FILE-LEVEL delta between two committed snapshots — the list
+    of data files whose rows were appended in ``(v_from, v_to]`` — or
+    ``None`` when only a full multiset diff is sound (an untyped or
+    row-rewriting commit in the range, a retention gap in the manifest
+    chain, or an appended file already reclaimed). Shared by
+    :func:`snapshot_changes` and the streaming change-feed source
+    (sources/pydatasource.py), which turns each returned file into one
+    input partition. Both endpoint manifests must exist."""
+    d = _snap_dir(table_path)
+    files_from = json.loads(
+        (d / f"v{v_from}.manifest.json").read_text()
+    )["files"]
+    files_to = json.loads((d / f"v{v_to}.manifest.json").read_text())[
+        "files"
+    ]
+    from_set = set(files_from)
+    if from_set <= set(files_to):
+        CHANGES_PATH_STATS["fast"] += 1
+        return [f for f in files_to if f not in from_set]
+    # lineage walk: sum the appended files of every op-typed commit in
+    # the range; any untyped commit, already-vacuumed file, or GAP in
+    # the retained chain (a vacuumed intermediate manifest could hide
+    # an append) → caller falls back to the full diff
+    versions = _list_versions(table_path)
+    in_range = [v for v in versions if v_from < v <= v_to]
+    if in_range != list(range(v_from + 1, v_to + 1)):
+        return None
+    chain: list[str] = []
+    for v in in_range:
+        try:
+            m = json.loads((d / f"v{v}.manifest.json").read_text())
+        except FileNotFoundError:
+            return None  # retention raced us mid-walk
+        op = m.get("op")
+        if op == "append":
+            chain.extend(m.get("added") or [])
+        elif op != "replace":
+            return None  # untyped or row-rewriting commit
+    root = pathlib.Path(table_path)
+    if not all((root / f).is_file() for f in chain):
+        return None
+    CHANGES_PATH_STATS["lineage"] += 1
+    return chain
 
 
 def snapshot_log(table_path: str) -> list[dict]:
@@ -507,7 +587,13 @@ def compact_snapshot(
 
     try:
         v = commit_snapshot_update(
-            spark, table_path, _reapply, note=note, stats_cols=stats_cols
+            spark,
+            table_path,
+            _reapply,
+            note=note,
+            stats_cols=stats_cols,
+            op="replace",  # content-preserving rewrite: adds no rows
+            added=[],
         )
     except RuntimeError:
         for f in new_files:  # race exhaustion: reclaim unpublished output

@@ -1087,9 +1087,11 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1, append 200-350 (v2) and 350-500 (v3), and read "what changed
     since v1" through BOTH paths — the pure-append fast path (scan of
     exactly the new files, O(delta) at any table size) and, after a
-    compaction rewrites the tip, the exceptAll fallback (file identity
-    no longer maps to row identity; the multiset difference is still
-    exact because compaction is content-preserving). The oracle states
+    compaction rewrites the tip, the op-typed LINEAGE WALK (r11: each
+    manifest declares append/replace, so the feed sums the appended
+    files ACROSS the rewrite and scans only those — still O(delta);
+    the exceptAll multiset fallback survives for untyped commits and
+    retention gaps, gated in tests/test_snapshots.py). The oracle states
     both answers directly from the id ranges, so the hash equality
     proves the manifest diff returns precisely the appended rows —
     nothing lost, nothing duplicated, no pre-v1 row leaking in."""
@@ -1174,6 +1176,8 @@ def snapshot_change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_changes,
     )
 
+    from mobility_etl_spark.operators.snapshots import compact_snapshot
+
     path = tempfile.mkdtemp(prefix="snap_ivm_")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
@@ -1183,6 +1187,11 @@ def snapshot_change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     versions = [commit_snapshot(spark, path, note="v1")]
     for lo, hi, note in ((200, 350, "v2"), (350, 500, "v3")):
+        # a compaction between EVERY consumed version (r11): each of
+        # the feed's cursor ranges crosses a rewrite, so each delta
+        # resolves through the op-typed lineage walk — still a scan of
+        # exactly the appended files, never the exceptAll fallback
+        compact_snapshot(spark, path, target_file_bytes=1 << 30)
         versions.append(
             append_snapshot(
                 spark,

@@ -346,12 +346,15 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
     file list between two versions is immutable once committed, the
     deterministic-replay property checkpoint recovery needs).
 
-    APPEND-ONLY CONTRACT: like operators/snapshots.py:snapshot_changes'
-    fast path, a version range crossed by a REWRITE (compaction) has no
-    file-level row delta; ``partitions`` raises then — a deployment
-    consumes between compactions or replaces files with delete-vector
-    deltas. The snapshot-backed ledgers this engine streams
-    (near-dup index, pretraining state) are all append-only."""
+    ROW-APPEND CONTRACT: each micro-batch's partitions come from
+    operators/snapshots.py:changed_files — the pure-append file diff
+    or, across compactions, the op-typed lineage walk (r11), so the
+    stream rides through content-preserving rewrites (a compaction
+    contributes ZERO partitions — it adds no rows). Only an untyped /
+    row-rewriting commit or a retention gap raises, telling the
+    consumer to re-bootstrap from a full snapshot read. The
+    snapshot-backed ledgers this engine streams (near-dup index,
+    pretraining state) are all op-typed appends + compactions."""
 
     def __init__(self, options: dict, schema: StructType | None = None):
         self.table = options["path"]
@@ -400,21 +403,29 @@ class SnapshotChangeFeedStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return []
-        from_files = set(self._files(v0))
-        to_files = self._files(v1)
-        if not from_files <= set(to_files):
-            raise ValueError(
-                f"snapshot_changes source: a rewrite crossed v{v0}->"
-                f"v{v1} (files removed); the streaming change feed is "
-                "defined for append-only ranges — consume between "
-                "compactions"
-            )
         import os as _os
 
+        if v0 == 0:  # bootstrap: the whole first offset's snapshot
+            new = self._files(v1)
+        else:
+            self._files(v0)  # surfaces the retention-expiry error
+            from mobility_etl_spark.operators.snapshots import (
+                changed_files,
+            )
+
+            new = changed_files(self.table, v0, v1)
+            if new is None:
+                raise ValueError(
+                    f"snapshot_changes source: cannot resolve a "
+                    f"file-level delta for v{v0}->v{v1} (an untyped or "
+                    "row-rewriting commit, or a retention gap, crossed "
+                    "the range; op-typed appends and compactions "
+                    "stream fine) — re-bootstrap from a full snapshot "
+                    "read"
+                )
         return [
             _SnapshotFilePartition(_os.path.join(self.table, f))
-            for f in to_files
-            if f not in from_files
+            for f in new
         ]
 
     def read(self, partition: _SnapshotFilePartition) -> Iterator[tuple]:

@@ -1331,10 +1331,51 @@ def test_snapshot_source_streams_new_versions_incrementally(
     )
     assert len(ids) == 700 and ids[-1] == 699  # no duplicates, no gaps
 
-    # rewrite crossing the range is refused (append-only contract)
+    # a compaction crossing the range contributes ZERO partitions
+    # (content-preserving — the r11 op-typed lineage walk), and the
+    # stream keeps riding: a post-compaction append still arrives
     compact_snapshot(spark, tbl, target_file_bytes=1 << 30)
     rdr = SnapshotChangeFeedStreamReader({"path": tbl})
-    with pytest.raises(ValueError, match="rewrite crossed"):
+    assert rdr.partitions({"version": 3}, rdr.latestOffset()) == []
+    append_snapshot(
+        spark, tbl,
+        ev.filter((F.col("event_id") >= 700) & (F.col("event_id") < 750)),
+        note="v5",
+    )
+    drain()
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert len(ids) == 750 and ids[-1] == 749  # rode through the rewrite
+
+    # an UNTYPED commit (no op declared) cannot be resolved at file
+    # level -> loud re-bootstrap error. Commit tip + the new part
+    # files explicitly (a raw directory commit would resurrect the
+    # pre-compaction files still on disk).
+    import json as _json
+
+    from mobility_etl_spark.operators.snapshots import (
+        _data_files,
+        _list_versions,
+        _snap_dir,
+    )
+
+    ev.filter(
+        (F.col("event_id") >= 750) & (F.col("event_id") < 760)
+    ).write.mode("append").parquet(tbl)
+    referenced = set()
+    for v in _list_versions(tbl):
+        referenced |= set(
+            _json.loads(
+                (_snap_dir(tbl) / f"v{v}.manifest.json").read_text()
+            )["files"]
+        )
+    tip = _json.loads(
+        (
+            _snap_dir(tbl) / f"v{_list_versions(tbl)[-1]}.manifest.json"
+        ).read_text()
+    )["files"]
+    fresh = [f for f in _data_files(tbl) if f not in referenced]
+    commit_snapshot(spark, tbl, note="untyped", files=tip + fresh)
+    with pytest.raises(ValueError, match="cannot resolve"):
         rdr.partitions({"version": 3}, rdr.latestOffset())
 
     # and a consumer that fell behind the retention horizon gets a
