@@ -112,14 +112,35 @@ def bloom_positions(
 ) -> DataFrame:
     """Expand each key into its ``k_hashes`` Bloom bit coordinates —
     ``(word_idx, bitmask)`` pairs addressing a conceptual bitset of
-    ``m_bits`` bits stored as 64-bit words. Hash i is
-    ``xxhash64(key, i) mod m`` — deterministic, seedless state, nothing
-    to broadcast. Pure codegen: explode + shift arithmetic, no Python.
+    ``m_bits`` bits stored as 64-bit words. Hash i is the PORTABLE
+    md5-derived 60-bit integer mod m (the same move as
+    dedup.minhash_perm_hash / kmv_hash — ANSI:
+    ``('0x' || substr(md5(i || '|' || key), 1, 15))::BIGINT % m``), so
+    a DuckDB oracle can rebuild the IDENTICAL filter bit for bit and
+    the bloom face is exact-oracle checked rather than rows-only
+    (r11). Deterministic, seedless state, nothing to broadcast. Pure
+    codegen: explode + shift arithmetic, no Python.
     """
     pos = F.explode(
         F.array(
             *[
-                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{i}|"),
+                                    F.col(key_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(m_bits),
+                )
                 for i in range(k_hashes)
             ]
         )

@@ -76,7 +76,56 @@ BLOOM_BITS_PER_KEY = 6
 BLOOM_K = 4
 
 
-@register("sketch_bloom_filter_dedup", oracle=None, tags=("N1", "E26"))
+@register(
+    "sketch_bloom_filter_dedup",
+    oracle=f"""
+    WITH seen AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+    m AS (
+        SELECT CAST(
+            POWER(2, GREATEST(
+                8,
+                CAST(FLOOR(LOG2(COUNT(*) * {BLOOM_BITS_PER_KEY}.0))
+                     AS INT) + 1)) AS BIGINT) AS m_bits
+        FROM seen
+    ),
+    pos_seen AS (
+        SELECT DISTINCT
+            (('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+                             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % (SELECT m_bits FROM m)) AS pos
+        FROM seen, UNNEST(generate_series(0, {BLOOM_K - 1})) AS g(i)
+    ),
+    words AS (
+        SELECT pos // 64 AS word_idx,
+               bit_or(CASE WHEN pos % 64 = 63 THEN -9223372036854775807 - 1
+                      ELSE 1::BIGINT << CAST(pos % 64 AS INT) END)
+                   AS bits
+        FROM pos_seen GROUP BY pos // 64
+    ),
+    probe AS (
+        SELECT d.doc_id,
+               bool_and(
+                   COALESCE(w.bits, 0)
+                   & (CASE WHEN p.pos % 64 = 63 THEN -9223372036854775807 - 1
+                      ELSE 1::BIGINT << CAST(p.pos % 64 AS INT) END)
+                   <> 0
+               ) AS maybe_seen
+        FROM documents d,
+        LATERAL (
+            SELECT (('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|'
+                       || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    % (SELECT m_bits FROM m)) AS pos
+            FROM UNNEST(generate_series(0, {BLOOM_K - 1})) AS g(i)
+        ) p
+        LEFT JOIN words w ON w.word_idx = p.pos // 64
+        GROUP BY d.doc_id
+    )
+    SELECT (doc_id % 3 <> 0) AS truly_seen, maybe_seen,
+           COUNT(*) AS n_docs
+    FROM probe GROUP BY 1, 2
+    """,
+    tags=("N1", "E26"),
+)
 def sketch_bloom_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup via a distributed Bloom filter
     (operators/sketch.py:bloom_build/bloom_probe): the already-ingested
@@ -85,8 +134,11 @@ def sketch_bloom_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ partitions × m/64 partial words — and the incoming batch (all
     docs) probes it with a broadcast join + bitwise AND. No false
     negatives by construction; FPR is sized scale-free at ~6 bits/key
-    (gated in tests/test_sketch.py). Rows-only driver check: the
-    false-positive count is hash-dependent by design."""
+    (gated in tests/test_sketch.py). EXACT-oracle checked since r11:
+    the bit positions are portable md5-derived 60-bit hashes (the
+    minhash/kmv re-key move), so DuckDB rebuilds the identical filter
+    — same words, same false positives — and the driver's hash
+    equality covers the sketch itself, not just its shape."""
     from mobility_etl_spark.operators.sketch import bloom_build, bloom_probe
 
     docs = load_table(spark, sf_dir, "documents")
