@@ -351,10 +351,15 @@ def near_dup_probe(
     candidates = inc.join(corp, ["band", "bucket"]).select(
         "inc_id",
         "corp_id",
-        F.round(
-            _dot_expr("__ivec", "__cvec")
-            / F.sqrt(_sq_norm_expr("__ivec") * _sq_norm_expr("__cvec")),
-            6,
+        # 1e-6 FLOOR quantization — identical to near_dup_pairs (r11),
+        # so stream-vs-batch replay parity compares identical scores
+        (
+            F.floor(
+                _dot_expr("__ivec", "__cvec")
+                / F.sqrt(_sq_norm_expr("__ivec") * _sq_norm_expr("__cvec"))
+                * 1000000.0
+            )
+            / 1000000.0
         ).alias("cos_sim"),
     )
     return (
@@ -385,14 +390,31 @@ def cosine_near_dup_pairs_exact(
         .select(
             "a_id",
             "b_id",
-            F.round(
-                _dot_expr("__avec", "__bvec")
-                / F.sqrt(_sq_norm_expr("__avec") * _sq_norm_expr("__bvec")),
-                6,
+            # 1e-6 FLOOR quantization (tie-mode-free; matches the
+            # LSH variants and both DuckDB oracles — r11)
+            (
+                F.floor(
+                    _dot_expr("__avec", "__bvec")
+                    / F.sqrt(
+                        _sq_norm_expr("__avec") * _sq_norm_expr("__bvec")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+#: The sign-LSH plane component h(p, i), PORTABLE form (r11): the
+#: 60-bit md5 hash of "p,i" mapped into [-1, 1] — the minhash/kmv
+#: re-key move, so a DuckDB oracle derives bit-identical hyperplanes.
+_PLANE_SQL = (
+    "((CAST(conv(substring(md5(concat(CAST({p} AS STRING), ',', "
+    "CAST({i} AS STRING))), 1, 15), 16, 10) AS BIGINT) % 10001) "
+    "/ 5000.0) - 1.0"
+)
 
 
 def _band_buckets_expr(vec_col: str, num_planes: int, bands: int) -> F.Column:
@@ -400,10 +422,15 @@ def _band_buckets_expr(vec_col: str, num_planes: int, bands: int) -> F.Column:
 
     Per-band bucket computed directly (not via one packed signature:
     160 planes don't fit a BIGINT — each band's fold stays < 2^bits).
-    Hyperplanes are deterministic xxhash64-seeded pseudo-gaussians, so
-    every caller (and every cluster) derives identical buckets.
+    Hyperplanes are deterministic PORTABLE md5-seeded pseudo-gaussians
+    and the sign fold is 1e-6 fixed point (integer sum — associative,
+    so Spark, numpy and DuckDB agree bit for bit), which is what lets
+    the near-dup faces register exact DuckDB oracles (r11) instead of
+    rows-only checks: the oracle rebuilds identical planes, identical
+    signs, identical buckets.
     """
     bits_per_band = num_planes // bands
+    plane = _PLANE_SQL.format(p="p", i="i")
     return F.expr(
         f"""
         transform(sequence(0, {bands - 1}), b -> struct(b AS band,
@@ -414,10 +441,10 @@ def _band_buckets_expr(vec_col: str, num_planes: int, bands: int) -> F.Column:
                     CASE WHEN aggregate(
                         zip_with({vec_col},
                                  transform(sequence(0, size({vec_col}) - 1),
-                                           i -> (pmod(xxhash64(p, i), 10001)
-                                                 / 5000.0) - 1.0),
-                                 (x, h) -> CAST(x AS DOUBLE) * h),
-                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+                                           i -> {plane}),
+                                 (x, h) -> FLOOR(CAST(x AS DOUBLE) * h
+                                                 * 1000000.0D)),
+                        CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0
                     THEN 1L ELSE 0L END),
                 0L, (acc, bit) -> acc * 2 + bit) AS bucket))
         """
@@ -430,7 +457,7 @@ _HPLANES: dict = {}
 
 def _hyperplanes(spark, num_planes: int, dim: int):
     """The EXACT hyperplane values `_band_buckets_expr` derives per
-    row — (pmod(xxhash64(p, i), 10001) / 5000) − 1 — computed ONCE as
+    row — the portable md5 form (``_PLANE_SQL``) — computed ONCE as
     a (num_planes × dim) numpy matrix via a control-plane Spark query
     (10k scalar rows, not data), so the vectorized signature path
     below produces bit-identical buckets to the expression path
@@ -439,13 +466,15 @@ def _hyperplanes(spark, num_planes: int, dim: int):
 
     key = (num_planes, dim)
     if key not in _HPLANES:
+        plane = _PLANE_SQL.format(
+            p=f"CAST(id div {dim} AS INT)", i=f"CAST(id % {dim} AS INT)"
+        )
         rows = (
             spark.range(num_planes * dim)
             .selectExpr(
                 f"CAST(id div {dim} AS INT) AS p",
                 f"CAST(id % {dim} AS INT) AS i",
-                f"(pmod(xxhash64(CAST(id div {dim} AS INT),"
-                f" CAST(id % {dim} AS INT)), 10001) / 5000.0) - 1.0 AS h",
+                f"{plane} AS h",
             )
             .collect()
         )
@@ -535,8 +564,18 @@ def _sig_col(
         mask = col.notna().to_numpy()
         out_py: list = [None] * len(col)
         if mask.any():
-            V = np.vstack(col[mask].to_numpy())
-            bits = (V.astype(np.float64) @ H) >= 0
+            V = np.vstack(col[mask].to_numpy()).astype(np.float64)
+            # 1e-6 fixed-point sign fold, per plane: floor((x*h)*1e6)
+            # summed — the SAME integers the expression path and the
+            # DuckDB oracles compute, so signs (hence buckets) are
+            # bit-identical across all three engines. Stays vectorized
+            # (one elementwise pass per plane); every term < 2^53 so
+            # the float64 sum is exact.
+            bits = np.empty((len(V), H.shape[1]), dtype=bool)
+            for p in range(H.shape[1]):
+                bits[:, p] = (
+                    np.floor((V * H[:, p]) * 1e6).sum(axis=1) >= 0
+                )
             out = np.zeros((len(V), bands), dtype=np.int64)
             for b in range(bands):
                 for j in range(bits_per_band):
@@ -601,10 +640,19 @@ def near_dup_pairs(
         .select(
             "a_id",
             "b_id",
-            F.round(
-                _dot_expr("__avec", "__bvec")
-                / F.sqrt(_sq_norm_expr("__avec") * _sq_norm_expr("__bvec")),
-                6,
+            # 1e-6 FLOOR quantization, not round: floor has no
+            # half-tie mode for engines to disagree on, which is what
+            # lets the near-dup faces' DuckDB oracles match the score
+            # bit for bit (r11)
+            (
+                F.floor(
+                    _dot_expr("__avec", "__bvec")
+                    / F.sqrt(
+                        _sq_norm_expr("__avec") * _sq_norm_expr("__bvec")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
             ).alias("cos_sim"),
         )
     )
@@ -664,10 +712,19 @@ def near_dup_pairs_idonly(
         .select(
             "a_id",
             "b_id",
-            F.round(
-                _dot_expr("__avec", "__bvec")
-                / F.sqrt(_sq_norm_expr("__avec") * _sq_norm_expr("__bvec")),
-                6,
+            # 1e-6 FLOOR quantization, not round: floor has no
+            # half-tie mode for engines to disagree on, which is what
+            # lets the near-dup faces' DuckDB oracles match the score
+            # bit for bit (r11)
+            (
+                F.floor(
+                    _dot_expr("__avec", "__bvec")
+                    / F.sqrt(
+                        _sq_norm_expr("__avec") * _sq_norm_expr("__bvec")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

@@ -114,7 +114,7 @@ _NDUP_MAX_ID = 300
     pairs AS (
         SELECT a.vec_id AS a_id,
                b.vec_id AS b_id,
-               round(
+               FLOOR((
                  (CAST((SELECT SUM(CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE)
                                         * CAST(b.embedding[i] AS DOUBLE)
                                         * 1000000.0) AS BIGINT))
@@ -132,8 +132,7 @@ _NDUP_MAX_ID = 300
                                         * 1000000.0) AS BIGINT))
                        FROM UNNEST(generate_series(1, len(b.embedding)))
                            AS g(i)) AS DOUBLE) / 1000000.0)
-                   ),
-                 6) AS cos_sim
+                   )) * 1000000.0) / 1000000.0 AS cos_sim
         FROM sub a, sub b
         WHERE a.vec_id < b.vec_id
     )
@@ -163,13 +162,101 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Deterministic per-component multiplicative jitter used to plant
-#: near-duplicates: delta in [-0.6, 0.6] from xxhash64(vec_id, i).
+#: near-duplicates: delta in [-0.6, 0.6] from the PORTABLE 60-bit md5
+#: hash of "vec_id,i" (r11 — same re-key move as minhash/kmv/bloom),
+#: so the DuckDB oracles below rebuild the identical planted corpus.
 _JITTER = (
     "transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE) * "
-    "(1.0 + ((pmod(xxhash64(vec_id, i), 1001) / 500.0) - 1.0) * 0.6) "
+    "(1.0 + (((CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), "
+    "',', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1001) "
+    "/ 500.0) - 1.0) * 0.6) "
     "AS FLOAT))"
 )
 _DUP_OFFSET = 100_000
+
+#: Banded sign-LSH geometry shared by the near-dup faces and their
+#: oracles (operators/similarity.py near_dup_pairs defaults).
+_LSH_PLANES, _LSH_BANDS = 160, 16
+_LSH_BITS = _LSH_PLANES // _LSH_BANDS
+_NDUP_LSH_THRESH = 0.9
+
+#: Portable 60-bit hash in DuckDB spelling.
+_P60 = "('0x' || substr(md5({key}), 1, 15))::BIGINT"
+
+#: The shared CTE chain that replays the ENTIRE banded-LSH near-dup
+#: pipeline in DuckDB — planted corpus (portable jitter), portable
+#: hyperplanes, 1e-6 fixed-point sign folds, band buckets, candidate
+#: pairs, fixed-point cosine re-rank — byte-identical to the Spark
+#: plan because every float op is either an identical IEEE expression
+#: or an associative integer sum (the minhash re-key precedent,
+#: VERDICT r10 #3).
+_LSH_ORACLE_CTES = f"""
+    WITH elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ),
+    planted AS (
+        SELECT vec_id, i, x FROM elems
+        UNION ALL
+        SELECT vec_id + {_DUP_OFFSET}, i,
+               CAST(CAST(x * (1.0 + (((
+                   {_P60.format(key="CAST(vec_id AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR)")}
+                   % 1001) / 500.0) - 1.0) * 0.6) AS REAL) AS DOUBLE)
+        FROM elems
+    ),
+    planes AS (
+        SELECT pp.p, ii.i,
+               (({_P60.format(key="CAST(pp.p AS VARCHAR) || ',' || CAST(ii.i AS VARCHAR)")}
+                 % 10001) / 5000.0) - 1.0 AS h
+        FROM UNNEST(generate_series(0, {_LSH_PLANES - 1})) AS pp(p),
+             (SELECT DISTINCT i - 1 AS i FROM elems) AS ii
+    ),
+    dots AS (
+        SELECT c.vec_id, pl.p,
+               SUM(CAST(FLOOR(c.x * pl.h * 1000000.0) AS BIGINT)) AS q
+        FROM planted c JOIN planes pl ON pl.i = c.i - 1
+        GROUP BY c.vec_id, pl.p
+    ),
+    buckets AS (
+        SELECT vec_id, CAST(p // {_LSH_BITS} AS INT) AS band,
+               SUM(CASE WHEN q >= 0
+                   THEN 1::BIGINT
+                        << CAST({_LSH_BITS - 1} - (p % {_LSH_BITS}) AS INT)
+                   ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id, p // {_LSH_BITS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS q2
+        FROM planted GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT c.a_id, c.b_id,
+               FLOOR(
+                   ((CAST(SUM(CAST(FLOOR(ea.x * eb.x * 1000000.0)
+                                   AS BIGINT)) AS DOUBLE) / 1000000.0)
+                    / SQRT(na.q2 * nb.q2)) * 1000000.0
+               ) / 1000000.0 AS cos_sim
+        FROM cand c
+        JOIN planted ea ON ea.vec_id = c.a_id
+        JOIN planted eb ON eb.vec_id = c.b_id AND eb.i = ea.i
+        JOIN norms na ON na.vec_id = c.a_id
+        JOIN norms nb ON nb.vec_id = c.b_id
+        GROUP BY c.a_id, c.b_id, na.q2, nb.q2
+    ),
+    lsh_pairs AS (
+        SELECT a_id, b_id, cos_sim FROM scored
+        WHERE cos_sim >= {_NDUP_LSH_THRESH}
+    )
+"""
 
 
 def _with_planted_dups(emb: DataFrame) -> DataFrame:
@@ -188,24 +275,35 @@ def _with_planted_dups(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "embedding").unionByName(dup)
 
 
-@register("near_dup_lsh_embeddings", oracle=None, tags=("N2", "N3"))
+@register(
+    "near_dup_lsh_embeddings",
+    oracle=_LSH_ORACLE_CTES + "\n    SELECT * FROM lsh_pairs",
+    tags=("N2", "N3"),
+)
 def near_dup_lsh_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default near-duplicate path: banded LSH prefilter (16 bands ×
     10 bits) + exact in-bucket cosine re-rank at threshold 0.9, over
-    the corpus with planted perturbed copies. Rows-only driver check
-    (LSH output is recall-bounded, not exact); recall ≥ 0.95 vs the
-    all-pairs exact baseline is gated in tests/test_similarity.py.
-    At 100 TB this is the shape that replaces the O(n²) theta join:
-    the bucket equi-join (which carries bands× exploded vectors — fine
-    at dim 64) + a scalar (a_id, b_id, cos) dedup; see
-    ``near_dup_lsh_idonly`` for the wide-vector shape."""
+    the corpus with planted perturbed copies. EXACT-oracle checked
+    since r11: hyperplanes, jitter and sign folds are all portable
+    md5 + 1e-6 fixed point, so DuckDB replays the identical
+    signatures → buckets → candidates → scores (the minhash re-key
+    precedent); recall ≥ 0.95 vs the all-pairs exact baseline stays
+    gated in tests/test_similarity.py. At 100 TB this is the shape
+    that replaces the O(n²) theta join: the bucket equi-join (which
+    carries bands× exploded vectors — fine at dim 64) + a scalar
+    (a_id, b_id, cos) dedup; see ``near_dup_lsh_idonly`` for the
+    wide-vector shape."""
     from mobility_etl_spark.operators.similarity import near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     return near_dup_pairs(_with_planted_dups(emb), threshold=0.9)
 
 
-@register("near_dup_lsh_idonly", oracle=None, tags=("N2", "N3"))
+@register(
+    "near_dup_lsh_idonly",
+    oracle=_LSH_ORACLE_CTES + "\n    SELECT * FROM lsh_pairs",
+    tags=("N2", "N3"),
+)
 def near_dup_lsh_idonly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-vector near-dup variant: the SAME banded LSH + exact
     re-rank as ``near_dup_lsh_embeddings``, but the bucket self-join
@@ -215,7 +313,9 @@ def near_dup_lsh_idonly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py) — the variant exists because at ≳1k dims
     the exploded-vector bucket join shuffles bands×dim floats per row
     and this shape's three scalar-dominated shuffles are cheaper.
-    Rows-only driver check, same as the sibling."""
+    EXACT-oracle checked since r11 under the SAME DuckDB replay as the
+    sibling — the two registrations sharing one oracle is itself the
+    output-identity claim, now hash-proven at every sweep."""
     from mobility_etl_spark.operators.similarity import near_dup_pairs_idonly
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -502,7 +602,37 @@ def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_in_cluster, "vec_id long, cluster_id int, kept int"
     )
 
-@register("neardup_canonical_survivors", oracle=None, tags=("N2", "N1"))
+@register(
+    "neardup_canonical_survivors",
+    oracle=_LSH_ORACLE_CTES.replace("WITH elems", "WITH RECURSIVE elems", 1)
+    + f""",
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM lsh_pairs
+        UNION ALL
+        SELECT b_id, a_id FROM lsh_pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS n FROM edges),
+    reach(n, lbl) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.n = e.v
+    ),
+    comp AS (SELECT n, MIN(lbl) AS canonical_id FROM reach GROUP BY n),
+    corpus_ids AS (
+        SELECT vec_id FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_DUP_OFFSET} FROM embeddings
+    )
+    SELECT n AS vec_id, CAST(n = canonical_id AS INT) AS kept,
+           canonical_id
+    FROM comp
+    UNION ALL
+    SELECT vec_id, 1 AS kept, vec_id AS canonical_id
+    FROM corpus_ids
+    WHERE vec_id NOT IN (SELECT n FROM comp)
+    """,
+    tags=("N2", "N1"),
+)
 def neardup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup pipeline's actual DELIVERABLE, end to end: banded
     LSH candidate pairs (near_dup_pairs) over the planted corpus →
