@@ -1495,3 +1495,109 @@ def test_capstone_pruned_probe_end_to_end_on_clusterable_corpus(
     # metric) on clusterable data
     skip_frac = 1 - st["qf_kept"] / st["qf_total"]
     assert skip_frac > 0.5, st
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_pretraining_boundary_crash_fuzz(spark, sf_dir, seed):
+    """VERDICT r10 #4 — the lifecycle-fuzz method aimed at the
+    capstone: RANDOM micro-batch boundaries (uneven id cuts), random
+    mid-batch crashes (fail_after a random state table, possibly
+    repeatedly), random full-batch replay injections, and random
+    maintenance points (compact + rebind + catalog_vacuum), all driven
+    through the same pretraining_apply_batch the stream runs. Every
+    program must finalize to EXACTLY the batch capstone's result —
+    boundary placement, crash timing, replays and retention GC are all
+    invisible in the output."""
+    import os
+    import random
+    import tempfile
+
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        catalog_vacuum,
+        commit_catalog,
+        compact_snapshot,
+        snapshot_log,
+    )
+    from mobility_etl_spark.queries.corpus_prep import (
+        _SEM_TAU,
+        pipeline_pretraining_full,
+    )
+    from mobility_etl_spark.streaming.jobs import (
+        _EMBINDEX_FILES,
+        _EMBINDEX_STATS,
+        _PRETRAIN_TABLES,
+        pretraining_apply_batch,
+        pretraining_finalize,
+        pretraining_stream_init,
+    )
+
+    rng = random.Random(seed)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    # random UNEVEN micro-batch boundaries (2..7 cuts)
+    n_cuts = rng.randint(1, 6)
+    cuts = sorted(rng.sample(range(1, hi), n_cuts))
+    bounds = [0] + cuts + [hi]
+
+    root = tempfile.mkdtemp(prefix=f"fuzz_cap_{seed}_")
+    pretraining_stream_init(spark, root, emb=emb)
+
+    def maintenance(epoch: int) -> None:
+        budget = rng.choice((2, 4, 8))
+        compacted = False
+        for name in _PRETRAIN_TABLES:
+            path = os.path.join(root, name)
+            floor = _EMBINDEX_FILES if name == "embindex" else 0
+            if snapshot_log(path)[-1]["n_files"] > budget + floor:
+                if name == "embindex":
+                    compact_snapshot(
+                        spark,
+                        path,
+                        layout_col="cell",
+                        layout_files=_EMBINDEX_FILES,
+                        stats_cols=_EMBINDEX_STATS,
+                    )
+                else:
+                    compact_snapshot(spark, path)
+                compacted = True
+        if compacted:
+            commit_catalog(
+                root,
+                {
+                    name: (
+                        os.path.join(root, name),
+                        _list_versions(os.path.join(root, name))[-1],
+                    )
+                    for name in _PRETRAIN_TABLES
+                },
+                note=f"maint-{epoch}",
+            )
+            catalog_vacuum(root, keep_last=2)
+
+    for e in range(len(bounds) - 1):
+        b = docs.filter(
+            (F.col("doc_id") >= bounds[e]) & (F.col("doc_id") < bounds[e + 1])
+        )
+        # 0-2 simulated crashes at random tables before the clean run
+        for _ in range(rng.choice((0, 0, 1, 1, 2))):
+            tbl = rng.choice(_PRETRAIN_TABLES)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                pretraining_apply_batch(
+                    spark, b, e, root, emb, _SEM_TAU, fail_after=tbl
+                )
+        pretraining_apply_batch(spark, b, e, root, emb, _SEM_TAU)
+        if rng.random() < 0.5:  # replay injection: full no-op replay
+            pretraining_apply_batch(spark, b, e, root, emb, _SEM_TAU)
+        if rng.random() < 0.5:
+            maintenance(e)
+
+    got = sorted(map(tuple, pretraining_finalize(spark, root).collect()))
+    want = sorted(
+        map(tuple, pipeline_pretraining_full(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0, (seed, bounds)

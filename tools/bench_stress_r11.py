@@ -202,6 +202,16 @@ def capstone_batches(spark, n_batches=20, batch=1_000) -> dict:
     ).cache()
     docs.count()
     out = {"batch": batch, "modes": {}}
+    from mobility_etl_spark.operators.snapshots import (
+        compact_snapshot,
+        snapshot_log,
+    )
+    from mobility_etl_spark.streaming.jobs import (
+        _EMBINDEX_FILES,
+        _EMBINDEX_STATS,
+        _PRETRAIN_TABLES,
+    )
+
     for mode in ("pruned", "full"):
         root = tempfile.mkdtemp(prefix=f"capstress_{mode}_")
         pretraining_stream_init(
@@ -215,6 +225,27 @@ def capstone_batches(spark, n_batches=20, batch=1_000) -> dict:
             )
             t0 = time.monotonic()
             pretraining_apply_batch(spark, b, e, root, emb, 0.6)
+            # the stream's maintenance budget (compact_every=8), so
+            # per-batch cost measures the steady state, not raw
+            # file-count growth
+            for name in _PRETRAIN_TABLES:
+                path = os.path.join(root, name)
+                budget = 8 + (
+                    _EMBINDEX_FILES
+                    if name == "embindex" and mode == "pruned"
+                    else 0
+                )
+                if snapshot_log(path)[-1]["n_files"] > budget:
+                    if name == "embindex" and mode == "pruned":
+                        compact_snapshot(
+                            spark,
+                            path,
+                            layout_col="cell",
+                            layout_files=_EMBINDEX_FILES,
+                            stats_cols=_EMBINDEX_STATS,
+                        )
+                    else:
+                        compact_snapshot(spark, path)
             times.append(round(time.monotonic() - t0, 2))
         out["modes"][mode] = {
             "per_batch_s": times,
