@@ -35,7 +35,7 @@ def test_timing_line_fits_driver_tail():
 
 def test_timing_line_has_no_bulk_keys():
     payload = json.loads(bench.timing_line(_worst_case_timings(), 1.0, 0.1))
-    assert set(payload) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(payload) == {"metric", "value", "unit", "queries", "core8", "sf"}
     assert "plans" not in payload
 
 
