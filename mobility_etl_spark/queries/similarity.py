@@ -720,3 +720,92 @@ def vector_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_from_store(
         spark, queries, store, centroids, k=TOP_K, nprobe=5
     )
+
+
+#: Per-process cache: sf_dir -> (embindex snapshot path, version,
+#: centroid matrix) for the pruned-probe face.
+_PRUNED_PROBE_CACHE: dict = {}
+
+_PROBE_TAU = 0.47
+
+
+@register(
+    "vector_pruned_probe",
+    oracle=f"""
+    SELECT i.vec_id AS inc_id, c.vec_id AS corp_id
+    FROM embeddings i JOIN embeddings c
+      ON list_cosine_similarity(CAST(i.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[]))
+         >= {_PROBE_TAU}
+    WHERE i.vec_id % 10 = 0
+    """,
+    tags=("N3", "N11", "N12", "E5"),
+)
+def vector_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 capstone fix AS ITS OWN GRADED FACE: an exact cosine
+    threshold probe against a stored-IVF snapshot index with
+    manifest-level cluster pruning (operators/similarity.py:
+    exact_probe_blas_pruned — the streaming capstone's stage-2 path).
+    The index is the embeddings corpus written cell-clustered (one
+    file per cell, per-file [cell span, min ccos] manifest stats); the
+    increment is every 10th vector; pruning skips whole files whose
+    spherical-triangle bound cannot reach tau, PER QUERY CELL. The
+    oracle is the plain quadratic threshold join — so the hash
+    equality proves the pruned probe returns EXACTLY the full-scan
+    answer (pruning is decision-invariant on any data; on this
+    isotropic corpus it degrades to ~no skipping, measured honestly in
+    SCALING.md r11, while the clusterable-geometry gates live in
+    tests/test_similarity.py). Self-pairs (cos = 1) are in-frame on
+    both sides. Same margin posture as the capstone: decisions at
+    tau = 0.47 are margin-protected on this corpus, so the numpy float
+    path and DuckDB's list_cosine_similarity agree on every decision
+    while no float leaves the result (id pairs only)."""
+    import os
+    import tempfile
+
+    from mobility_etl_spark.operators.similarity import (
+        assign_cells,
+        exact_probe_blas_pruned,
+        train_kmeans_centroids,
+    )
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        append_snapshot,
+        commit_snapshot,
+    )
+
+    cached = _PRUNED_PROBE_CACHE.get(sf_dir)
+    if cached is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = train_kmeans_centroids(emb, n_cells=16)
+        root = tempfile.mkdtemp(prefix="pruned_probe_")
+        path = os.path.join(root, "embindex")
+        spark.createDataFrame(
+            [], "vec_id long, embedding array<float>, cell int, ccos double"
+        ).coalesce(1).write.parquet(path)
+        commit_snapshot(
+            spark, path, note="init", stats_cols=("cell", "ccos", "vec_id")
+        )
+        append_snapshot(
+            spark,
+            path,
+            assign_cells(emb, cents, key_col="vec_id")
+            .repartitionByRange(16, "cell")
+            .sortWithinPartitions("cell"),
+            note="e0",
+            stats_cols=("cell", "ccos", "vec_id"),
+        )
+        cached = (path, _list_versions(path)[-1], cents)
+        _PRUNED_PROBE_CACHE[sf_dir] = cached
+    path, version, cents = cached
+    emb = load_table(spark, sf_dir, "embeddings")
+    inc = emb.filter(F.col("vec_id") % 10 == 0)
+    return exact_probe_blas_pruned(
+        spark,
+        inc,
+        path,
+        version,
+        cents,
+        _PROBE_TAU,
+        key_col="vec_id",
+    )

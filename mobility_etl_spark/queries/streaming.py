@@ -901,3 +901,93 @@ def streaming_snapshot_source_agg(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_SNAP_SRC_COMPACT_CACHE: dict[str, str] = {}
+
+
+@register(
+    "streaming_change_feed_compaction",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id >= 200 AND doc_id < 500
+    GROUP BY lang
+    """,
+    tags=("N11", "N13", "E30"),
+)
+def streaming_change_feed_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The snapshot-table stream source RIDING THROUGH A COMPACTION
+    (r11): same producer chain as ``streaming_snapshot_source`` but
+    with a full tip rewrite between the two appends. The source's
+    partitions come from operators/snapshots.py:changed_files — the
+    op-typed lineage walk — so the replace commit contributes ZERO
+    partitions (content-preserving) and the post-compaction append
+    still arrives; the oracle states exactly the appended rows, so the
+    hash equality proves nothing was lost, duplicated, or resurrected
+    from the rewritten files. Before r11 this range raised
+    "rewrite crossed"; a 100 TB deployment no longer has to schedule
+    change-feed consumers between compactions."""
+    import os
+    import tempfile
+
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        commit_snapshot,
+        compact_snapshot,
+    )
+    from mobility_etl_spark.sources.pydatasource import (
+        SnapshotChangeFeedDataSource,
+    )
+
+    root = _SNAP_SRC_COMPACT_CACHE.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="snap_src_cmp_")
+        tbl = os.path.join(root, "tbl")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        docs.filter(F.col("doc_id") < 200).write.parquet(tbl)
+        commit_snapshot(spark, tbl, note="v1")
+        append_snapshot(
+            spark,
+            tbl,
+            docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)),
+            note="v2",
+        )
+        # the rewrite the pre-r11 source refused to cross
+        compact_snapshot(spark, tbl, target_file_bytes=1 << 30)
+        append_snapshot(
+            spark,
+            tbl,
+            docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)),
+            note="v4",
+        )
+        spark.dataSource.register(SnapshotChangeFeedDataSource)
+        out = os.path.join(root, "out")
+        stream = (
+            spark.readStream.format("snapshot_changes")
+            .option("path", tbl)
+            .option("start_version", "1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SNAP_SRC_COMPACT_CACHE[sf_dir] = root
+
+    return (
+        spark.read.parquet(os.path.join(root, "out"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
