@@ -514,15 +514,89 @@ def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("near_dup_probe_increment", oracle=None, tags=("N2", "N3"))
+@register(
+    "near_dup_probe_increment",
+    oracle=f"""
+    WITH corp_elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ),
+    inc_elems AS (
+        SELECT vec_id + {_DUP_OFFSET} AS vec_id, i,
+               CAST(CAST(x * (1.0 + (((
+                   {_P60.format(key="CAST(vec_id AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR)")}
+                   % 1001) / 500.0) - 1.0) * 0.6) AS REAL) AS DOUBLE) AS x
+        FROM corp_elems WHERE vec_id < 200
+    ),
+    all_elems AS (
+        SELECT 'c' AS side, * FROM corp_elems
+        UNION ALL SELECT 'i', * FROM inc_elems
+    ),
+    planes AS (
+        SELECT pp.p, ii.i,
+               (({_P60.format(key="CAST(pp.p AS VARCHAR) || ',' || CAST(ii.i AS VARCHAR)")}
+                 % 10001) / 5000.0) - 1.0 AS h
+        FROM UNNEST(generate_series(0, {_LSH_PLANES - 1})) AS pp(p),
+             (SELECT DISTINCT i - 1 AS i FROM corp_elems) AS ii
+    ),
+    dots AS (
+        SELECT e.side, e.vec_id, pl.p,
+               SUM(CAST(FLOOR(e.x * pl.h * 1000000.0) AS BIGINT)) AS q
+        FROM all_elems e JOIN planes pl ON pl.i = e.i - 1
+        GROUP BY e.side, e.vec_id, pl.p
+    ),
+    buckets AS (
+        SELECT side, vec_id, CAST(p // {_LSH_BITS} AS INT) AS band,
+               SUM(CASE WHEN q >= 0
+                   THEN 1::BIGINT
+                        << CAST({_LSH_BITS - 1} - (p % {_LSH_BITS}) AS INT)
+                   ELSE 0 END) AS bucket
+        FROM dots GROUP BY side, vec_id, p // {_LSH_BITS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS inc_id, b.vec_id AS corp_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.side = 'i' AND b.side = 'c'
+    ),
+    norms AS (
+        SELECT side, vec_id,
+               CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS q2
+        FROM all_elems GROUP BY side, vec_id
+    )
+    SELECT c.inc_id, c.corp_id,
+           FLOOR(
+               ((CAST(SUM(CAST(FLOOR(ea.x * eb.x * 1000000.0)
+                               AS BIGINT)) AS DOUBLE) / 1000000.0)
+                / SQRT(na.q2 * nb.q2)) * 1000000.0
+           ) / 1000000.0 AS cos_sim
+    FROM cand c
+    JOIN inc_elems ea ON ea.vec_id = c.inc_id
+    JOIN corp_elems eb ON eb.vec_id = c.corp_id AND eb.i = ea.i
+    JOIN norms na ON na.side = 'i' AND na.vec_id = c.inc_id
+    JOIN norms nb ON nb.side = 'c' AND nb.vec_id = c.corp_id
+    GROUP BY c.inc_id, c.corp_id, na.q2, nb.q2
+    HAVING FLOOR(
+               ((CAST(SUM(CAST(FLOOR(ea.x * eb.x * 1000000.0)
+                               AS BIGINT)) AS DOUBLE) / 1000000.0)
+                / SQRT(na.q2 * nb.q2)) * 1000000.0
+           ) / 1000000.0 >= 0.9
+    """,
+    tags=("N2", "N3"),
+)
 def near_dup_probe_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup probe (operators/similarity.py:
     near_dup_probe): a synthetic NEW batch (jittered copies of the
     first 200 corpus vectors, ids offset) is probed against the
     existing corpus — only increment×corpus bucket collisions are
     scored, so the run cost tracks the increment, not the corpus
-    square. Rows-only driver check; recall/no-false-positive/score
-    gates vs the exact increment×corpus cross product live in
+    square. EXACT-oracle checked since r11 (the portable-LSH replay:
+    DuckDB signs both sides with the same md5 planes and fixed-point
+    folds, joins buckets across sides, and re-ranks with the identical
+    quantized cosine); recall/no-false-positive/score gates vs the
+    exact increment×corpus cross product additionally live in
     tests/test_similarity.py."""
     from mobility_etl_spark.operators.similarity import near_dup_probe
 
