@@ -272,7 +272,17 @@ def _with_planted_dups(emb: DataFrame) -> DataFrame:
         (F.col("vec_id") + _DUP_OFFSET).alias("vec_id"),
         F.expr(_JITTER).alias("embedding"),
     )
-    return emb.select("vec_id", "embedding").unionByName(dup)
+    # MATERIALIZE the planted corpus (it's tiny — n×d floats): the
+    # portable md5 jitter is ~1000× costlier per element than the old
+    # xxhash64, and without truncation Spark inlines the transform
+    # into every downstream consumer — the near-dup candidate re-rank
+    # re-derived the jitter per PAIR per norm/dot reference, turning a
+    # 10 s face into a 9-minute one at sf0.1 (measured r11).
+    return (
+        emb.select("vec_id", "embedding")
+        .unionByName(dup)
+        .localCheckpoint()
+    )
 
 
 @register(
@@ -605,6 +615,9 @@ def near_dup_probe_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.filter(F.col("vec_id") < 200)
         .withColumn("embedding", F.expr(_JITTER))
         .withColumn("vec_id", F.col("vec_id") + _DUP_OFFSET)
+        # materialized for the same reason as _with_planted_dups: the
+        # md5 jitter must not be re-derived per candidate pair
+        .localCheckpoint()
     )
     return near_dup_probe(increment, corpus, threshold=0.9)
 
@@ -680,7 +693,11 @@ def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_canonical_survivors",
     oracle=_LSH_ORACLE_CTES.replace("WITH elems", "WITH RECURSIVE elems", 1)
     + f""",
-    edges AS (
+    edges AS MATERIALIZED (
+        -- MATERIALIZED: the recursive walk below re-references edges
+        -- every iteration; without the hint DuckDB re-executes the
+        -- entire LSH replay chain per step (measured: 9 min -> 28 s
+        -- at sf0.1)
         SELECT a_id AS u, b_id AS v FROM lsh_pairs
         UNION ALL
         SELECT b_id, a_id FROM lsh_pairs
