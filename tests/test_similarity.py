@@ -203,10 +203,16 @@ def test_near_dup_probe_matches_exact_cross(spark, emb):
         .select(
             "inc_id",
             "corp_id",
-            F.round(
-                _dot_expr("__ivec", "__cvec")
-                / F.sqrt(_sq_norm_expr("__ivec") * _sq_norm_expr("__cvec")),
-                6,
+            # same 1e-6 FLOOR quantization as the probe (r11)
+            (
+                F.floor(
+                    _dot_expr("__ivec", "__cvec")
+                    / F.sqrt(
+                        _sq_norm_expr("__ivec") * _sq_norm_expr("__cvec")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.9)
