@@ -95,10 +95,16 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _dot_expr("__qvec", "__cvec")
-                / F.sqrt(_sq_norm_expr("__qvec") * _sq_norm_expr("__cvec")),
-                6,
+            # 1e-6 FLOOR quantization (tie-mode-free — exact-oracle, r11)
+            (
+                F.floor(
+                    _dot_expr("__qvec", "__cvec")
+                    / F.sqrt(
+                        _sq_norm_expr("__qvec") * _sq_norm_expr("__cvec")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
             ).alias("cos_sim"),
         )
     )
@@ -122,11 +128,14 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """Sign-bit LSH signature: bit p = (v · h_p) >= 0.
 
-    Hyperplane components are xxhash64(p, dim_index) mapped into
-    [-1, 1] — deterministic, regenerated per-partition, nothing to
-    broadcast or store. Output: key + one BIGINT signature.
+    Hyperplane components are the PORTABLE md5-derived pseudo-gaussians
+    (``_PLANE_SQL`` — the same quantizer family as the banded near-dup
+    path, r11) and the sign fold is 1e-6 fixed point, so a DuckDB
+    oracle derives bit-identical signatures. Deterministic, regenerated
+    per-partition, nothing to broadcast or store. Output: key + one
+    BIGINT signature.
     """
-    # component h[p][i] = (xxhash64(p, i) % 10001) / 5000.0 - 1.0
+    plane = _PLANE_SQL.format(p="p", i="i")
     sig_bits = F.expr(
         f"""
         aggregate(
@@ -134,9 +143,10 @@ def hyperplane_signatures(
                 CASE WHEN aggregate(
                     zip_with({vec_col},
                              transform(sequence(0, size({vec_col}) - 1),
-                                       i -> (pmod(xxhash64(p, i), 10001) / 5000.0) - 1.0),
-                             (x, h) -> CAST(x AS DOUBLE) * h),
-                    CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0
+                                       i -> {plane}),
+                             (x, h) -> FLOOR(CAST(x AS DOUBLE) * h
+                                             * 1000000.0D)),
+                    CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0
                 THEN 1L ELSE 0L END),
             0L, (acc, bit) -> acc * 2 + bit
         )
@@ -194,10 +204,17 @@ def lsh_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _dot_expr("__queryvec", "__neighborvec")
-            / F.sqrt(_sq_norm_expr("__queryvec") * _sq_norm_expr("__neighborvec")),
-            6,
+        # 1e-6 FLOOR quantization (tie-mode-free — exact-oracle, r11)
+        (
+            F.floor(
+                _dot_expr("__queryvec", "__neighborvec")
+                / F.sqrt(
+                    _sq_norm_expr("__queryvec")
+                    * _sq_norm_expr("__neighborvec")
+                )
+                * 1000000.0
+            )
+            / 1000000.0
         ).alias("cos_sim"),
     )
     from pyspark.sql import Window
@@ -288,10 +305,16 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _dot_expr("__qvec", "__cvec")
-                / F.sqrt(_sq_norm_expr("__qvec") * _sq_norm_expr("__cvec")),
-                6,
+            # 1e-6 FLOOR quantization (tie-mode-free — exact-oracle, r11)
+            (
+                F.floor(
+                    _dot_expr("__qvec", "__cvec")
+                    / F.sqrt(
+                        _sq_norm_expr("__qvec") * _sq_norm_expr("__cvec")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
             ).alias("cos_sim"),
         )
         .distinct()  # a pair may meet in several probed cells
@@ -781,10 +804,16 @@ def ivf_topk_from_store(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _dot_expr("__qvec", "cvec")
-                / F.sqrt(_sq_norm_expr("__qvec") * _sq_norm_expr("cvec")),
-                6,
+            # 1e-6 FLOOR quantization (tie-mode-free — exact-oracle, r11)
+            (
+                F.floor(
+                    _dot_expr("__qvec", "cvec")
+                    / F.sqrt(
+                        _sq_norm_expr("__qvec") * _sq_norm_expr("cvec")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
             ).alias("cos_sim"),
         )
         .distinct()  # a pair may meet in several probed cells

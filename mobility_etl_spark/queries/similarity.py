@@ -21,6 +21,21 @@ N_QUERIES = 10
 TOP_K = 5
 
 
+def _rawcos_sql(a: str, b: str) -> str:
+    """DuckDB spelling of the engines' shared cosine: 1e-6 fixed-point
+    integer dot/norm folds (order-free, bit-identical to Spark's
+    _dot_expr/_sq_norm_expr), divided as doubles. Used RAW for
+    ordering; wrap the result in FLOOR(x*1e6)/1e6 for emitted scores."""
+
+    def q(u: str, v: str) -> str:
+        return f"""(CAST((SELECT SUM(CAST(FLOOR(CAST({u}[i] AS DOUBLE)
+                   * CAST({v}[i] AS DOUBLE) * 1000000.0) AS BIGINT))
+                   FROM UNNEST(generate_series(1, len({u}))) AS g(i))
+                   AS DOUBLE) / 1000000.0)"""
+
+    return f"({q(a, b)} / sqrt({q(a, a)} * {q(b, b)}))"
+
+
 @register(
     "ann_bruteforce_cosine",
     oracle=f"""
@@ -28,7 +43,7 @@ TOP_K = 5
     scored AS (
         SELECT q.vec_id AS query_id,
                c.vec_id AS neighbor_id,
-               round(
+               FLOOR((
                  (CAST((SELECT SUM(CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)
                                         * CAST(c.embedding[i] AS DOUBLE)
                                         * 1000000.0) AS BIGINT))
@@ -46,8 +61,7 @@ TOP_K = 5
                                         * 1000000.0) AS BIGINT))
                        FROM UNNEST(generate_series(1, len(c.embedding)))
                            AS g(i)) AS DOUBLE) / 1000000.0)
-                   ),
-                 6) AS cos_sim
+                   )) * 1000000.0) / 1000000.0 AS cos_sim
         FROM q, embeddings c
         WHERE q.vec_id != c.vec_id
     )
@@ -68,27 +82,149 @@ def ann_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, k=TOP_K)
 
 
-@register("ann_lsh_topk", oracle=None, tags=("N3", "N6"))
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ),
+    planes AS (
+        SELECT pp.p, ii.i,
+               ((('0x' || substr(md5(CAST(pp.p AS VARCHAR) || ',' ||
+                   CAST(ii.i AS VARCHAR)), 1, 15))::BIGINT
+                 % 10001) / 5000.0) - 1.0 AS h
+        FROM UNNEST(generate_series(0, 15)) AS pp(p),
+             (SELECT DISTINCT i - 1 AS i FROM elems) AS ii
+    ),
+    dots AS (
+        SELECT e.vec_id, pl.p,
+               SUM(CAST(FLOOR(e.x * pl.h * 1000000.0) AS BIGINT)) AS q
+        FROM elems e JOIN planes pl ON pl.i = e.i - 1
+        GROUP BY e.vec_id, pl.p
+    ),
+    sigs AS (
+        SELECT vec_id,
+               SUM(CASE WHEN q >= 0
+                   THEN 1::BIGINT << CAST(15 - p AS INT) ELSE 0 END)
+                   AS sig
+        FROM dots GROUP BY vec_id
+    ),
+    banded AS (
+        SELECT vec_id, bb.b, (sig >> CAST(bb.b * 2 AS INT)) & 3 AS bucket
+        FROM sigs, UNNEST(generate_series(0, 7)) AS bb(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM banded a JOIN banded b
+          ON a.b = b.b AND a.bucket = b.bucket
+        WHERE a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS q2
+        FROM elems GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               FLOOR(
+                   ((CAST(SUM(CAST(FLOOR(ea.x * eb.x * 1000000.0)
+                                   AS BIGINT)) AS DOUBLE) / 1000000.0)
+                    / SQRT(na.q2 * nb.q2)) * 1000000.0
+               ) / 1000000.0 AS cos_sim
+        FROM cand c
+        JOIN elems ea ON ea.vec_id = c.query_id
+        JOIN elems eb ON eb.vec_id = c.neighbor_id AND eb.i = ea.i
+        JOIN norms na ON na.vec_id = c.query_id
+        JOIN norms nb ON nb.vec_id = c.neighbor_id
+        GROUP BY c.query_id, c.neighbor_id, na.q2, nb.q2
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    tags=("N3", "N6"),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-5 (16 planes, 8 bands): candidates are
     bucket-join matches only, exact cosine re-rank inside buckets — the
     100 TB path where a full scan per query is off the table.
-    Rows-only driver check; recall@5 vs brute force is gated in
-    tests/test_similarity.py."""
+    EXACT-oracle checked since r11: LSH is approximate only in RECALL —
+    the signatures (portable md5 planes + fixed-point sign folds),
+    band buckets, candidate join and quantized re-rank are all
+    deterministic, so DuckDB replays the exact top-k the buckets admit;
+    recall@5 vs brute force stays gated in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return lsh_topk(queries, emb, k=TOP_K, num_planes=16, bands=8)
 
 
-@register("ann_ivf_topk", oracle=None, tags=("N3", "N6"))
+#: Shared by ann_ivf_topk AND vector_ivf_stored_probe — the stored
+#: layout is gated byte-identical to the in-memory probe, so the two
+#: registrations under ONE oracle make that identity hash-proven at
+#: every sweep (the near_dup_lsh pair precedent).
+_IVF_TOPK_ORACLE = f"""
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+        WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_rawcos_sql("e.embedding", "c.cvec")}
+                           DESC, c.cell) AS rk
+            FROM embeddings e, cents c
+        ) WHERE rk = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_rawcos_sql("e.embedding", "c.cvec")}
+                           DESC, c.cell) AS rk
+            FROM embeddings e, cents c WHERE e.vec_id < {N_QUERIES}
+        ) WHERE rk <= 5
+    ),
+    scored AS (
+        SELECT DISTINCT qp.query_id, a.vec_id AS neighbor_id,
+               FLOOR({_rawcos_sql("q.embedding", "n.embedding")}
+                     * 1000000.0) / 1000000.0 AS cos_sim
+        FROM qprobe qp
+        JOIN assign a ON a.cell = qp.cell AND a.vec_id != qp.query_id
+        JOIN embeddings q ON q.vec_id = qp.query_id
+        JOIN embeddings n ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
+    tags=("N3", "N6"),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5: corpus partitioned into 16 deterministic centroid
     cells (every 31st vector seeds a cell), queries probe their 5
     nearest cells, exact cosine re-rank inside the probed cells — the
     inverted-file ANN layout where a query touches ~nprobe/K of the
     corpus instead of all of it (recall on clustered real-world
-    embeddings is far higher than on this uniform synthetic corpus). Rows-only driver check; recall@5 vs
-    brute force is gated in tests/test_similarity.py."""
+    embeddings is far higher than on this uniform synthetic corpus).
+    EXACT-oracle checked since r11: IVF is approximate ONLY in recall,
+    never in computation — the quantizer assignment orders by the
+    shared fixed-point cosine and the re-rank emits FLOOR-quantized
+    scores, so DuckDB replays cells, probes and ranking bit for bit.
+    The recall@5-vs-brute-force gate stays in
+    tests/test_similarity.py."""
     from mobility_etl_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -775,7 +911,11 @@ def neardup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_STORE_CACHE: dict[str, str] = {}
 
 
-@register("vector_ivf_stored_probe", oracle=None, tags=("N3", "N6", "N11", "E5"))
+@register(
+    "vector_ivf_stored_probe",
+    oracle=_IVF_TOPK_ORACLE,
+    tags=("N3", "N6", "N11", "E5"),
+)
 def vector_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF claim DEMONSTRATED, not asserted: ivf_topk's docstring
     says "at 100 TB the cell assignment is the stored layout, so a
@@ -786,8 +926,10 @@ def vector_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SCAN to the probed cells. Same centroids/nprobe/k as
     ann_ivf_topk; tests/test_similarity.py gates (a) results
     byte-identical to the in-memory ivf_topk and (b) the executed
-    plan's partitioned scan carries a dynamicpruning filter. Rows-only
-    driver check (IVF is approximate; recall gates ride ann_ivf_topk)."""
+    plan's partitioned scan carries a dynamicpruning filter.
+    EXACT-oracle checked since r11 under the SAME oracle as
+    ann_ivf_topk — the stored-layout/in-memory identity is hash-proven
+    at every sweep, not just in the test suite."""
     from mobility_etl_spark.operators.similarity import (
         ivf_store,
         ivf_topk_from_store,
