@@ -1284,29 +1284,38 @@ def pretraining_apply_batch(
         if note in snapshot_notes(path):
             continue  # this epoch's append already committed (replay)
         df = payloads[name]
-        if df.take(1):
-            if name == "embindex" and centroids is not None:
-                # stored-IVF layout: range-clustered by cell so each
-                # file covers a contiguous cell span, with per-file
-                # [cell, ccos, doc_id] stats committed to the manifest
-                # — the metadata the pruned probe and the id-contract
-                # check plan against
-                append_snapshot(
-                    spark,
-                    path,
-                    df.repartitionByRange(
-                        _EMBINDEX_FILES, "cell"
-                    ).sortWithinPartitions("cell"),
-                    note=note,
-                    stats_cols=_EMBINDEX_STATS,
-                )
-            else:
-                # batch-sized state deltas: one file per (table, epoch)
-                # append, or un-coalesced writes leave one parquet per
-                # shuffle partition and the tips hit the compaction
-                # budget immediately (measured in the r10 near-dup
-                # stress run)
-                append_snapshot(spark, path, df.coalesce(1), note=note)
+        # Always append — even an empty payload (a batch with no eval
+        # docs, say) commits a 0-row file: its manifest records
+        # _rows = 0 so every pruned reader skips it and compaction
+        # absorbs it. The former emptiness probe (df.take(1)) ran the
+        # payload DAG an extra time per table per batch (entirely so
+        # for empty payloads — take cannot short-circuit a frame with
+        # no rows); dropping it is wall-clock neutral at test scale
+        # (the write-job floor dominates, measured r11) but makes the
+        # per-epoch note — the replay-idempotence ledger — uniform
+        # across empty and non-empty epochs.
+        if name == "embindex" and centroids is not None:
+            # stored-IVF layout: range-clustered by cell so each
+            # file covers a contiguous cell span, with per-file
+            # [cell, ccos, doc_id] stats committed to the manifest
+            # — the metadata the pruned probe and the id-contract
+            # check plan against
+            append_snapshot(
+                spark,
+                path,
+                df.repartitionByRange(
+                    _EMBINDEX_FILES, "cell"
+                ).sortWithinPartitions("cell"),
+                note=note,
+                stats_cols=_EMBINDEX_STATS,
+            )
+        else:
+            # batch-sized state deltas: one file per (table, epoch)
+            # append, or un-coalesced writes leave one parquet per
+            # shuffle partition and the tips hit the compaction
+            # budget immediately (measured in the r10 near-dup
+            # stress run)
+            append_snapshot(spark, path, df.coalesce(1), note=note)
         if fail_after == name:
             raise RuntimeError(f"simulated crash after {name} append")
 
