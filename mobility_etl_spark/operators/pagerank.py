@@ -120,3 +120,87 @@ def pagerank(
                 }
             )
     return ranks
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    scale: int = 10**12,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Deterministic PageRank in scaled-integer (fixed-point)
+    arithmetic: ``(node, rank_fp)`` with ``rank_fp`` a BIGINT in units
+    of ``1/scale``, damping fixed at 85/100.
+
+        rank_{t+1}(v) = base + (85 * Σ_{u→v} (rank_t(u) div deg(u))
+                                + 85 * (dangling_t div N)) div 100
+        base          = (15 * scale) div (100 * N)
+
+    Why integers: float power iteration is order-of-addition dependent
+    — the same graph on a different partitioning (or a different
+    executor count) produces last-ulp-different ranks, so results are
+    not reproducible across cluster topologies and not comparable
+    across engines. Integer contributions make every Σ exact and
+    commutative: the result is BIT-IDENTICAL on any partitioning, any
+    engine — which is exactly what lets a plain recursive-CTE oracle
+    (DuckDB) replay it hash-for-hash (queries/graph.py). The price is
+    a deterministic floor-truncation leak of < 1/scale mass per node
+    per iteration — at scale=1e12 that is 1e-12 relative, tighter
+    than float64 noise. Same per-iteration plan shape as
+    :func:`pagerank`: edges pre-partitioned on src with degree riding
+    along, ranks-only shuffle, lineage cut every
+    ``checkpoint_every`` rounds.
+    """
+    edges = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .cache()
+    )
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    edges = edges.join(outdeg, "src").repartition("src").cache()
+    edges.count()
+    dangling_nodes = (
+        nodes.join(outdeg, nodes["node"] == outdeg["src"], "left_anti")
+        .select("node")
+        .cache()
+    )
+    has_dangling = dangling_nodes.count() > 0
+
+    base = (15 * scale) // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(scale // n).cast("long").alias("rank_fp")
+    )
+    for i in range(iters):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("rank_fp div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling_share = 0
+        if has_dangling:
+            mass = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.sum("rank_fp"))
+                .first()[0]
+                or 0
+            )
+            dangling_share = int(mass) // n
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"(85 * (coalesce(contrib, 0L) + {dangling_share}L)) div 100"
+                )
+            ).cast("long").alias("rank_fp"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -154,3 +154,62 @@ def sketch_bloom_filter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("truly_seen", "maybe_seen")
     )
+
+
+#: Counter budget for the VERIFIED Misra-Gries face. The mergeable-MG
+#: presence guarantee (Agarwal et al., "Mergeable Summaries"): after
+#: arbitrary merges of MG(k) summaries, any token with true count
+#: > N/(k+1) is present. With k=256 counters and the HH threshold at
+#: N/200, every true heavy hitter (count*200 >= N => count > N/257)
+#: is guaranteed a candidate — so the exact recount below provably
+#: reconstructs the exact answer, never misses.
+MG_VERIFIED_K = 256
+
+
+@register(
+    "token_hh_mg_verified",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM tok, tot
+    GROUP BY token, total
+    HAVING COUNT(*) * {HH_DENOM} >= total
+    """,
+    tags=("N5", "N8", "E39"),
+)
+def token_hh_mg_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries candidates + exact recount = EXACT heavy hitters in
+    two passes with a bounded shuffle: pass 1 is the single-scan
+    MG({MG_VERIFIED_K}) summary (<= partitions x k counter rows
+    shuffled — the sketch is the scale mechanism); pass 2 recounts
+    ONLY the <= k candidate tokens (broadcast semi-join prunes the
+    explode->groupBy shuffle to candidate rows) and applies the exact
+    threshold. Because MG's presence guarantee makes the candidate
+    set a provable superset of the true heavy hitters (see
+    MG_VERIFIED_K above), the output is deterministic and EXACT — the
+    candidate-verify pattern that turns an approximate sketch into an
+    exact answer at a fraction of the exact baseline's shuffle. Hence
+    a strict DuckDB oracle (the plain exact HH query), upgrading the
+    MG family from rows-only: token_heavy_hitters_mg exposes the raw
+    merge-order-dependent summary; this face proves the summary is
+    USED correctly."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = misra_gries_tokens(docs, "text", k=MG_VERIFIED_K).select("token")
+    tok = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("token")
+    )
+    total = tok.agg(F.count("*").alias("total"))
+    return (
+        tok.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * HH_DENOM >= F.col("total"))
+        .select("token", "n_occurrences")
+    )

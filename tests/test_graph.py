@@ -132,3 +132,114 @@ def test_kcore_matches_reference_peel_and_fixpoint(spark, sf_dir):
     assert got == dict(deg)
     assert got and all(d >= 3 for d in got.values())
     assert len(got) < n_nodes0, "nothing was peeled — vacuous fixture"
+
+
+def _python_pagerank_fixedpoint(edges, iters, scale):
+    """Pure-python replay of operators/pagerank.pagerank_fixedpoint's
+    integer semantics — the third engine behind the DuckDB oracle."""
+    from collections import defaultdict
+
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    deg = defaultdict(int)
+    for u, _ in edges:
+        deg[u] += 1
+    base = (15 * scale) // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        contrib = defaultdict(int)
+        for u, v in edges:
+            contrib[v] += r[u] // deg[u]
+        dangling_mass = sum(r[v] for v in nodes if deg[v] == 0)
+        share = dangling_mass // n
+        r = {v: base + (85 * (contrib[v] + share)) // 100 for v in nodes}
+    return r
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [("a", "b"), ("b", "c"), ("d", "c"), ("e", "c"), ("c2", "a")],
+        [("a", "b"), ("b", "c"), ("c", "a")],
+    ],
+    ids=["hub_with_dangling", "cycle"],
+)
+def test_pagerank_fixedpoint_bit_identical_to_replay(spark, edges):
+    """Integer PageRank is BIT-identical to a sequential replay —
+    including the dangling-mass integer path the registered bipartite
+    face never exercises (its graph has no dangling nodes)."""
+    from mobility_etl_spark.operators.pagerank import pagerank_fixedpoint
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.rank_fp
+        for r in pagerank_fixedpoint(df, iters=9, checkpoint_every=3).collect()
+    }
+    assert got == _python_pagerank_fixedpoint(edges, 9, 10**12)
+
+
+def test_pagerank_fixedpoint_mass_bound(spark):
+    """Floor truncation leaks mass deterministically and boundedly:
+    per iteration each node loses < deg(u) units distributing, < 1
+    unit at the damping divide, < 1 at the dangling divide — total
+    leak <= iters * (|E| + 2n) out of scale=1e12."""
+    from mobility_etl_spark.operators.pagerank import pagerank_fixedpoint
+
+    edges = [("a", "b"), ("b", "c"), ("d", "c"), ("e", "c"), ("c2", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters, scale = 9, 10**12
+    ranks = pagerank_fixedpoint(df, iters=iters, scale=scale).collect()
+    total = sum(r.rank_fp for r in ranks)
+    n, e = len({x for ed in edges for x in ed}), len(edges)
+    assert total <= scale
+    assert total >= scale - iters * (e + 2 * n)
+
+
+def test_kcore_rounds_within_oracle_cte_bound(spark, sf_dir):
+    """The DuckDB oracle peels a FIXED number of recursive-CTE rounds
+    (_KCORE_ORACLE_ROUNDS); equality with the Spark fixpoint peel only
+    holds if the true round count stays under that bound. Pin it with
+    the operator's stats hook on the face's own graph."""
+    from mobility_etl_spark.io import load_table
+    from mobility_etl_spark.operators.components import k_core
+    from mobility_etl_spark.queries.sketch_graph import _KCORE_ORACLE_ROUNDS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .filter(
+            (((F.col("u") * 100003 + F.col("v")) % 1000003) * F.lit(2654435761))
+            % 1000000007
+            % 23
+            == 0
+        )
+    )
+    stats: list = []
+    k_core(pairs, k=3, stats=stats).collect()
+    # stats has one entry per executed round, including the final
+    # no-weak-nodes round; the oracle needs bound >= executed rounds.
+    assert 0 < len(stats) <= _KCORE_ORACLE_ROUNDS
+
+
+def test_mg_verified_equals_exact_heavy_hitters(spark, sf_dir):
+    """The MG candidate-verify face reconstructs the exact heavy-hitter
+    answer: identical (token, count) set to the exact explode→groupBy
+    baseline face on the same corpus."""
+    from mobility_etl_spark.registry import load_all
+
+    specs = load_all()
+    exact = {
+        (r.token, r.n_occurrences)
+        for r in specs["token_heavy_hitters"].builder(spark, sf_dir).collect()
+    }
+    verified = {
+        (r.token, r.n_occurrences)
+        for r in specs["token_hh_mg_verified"].builder(spark, sf_dir).collect()
+    }
+    assert verified == exact and exact
