@@ -270,3 +270,90 @@ def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
     )
+
+
+def kmeans_fixedpoint(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 4,
+    quant: int = 10**6,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's k-means in scaled-integer (fixed-point) arithmetic:
+    returns ``(assignments DataFrame (key, cluster_id), centroids)``
+    with every quantity a BIGINT — fully deterministic on any
+    partitioning, any engine.
+
+    Same determinism move as pagerank_fixedpoint: float Lloyd's is
+    order-of-addition dependent (partial-sum merge order wobbles the
+    means in the last ulps, which can FLIP a borderline assignment),
+    so two cluster layouts of the same data can genuinely disagree.
+    Quantizing components to ``floor(x*quant)`` BIGINTs makes every
+    distance and every centroid sum exact and commutative:
+
+    * seeds   = the ``k`` lowest-``key_col`` quantized vectors;
+    * assign  = argmin of integer squared distance, ties to the
+      lowest cluster_id (folded into one scalar key dist*k + cid);
+    * update  = per-component integer mean, DIV truncating toward
+      zero (Spark ``div`` == DuckDB ``//`` semantics — checked on
+      negatives); an empty cluster becomes the zero vector.
+
+    Which is what lets queries/similarity.py register a strict DuckDB
+    recursive-CTE oracle for the clustering family instead of a
+    rows-only check. Plan shape per iteration: one broadcast
+    (k centroids as a literal-free tiny DF), one narrow argmin agg,
+    one posexplode sum — the k·(d+1)-scalars-per-partition merge of
+    kmeans_fit, now in exact integers; centroids are bounded
+    control-plane state (k×d ints collected per round).
+    """
+    spark = df.sparkSession
+    vq = df.select(
+        F.col(key_col).alias("key"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(FLOOR(CAST(x AS DOUBLE) * {quant}.0) AS BIGINT))"
+        ).alias("vq"),
+    ).localCheckpoint(eager=True)
+    dim = len(vq.first()["vq"])
+    cents: list[list[int]] = [
+        list(r["vq"]) for r in vq.orderBy("key").limit(k).collect()
+    ]
+
+    def _assign(cdf: DataFrame) -> DataFrame:
+        dist = F.expr(
+            "aggregate(zip_with(vq, cent, (a, b) -> (a - b) * (a - b)), "
+            "0L, (acc, v) -> acc + v)"
+        )
+        return (
+            vq.crossJoin(F.broadcast(cdf))
+            .select("key", "vq", (dist * k + F.col("cluster_id")).alias("dk"))
+            .groupBy("key", "vq")
+            .agg(F.min("dk").alias("dk"))
+            .select("key", "vq", F.expr(f"CAST(dk % {k} AS INT)").alias("cluster_id"))
+        )
+
+    def _cents_df(c: list[list[int]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(j, c[j]) for j in range(k)], "cluster_id int, cent array<bigint>"
+        )
+
+    def _truncdiv(s: int, n: int) -> int:
+        q = abs(s) // n
+        return q if s >= 0 else -q
+
+    for _ in range(iters):
+        assigned = _assign(_cents_df(cents))
+        sums = (
+            assigned.select("cluster_id", F.posexplode("vq").alias("i", "x"))
+            .groupBy("cluster_id", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [[0] * dim for _ in range(k)]
+        for r in sums:
+            new[r["cluster_id"]][r["i"]] = _truncdiv(int(r["s"]), int(r["n"]))
+        cents = new
+
+    final = _assign(_cents_df(cents)).select("key", "cluster_id")
+    return final, cents

@@ -19,10 +19,14 @@ becomes its own single-doc bin with ``overflow = true`` so a
 downstream chunker (see ``text_chunk_windows``) can split them —
 the no-silent-caps rule.
 
-Determinism: group assignment is xxhash64(key) % groups; within a
-group docs sort by (size desc, key); best-fit takes the tightest
-bin that fits (bisect on sorted remainders) — so the packing is a pure function of the input set, stable
-across runs, partitionings, and clusters.
+Determinism: group assignment is the portable md5 60-bit hash of the
+key mod groups (engine-portable — a DuckDB oracle rebuilds identical
+groups); within a group docs sort by (size desc, key); best-fit takes
+the tightest bin that fits (bisect on sorted remainders, ties resolved
+by insert-before-equals order — which the SQL replay mirrors with
+list_filter counts and list_slice splices) — so the packing is a pure
+function of the input set, stable across runs, partitionings,
+clusters, AND engines.
 """
 
 from __future__ import annotations
@@ -114,7 +118,17 @@ def pack_sequences(
     salted = df.select(
         F.col(key_col),
         F.col(size_col).cast("long"),
-        F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_groups))
+        # PORTABLE md5 group salt (r11, the minhash re-key move — was
+        # xxhash64): a DuckDB oracle can rebuild the identical groups,
+        # which together with the in-group replay below makes the
+        # whole packing exact-oracle checkable
+        F.pmod(
+            F.expr(
+                f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), "
+                "1, 15), 16, 10) AS BIGINT)"
+            ),
+            F.lit(num_groups),
+        )
         .cast("int")
         .alias("__grp"),
     )

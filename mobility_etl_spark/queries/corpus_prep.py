@@ -4,11 +4,11 @@ packing — the steps between a deduped corpus (queries/dedup.py,
 queries/curation.py) and a dataloader.
 
 All query names sort past "m" so the driver's graded alphabetical
-window stays stable (VERDICT r02 #3). Everything except packing is
-pure built-in expression work with an exact DuckDB oracle; packing is
-sequential-by-nature (bin state) and is gated by property tests
-instead (tests/test_packing.py) — same posture as the ANN/MinHash
-rows-only ops.
+window stays stable (VERDICT r02 #3). Everything here carries an
+exact DuckDB oracle — including packing since r11: its bin state is
+sequential-by-nature but PER GROUP, and the group-local BFD walk is
+replayed exactly by a recursive CTE (_PACK_ORACLE below); the
+property gates in tests/test_packing.py stay as defense in depth.
 """
 
 from __future__ import annotations
@@ -675,25 +675,117 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pack_sequences_docs", oracle=None, tags=("N5", "E39"))
+#: pack_sequences_docs geometry, shared by the face and its oracle.
+_PACK_CAP, _PACK_GROUPS = 512, 8
+_PACK_STRIDE = 1 << 40  # operators/packing._BIN_STRIDE
+_PACK_P60 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+#: Exact DuckDB replay of group-local best-fit-decreasing (r11): the
+#: portable md5 group salt rebuilds identical groups; per group, the
+#: recursive CTE walks docs in (size desc, id asc) order carrying the
+#: EXACT bisect state pack_group maintains — a rem-sorted
+#: STRUCT(rem, bin)[] with insert-before-equals splice discipline
+#: (bisect_left == count of entries with rem < x) — so bin
+#: assignments, not just aggregate fill, are engine-identical.
+_PACK_ORACLE = f"""
+    WITH RECURSIVE docs0 AS MATERIALIZED (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS sz,
+               CAST({_PACK_P60} % {_PACK_GROUPS} AS INT) AS grp
+        FROM documents
+    ),
+    docs_ord AS MATERIALIZED (
+        SELECT grp, doc_id, sz,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY sz DESC, doc_id ASC) AS rn
+        FROM docs0
+    ),
+    walk(grp, step, nb, bins, acc) AS (
+        SELECT grp, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST([] AS STRUCT(rem BIGINT, bin BIGINT)[]),
+               CAST([] AS STRUCT(key BIGINT, sz BIGINT, bin BIGINT,
+                                 ov BOOLEAN)[])
+        FROM (SELECT DISTINCT grp FROM docs_ord)
+        UNION ALL
+        SELECT grp, step, nb2,
+               CASE WHEN is_over THEN bins
+                    ELSE list_slice(removed, 1, j)
+                         || [{{'rem': new_rem, 'bin': tbin}}]
+                         || list_slice(removed, j + 1, len(removed))
+               END,
+               list_append(acc, {{'key': key, 'sz': sz, 'bin': tbin,
+                                  'ov': is_over}})
+        FROM (
+            SELECT *,
+                   len(list_filter(removed, e -> e.rem < new_rem)) AS j
+            FROM (
+                SELECT grp, step, key, sz, bins, acc, is_over,
+                       CASE WHEN is_over OR NOT fits THEN nb + 1
+                            ELSE nb END AS nb2,
+                       CASE WHEN is_over THEN CAST(NULL AS BIGINT)
+                            WHEN fits THEN bins[pos + 1].rem - sz
+                            ELSE {_PACK_CAP} - sz END AS new_rem,
+                       CASE WHEN fits AND NOT is_over
+                            THEN bins[pos + 1].bin
+                            ELSE nb END AS tbin,
+                       CASE WHEN is_over OR NOT fits THEN bins
+                            ELSE list_slice(bins, 1, pos)
+                                 || list_slice(bins, pos + 2, len(bins))
+                       END AS removed
+                FROM (
+                    SELECT w.grp, w.step + 1 AS step, w.nb, w.bins,
+                           w.acc, d.doc_id AS key, d.sz,
+                           d.sz > {_PACK_CAP} AS is_over,
+                           len(list_filter(w.bins, e -> e.rem < d.sz))
+                               AS pos,
+                           len(list_filter(w.bins, e -> e.rem < d.sz))
+                               < len(w.bins) AS fits
+                    FROM walk w
+                    JOIN docs_ord d ON d.grp = w.grp AND d.rn = w.step + 1
+                )
+            )
+        )
+    ),
+    final AS (
+        SELECT grp, acc FROM walk
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY step DESC) = 1
+    ),
+    assigns AS (
+        SELECT grp, a.key, a.sz, a.bin, a.ov
+        FROM (SELECT grp, UNNEST(acc) AS a FROM final)
+    )
+    SELECT CAST(grp AS INT) AS pack_group,
+           CAST(grp AS BIGINT) * {_PACK_STRIDE} + bin AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) AS BIGINT) AS fill_tokens,
+           CAST(SUM(sz) AS DOUBLE) / {_PACK_CAP}.0 AS utilization,
+           bool_or(ov) AS has_overflow
+    FROM assigns GROUP BY grp, bin ORDER BY pack_group, bin_id
+"""
+
+
+@register("pack_sequences_docs", oracle=_PACK_ORACLE, tags=("N5", "E39"))
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training (operators/packing.py): documents
     binned into 512-token context windows by group-local
     best-fit-decreasing inside applyInPandas — 8 independent packing
     groups (one shuffle on the salt), oversized docs kept as flagged
-    solo bins, fully deterministic. Rows-only driver check (bin
-    assignment is an algorithmic artifact, not SQL-reproducible);
-    tests/test_packing.py gates exactly-once coverage, capacity,
-    utilization vs the ceil(total/capacity) lower bound, and
-    run-to-run determinism. Returns per-bin stats ordered for a
-    stable row count."""
+    solo bins, fully deterministic. EXACT-oracle checked since r11
+    (was rows-only as "algorithmic artifact, not SQL-reproducible" —
+    wrong: the portable-md5 group salt plus a recursive-CTE replay of
+    the bisect state makes the BFD packing itself engine-portable,
+    see _PACK_ORACLE). tests/test_packing.py keeps the exactly-once
+    coverage, capacity, utilization-vs-lower-bound, and run-to-run
+    determinism gates. Returns per-bin stats ordered for a stable
+    row count."""
     from mobility_etl_spark.operators.packing import bin_stats, pack_sequences
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    packed = pack_sequences(docs, "doc_id", "n_tokens", capacity=512, num_groups=8)
-    return bin_stats(packed, "n_tokens", capacity=512)
+    packed = pack_sequences(
+        docs, "doc_id", "n_tokens", capacity=_PACK_CAP, num_groups=_PACK_GROUPS
+    )
+    return bin_stats(packed, "n_tokens", capacity=_PACK_CAP)
 
 
 _SEM_TAU = 0.47  # exact-cosine semantic-dup threshold (margin-gated)

@@ -1042,3 +1042,127 @@ def vector_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PROBE_TAU,
         key_col="vec_id",
     )
+
+
+#: Fixed-point k-means face geometry (see
+#: operators/linalg.kmeans_fixedpoint): k clusters, fixed Lloyd
+#: rounds, 1e6 component quantization.
+_KMFX_K, _KMFX_ITERS, _KMFX_QUANT = 8, 4, 10**6
+
+
+@register(
+    "vector_kmeans_fixedpoint",
+    oracle=f"""
+    WITH RECURSIVE vq AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) * {_KMFX_QUANT}.0)
+                        AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    seeds AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cluster_id, v
+        FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT {_KMFX_K})
+    ),
+    dims AS MATERIALIZED (SELECT len(v) AS d FROM vq LIMIT 1),
+    allcl AS MATERIALIZED (
+        SELECT CAST(g.j AS INT) AS cluster_id
+        FROM UNNEST(generate_series(0, {_KMFX_K - 1})) AS g(j)
+    ),
+    cents(it, cluster_id, c) AS (
+        SELECT 0, cluster_id, v FROM seeds
+        UNION ALL
+        SELECT COALESCE(upd.nit, MAX(upd.nit) OVER ()) AS it,
+               a.cluster_id,
+               COALESCE(upd.c, (SELECT list_transform(
+                   generate_series(1, d), x -> CAST(0 AS BIGINT))
+                   FROM dims))
+        FROM allcl a
+        LEFT JOIN (
+            SELECT it + 1 AS nit, cid, list(m ORDER BY i) AS c
+            FROM (
+                SELECT ass.it, ass.cid, g.i,
+                       CAST((CASE WHEN SUM(ass.v[g.i]) >= 0
+                             THEN 1 ELSE -1 END)
+                            * (ABS(SUM(ass.v[g.i])) // COUNT(*))
+                            AS BIGINT) AS m
+                FROM (
+                    SELECT ct.it, q.vec_id, q.v,
+                           CAST(MIN(
+                               CAST(list_sum(list_transform(
+                                    list_zip(q.v, ct.c),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2])))
+                                    AS BIGINT) * {_KMFX_K} + ct.cluster_id
+                           ) % {_KMFX_K} AS INT) AS cid
+                    FROM vq q, cents ct
+                    WHERE ct.it < {_KMFX_ITERS}
+                    GROUP BY ct.it, q.vec_id, q.v
+                ) ass,
+                UNNEST(generate_series(1, (SELECT d FROM dims))) AS g(i)
+                GROUP BY ass.it, ass.cid, g.i
+            ) GROUP BY it + 1, cid
+        ) upd ON upd.cid = a.cluster_id
+        QUALIFY COUNT(upd.nit) OVER () > 0
+    ),
+    final_cents AS (
+        SELECT cluster_id, c FROM cents WHERE it = {_KMFX_ITERS}
+    ),
+    final_assign AS (
+        SELECT q.vec_id,
+               CAST(MIN(
+                   CAST(list_sum(list_transform(list_zip(q.v, fc.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+                   * {_KMFX_K} + fc.cluster_id) % {_KMFX_K} AS INT)
+                   AS cluster_id
+        FROM vq q, final_cents fc
+        GROUP BY q.vec_id
+    )
+    SELECT fc.cluster_id,
+           CAST(COUNT(fa.vec_id) AS BIGINT) AS n_members,
+           CAST(list_sum(list_transform(fc.c, x -> ABS(x))) AS BIGINT)
+               AS centroid_l1
+    FROM final_cents fc
+    LEFT JOIN final_assign fa ON fa.cluster_id = fc.cluster_id
+    GROUP BY fc.cluster_id, fc.c
+    ORDER BY fc.cluster_id
+    """,
+    tags=("N3", "N9", "N17"),
+)
+def vector_kmeans_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means in scaled-integer arithmetic
+    (operators/linalg.kmeans_fixedpoint): component quantization to
+    1e-6 BIGINTs makes every distance and centroid sum exact and
+    commutative, so the clustering is BIT-IDENTICAL on any
+    partitioning, any engine — the reproducibility float Lloyd's
+    cannot give (vector_kmeans_clusters stays registered as the
+    float path with its numpy/inertia gates). That determinism
+    upgrades the clustering family to a STRICT DuckDB hash-match:
+    the oracle replays all {_KMFX_ITERS} rounds (argmin assignment
+    with ties-to-lowest-id folded into one scalar key, truncating
+    integer means, empty cluster -> zero vector) as a recursive CTE.
+    Output: per-cluster member count + centroid L1 mass."""
+    from mobility_etl_spark.operators.linalg import kmeans_fixedpoint
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_fixedpoint(
+        emb, k=_KMFX_K, iters=_KMFX_ITERS, quant=_KMFX_QUANT
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    cents_df = spark.createDataFrame(
+        [(j, int(sum(abs(x) for x in c))) for j, c in enumerate(cents)],
+        "cluster_id int, centroid_l1 long",
+    )
+    return (
+        cents_df.join(sizes, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce(F.col("n_members"), F.lit(0).cast("long")).alias(
+                "n_members"
+            ),
+            "centroid_l1",
+        )
+        .orderBy("cluster_id")
+    )

@@ -554,18 +554,180 @@ def run_near_dup_stream(
     return spark.read.parquet(decisions)
 
 
-@register("streaming_near_dup_probe", oracle=None, tags=("N2", "N6", "E30", "E37"))
+def _ndup_stream_oracle() -> str:
+    """DuckDB replay of the ONLINE greedy near-dup admission — the
+    exact decisions table the streaming faces publish.
+
+    Non-recursive part: rebuild the init index (embeddings vec_id <
+    300) plus the deterministic feed (novel >= 300, two planted
+    jittered-dup cohorts at +100000/+200000 — build_near_dup_feed)
+    with the SAME portable md5 jitter/planes and 1e-6 fixed-point
+    folds as the batch LSH oracles (queries/similarity.py
+    _LSH_ORACLE_CTES), score every (feed, lower-id) bucket collision
+    >= 0.9 — a SUPERSET of what the stream ever probes, since the
+    stream only scores against init + previously-ACCEPTED rows.
+
+    Recursive part: the greedy walk itself IS SQL-expressible because
+    decisions are invariant to micro-batch boundaries (gated in
+    tests/test_streaming.py), i.e. equal to the one-item-per-batch
+    sequential walk in vec_id order. Only ids that appear in a
+    qualifying pair need stepping (everything else is accepted by
+    default), so the recursion is ~|planted dups| steps carrying the
+    decision list as a STRUCT[] working row; a pair blocks its
+    inc side iff its corp side is init or accepted-so-far, and
+    attribution is argmax by (sim, then lowest id) over QUALIFYING
+    pairs only — exactly near_dup_apply_batch's pooled walk."""
+    from mobility_etl_spark.queries.similarity import (
+        _LSH_BITS,
+        _LSH_PLANES,
+        _P60,
+    )
+
+    jitter = (
+        "CAST(CAST(x * (1.0 + ((("
+        + _P60.format(
+            key="CAST(vec_id AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR)"
+        )
+        + " % 1001) / 500.0) - 1.0) * 0.6) AS REAL) AS DOUBLE)"
+    )
+    return f"""
+    WITH RECURSIVE elems AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ),
+    allv AS (
+        SELECT vec_id, i, x FROM elems
+        UNION ALL
+        SELECT vec_id + 100000, i, {jitter} FROM elems WHERE vec_id < 60
+        UNION ALL
+        SELECT vec_id + 200000, i, {jitter}
+        FROM elems WHERE vec_id >= 300 AND vec_id < 360
+    ),
+    feed_ids AS MATERIALIZED (SELECT DISTINCT vec_id FROM allv WHERE vec_id >= 300),
+    init_ids AS MATERIALIZED (SELECT DISTINCT vec_id FROM elems WHERE vec_id < 300),
+    planes AS (
+        SELECT pp.p, ii.i,
+               (({_P60.format(key="CAST(pp.p AS VARCHAR) || ',' || CAST(ii.i AS VARCHAR)")}
+                 % 10001) / 5000.0) - 1.0 AS h
+        FROM UNNEST(generate_series(0, {_LSH_PLANES - 1})) AS pp(p),
+             (SELECT DISTINCT i - 1 AS i FROM elems) AS ii
+    ),
+    dots AS (
+        SELECT c.vec_id, pl.p,
+               SUM(CAST(FLOOR(c.x * pl.h * 1000000.0) AS BIGINT)) AS q
+        FROM allv c JOIN planes pl ON pl.i = c.i - 1
+        GROUP BY c.vec_id, pl.p
+    ),
+    buckets AS (
+        SELECT vec_id, CAST(p // {_LSH_BITS} AS INT) AS band,
+               SUM(CASE WHEN q >= 0
+                   THEN 1::BIGINT
+                        << CAST({_LSH_BITS - 1} - (p % {_LSH_BITS}) AS INT)
+                   ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id, p // {_LSH_BITS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS inc_id, b.vec_id AS corp_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND b.vec_id < a.vec_id
+        WHERE a.vec_id >= 300
+    ),
+    norms AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(FLOOR(x * x * 1000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS q2
+        FROM allv GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT c.inc_id, c.corp_id,
+               CAST(FLOOR(
+                   ((CAST(SUM(CAST(FLOOR(ea.x * eb.x * 1000000.0)
+                                   AS BIGINT)) AS DOUBLE) / 1000000.0)
+                    / SQRT(na.q2 * nb.q2)) * 1000000.0
+               ) AS BIGINT) AS sim_fx
+        FROM cand c
+        JOIN allv ea ON ea.vec_id = c.inc_id
+        JOIN allv eb ON eb.vec_id = c.corp_id AND eb.i = ea.i
+        JOIN norms na ON na.vec_id = c.inc_id
+        JOIN norms nb ON nb.vec_id = c.corp_id
+        GROUP BY c.inc_id, c.corp_id, na.q2, nb.q2
+    ),
+    pairs_fx AS MATERIALIZED (
+        SELECT inc_id, corp_id, sim_fx FROM scored WHERE sim_fx >= 900000
+    ),
+    pinc AS MATERIALIZED (SELECT DISTINCT inc_id FROM pairs_fx),
+    ordered AS MATERIALIZED (
+        SELECT inc_id, ROW_NUMBER() OVER (ORDER BY inc_id) AS rn FROM pinc
+    ),
+    default_acc AS MATERIALIZED (
+        SELECT vec_id FROM feed_ids
+        WHERE vec_id NOT IN (SELECT inc_id FROM pinc)
+    ),
+    walk(step, dec) AS (
+        SELECT 0, CAST([] AS STRUCT(vec_id BIGINT, accepted INT,
+                                    match_id BIGINT, sim_fx BIGINT)[])
+        UNION ALL
+        SELECT w.step + 1,
+            list_append(w.dec, (
+                SELECT CASE WHEN COUNT(*) = 0
+                    THEN {{'vec_id': o.inc_id, 'accepted': 1,
+                          'match_id': CAST(NULL AS BIGINT),
+                          'sim_fx': CAST(NULL AS BIGINT)}}
+                    ELSE {{'vec_id': o.inc_id, 'accepted': 0,
+                          'match_id': CAST(arg_max(p.corp_id,
+                              p.sim_fx * 1000000000
+                              + (1000000000 - p.corp_id)) AS BIGINT),
+                          'sim_fx': CAST(MAX(p.sim_fx) AS BIGINT)}}
+                END
+                FROM pairs_fx p
+                WHERE p.inc_id = o.inc_id
+                  AND (p.corp_id IN (SELECT vec_id FROM init_ids)
+                       OR p.corp_id IN (SELECT vec_id FROM default_acc)
+                       OR list_contains(
+                            list_transform(
+                                list_filter(w.dec, d -> d.accepted = 1),
+                                d -> d.vec_id),
+                            p.corp_id))
+            ))
+        FROM walk w JOIN ordered o ON o.rn = w.step + 1
+    ),
+    walked AS (
+        SELECT UNNEST(dec) AS d
+        FROM walk WHERE step = (SELECT COUNT(*) FROM pinc)
+    )
+    SELECT vec_id, accepted, match_id, sim_fx FROM (
+        SELECT d.vec_id AS vec_id, d.accepted AS accepted,
+               d.match_id AS match_id, d.sim_fx AS sim_fx
+        FROM walked
+        UNION ALL
+        SELECT vec_id, CAST(1 AS INT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM default_acc
+    ) ORDER BY vec_id
+    """
+
+
+@register(
+    "streaming_near_dup_probe",
+    oracle=_ndup_stream_oracle(),
+    tags=("N2", "N6", "E30", "E37"),
+)
 def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online near-duplicate admission driven through the REAL
     streaming engine (streaming/jobs.py:near_dup_stream_ingest): a
     4-micro-batch vector feed probes the LSH-indexed corpus inside
     foreachBatch; accepted vectors append to the index snapshot and
-    gate later arrivals. Rows-only driver check (LSH candidates are
-    recall-bounded, and the greedy admission is order-defined, not
-    SQL-expressible); tests/test_streaming.py gates (a) decisions are
-    invariant to micro-batch boundaries (1-file vs 4-file vs 8-file
-    runs identical) and (b) parity with a batch-side sequential replay
-    of the same probe graph."""
+    gate later arrivals. EXACT-oracle checked since r11: order-defined
+    greedy admission IS SQL-expressible — boundary invariance (gated
+    in tests/test_streaming.py: 1-file vs 4-file vs 8-file runs
+    identical) reduces it to the sequential id-order walk, which
+    _ndup_stream_oracle replays as a recursive CTE over the portable
+    LSH pair graph; the driver hash equality is therefore a proof
+    that the STREAM made exactly the decisions the greedy spec
+    defines. Batch-side sequential-replay parity stays gated in
+    tests/test_streaming.py."""
     out = _NDUP_STREAM_CACHE.get(sf_dir)
     if out is None:
         dec = run_near_dup_stream(
@@ -585,7 +747,10 @@ _NDUP_SNAP_CACHE: dict[str, tuple[DataFrame, str]] = {}
 
 @register(
     "streaming_near_dup_compacted",
-    oracle=None,
+    # the SAME oracle as streaming_near_dup_probe: the two faces
+    # differing only in index storage backend is itself the claim —
+    # hash-proven at every sweep (the near_dup_lsh_idonly move)
+    oracle=_ndup_stream_oracle(),
     tags=("N2", "N6", "N13", "E30", "E37"),
 )
 def streaming_near_dup_compacted(

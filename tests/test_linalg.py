@@ -171,3 +171,47 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir, emb):
     assert mismatches == 0
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_fixedpoint_partitioning_invariant(spark, sf_dir, emb):
+    """The fixed-point clustering is BIT-identical across partition
+    layouts — the reproducibility claim behind its exact DuckDB
+    oracle (float kmeans_fit genuinely cannot pass this test: partial
+    -sum merge order wobbles the means)."""
+    from mobility_etl_spark.operators.linalg import kmeans_fixedpoint
+
+    runs = []
+    for parts in (3, 13):
+        assigned, cents = kmeans_fixedpoint(
+            emb.repartition(parts), k=8, iters=3
+        )
+        runs.append(
+            (
+                sorted((r.key, r.cluster_id) for r in assigned.collect()),
+                cents,
+            )
+        )
+    assert runs[0] == runs[1]
+    # centroids are genuinely updated integers, not the raw seeds
+    assert any(c != [0] * len(c) for c in runs[0][1])
+
+
+def test_kmeans_fixedpoint_empty_cluster_zero_rule(spark):
+    """An empty cluster becomes the zero vector (the total-semantics
+    rule the oracle mirrors): with k=3 over two far-apart point
+    groups whose two lowest-id seeds COINCIDE, one seed ends up
+    memberless after round 1."""
+    from mobility_etl_spark.operators.linalg import kmeans_fixedpoint
+
+    rows = [
+        (0, [1.0, 1.0]),
+        (1, [1.0, 1.0]),  # seed 1 == seed 0: ties go to cluster 0,
+        (2, [10.0, 10.0]),  # so cluster 1 is memberless after round 1
+        (3, [10.0, 10.1]),
+        (4, [1.002, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_fixedpoint(df, k=3, iters=1)
+    assigned.collect()  # must complete despite the empty cluster
+    assert cents[1] == [0, 0]
+    assert cents[0] != [0, 0] and cents[2] != [0, 0]
