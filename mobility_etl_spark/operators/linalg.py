@@ -357,3 +357,76 @@ def kmeans_fixedpoint(
 
     final = _assign(_cents_df(cents)).select("key", "cluster_id")
     return final, cents
+
+
+def power_iteration_fixedpoint(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    iters: int = 8,
+    quant: int = 10**6,
+    shift: int = 1 << 20,
+) -> DataFrame:
+    """Top-eigenvector power iteration of the corpus Gram matrix in
+    scaled-integer arithmetic: returns ``(dim_i, v_fp)`` — the
+    unnormalized integer eigenvector iterate after ``iters`` rounds.
+
+    The third member of the fixed-point family (pagerank_fixedpoint,
+    kmeans_fixedpoint): float power iteration wobbles in the last
+    ulps with summation order, so the dominant direction of 100 TB of
+    embeddings is not reproducible run-to-run; integer arithmetic
+    makes it bit-identical on any partitioning, any engine.
+
+    Distribution shape: the ONLY data-scale work is the Gram
+    accumulation — components quantized to ``floor(x*quant)`` BIGINTs,
+    per-vector outer products exploded and summed (associative integer
+    sums; one shuffle of d^2 cells) — after which A is d x d
+    control-plane state and the iteration is driver arithmetic (same
+    bounded-state posture as kmeans_fit's k x (d+1) merge). Overflow
+    discipline: A is right-shifted by ``shift`` (truncating toward
+    zero, = DuckDB ``//`` = Spark ``div``) and each iterate is
+    renormalized by ``max|w| // shift + 1``, keeping every Spark-side
+    and oracle-side sum inside BIGINT.
+    """
+    spark = df.sparkSession
+    # the self-join keys on the REAL row key, never a generated id:
+    # monotonically_increasing_id() is plan-position-dependent and can
+    # differ between the two sides of a self-join (each side may
+    # rescan), silently pairing elements of DIFFERENT vectors
+    elems = df.select(
+        F.col(key_col).alias("rid"),
+        F.posexplode(
+            F.expr(
+                f"transform({vec_col}, x -> "
+                f"CAST(FLOOR(CAST(x AS DOUBLE) * {quant}.0) AS BIGINT))"
+            )
+        ).alias("i", "x"),
+    )
+    b = elems.select(
+        F.col("rid"), F.col("i").alias("j"), F.col("x").alias("y")
+    )
+    gram_rows = (
+        elems.join(b, "rid")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("aa"))
+        .collect()
+    )
+
+    def _truncdiv(a: int, n: int) -> int:
+        q = abs(a) // n
+        return q if a >= 0 else -q
+
+    d = 1 + max(r["i"] for r in gram_rows)
+    A = [[0] * d for _ in range(d)]
+    for r in gram_rows:
+        A[r["i"]][r["j"]] = _truncdiv(int(r["aa"]), shift)
+
+    v = [1] * d
+    for _ in range(iters):
+        w = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+        den = max(abs(x) for x in w) // shift + 1
+        v = [_truncdiv(x, den) for x in w]
+    # 1-based dim index, matching the oracle's generate_series(1, d)
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(d)], "dim_i int, v_fp long"
+    )

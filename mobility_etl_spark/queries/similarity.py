@@ -1166,3 +1166,69 @@ def vector_kmeans_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+#: Fixed-point power-iteration face geometry (see
+#: operators/linalg.power_iteration_fixedpoint).
+_PIFX_Q, _PIFX_SHIFT, _PIFX_T = 10**6, 1 << 20, 8
+
+
+@register(
+    "vector_power_iteration_fp",
+    oracle=f"""
+    WITH RECURSIVE elems AS MATERIALIZED (
+        SELECT vec_id, i,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {_PIFX_Q}.0)
+                    AS BIGINT) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ),
+    gram AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(a.x * b.x) AS BIGINT) // {_PIFX_SHIFT} AS a
+        FROM elems a JOIN elems b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ),
+    pv(it, i, v) AS (
+        SELECT 0, i, CAST(1 AS BIGINT)
+        FROM (SELECT DISTINCT i FROM elems)
+        UNION ALL
+        SELECT it, i, w // den
+        FROM (
+            SELECT t.it, t.i, t.w,
+                   MAX(ABS(t.w)) OVER () // {_PIFX_SHIFT} + 1 AS den
+            FROM (
+                SELECT p.it + 1 AS it, g.i,
+                       CAST(SUM(g.a * p.v) AS BIGINT) AS w
+                FROM pv p JOIN gram g ON g.j = p.i
+                WHERE p.it < {_PIFX_T}
+                GROUP BY p.it + 1, g.i
+            ) t
+        )
+    )
+    SELECT CAST(i AS INT) AS dim_i, v AS v_fp
+    FROM pv WHERE it = {_PIFX_T} ORDER BY dim_i
+    """,
+    tags=("N9", "N17"),
+)
+def vector_power_iteration_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-eigenvector power iteration over the embedding Gram
+    matrix in scaled-integer arithmetic
+    (operators/linalg.power_iteration_fixedpoint) — the deterministic
+    twin of the float PCA/Gram family (vector_pca_project,
+    vector_gram_blas stay registered as the float paths with their
+    numpy parity gates). Every Gram cell and every iterate component
+    is an exact commutative integer sum, so the dominant direction of
+    the corpus is BIT-IDENTICAL on any partitioning or engine, and
+    the oracle replays all {_PIFX_T} matrix-vector rounds (with the
+    same truncating shift renormalization) as a recursive CTE. The
+    data-scale work is one Gram shuffle; the d x d iteration is
+    bounded control-plane state."""
+    from mobility_etl_spark.operators.linalg import (
+        power_iteration_fixedpoint,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_fixedpoint(
+        emb, iters=_PIFX_T, quant=_PIFX_Q, shift=_PIFX_SHIFT
+    ).orderBy("dim_i")

@@ -5,10 +5,16 @@ consumes SUBWORD counts, and packing decisions (operators/packing.py)
 are only as good as those counts.
 
 BPE encoding is an iterative, data-dependent rewrite (merge the
-best-ranked adjacent pair, repeat), so it is not SQL-expressible: the
-face registers rows-only and its exactness gate is a full third-engine
-recompute in plain Python plus structural invariants (losslessness,
-monotone symbol counts) in tests/test_round5_faces.py. The Spark shape
+best-ranked adjacent pair, repeat) — and since r11 BOTH the encoder
+and the trainer carry exact DuckDB oracles anyway: the per-word
+rewrite is a recursive CTE splicing one merge per step (rank lookup
+inlined as a CASE lambda over the fixed table), and the trainer's
+merge-all-occurrences round is one recursive step using window
+functions (global argmax via FIRST_VALUE over the pair weights,
+left-to-right non-overlap via gaps-and-islands run parity). The full
+third-engine Python recompute plus structural invariants
+(losslessness, monotone symbol counts) stay gated in
+tests/test_round5_faces.py / test_round7_faces.py. The Spark shape
 is the canonical tokenizer deployment: mapInPandas with the merge
 table baked into the closure (a few hundred bytes broadcast once per
 task — at 100 TB a real 50k-merge table ships the same way, well under
@@ -58,6 +64,176 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+def _bpe_encode_oracle() -> str:
+    """DuckDB replay of the greedy rank-ordered BPE ENCODER: per
+    distinct word, a recursive CTE splices exactly one merge per step
+    — the best-ranked pair at its first position, as one scalar
+    ``rank*10000 + position`` key — until no table pair remains; the
+    rank lookup is the fixed merge table inlined as a CASE lambda (no
+    join, so the recursive term stays single-reference). Doc-level
+    outputs re-assemble from the word encodings by position."""
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    branches = " ".join(
+        f"WHEN syms[i] = '{esc(l)}' AND syms[i + 1] = '{esc(r)}' "
+        f"THEN CAST({rank} * 10000 + i AS BIGINT)"
+        for rank, (l, r) in enumerate(BPE_MERGES)
+    )
+    key = (
+        "list_min(list_filter(list_transform("
+        "generate_series(1, len(syms) - 1), "
+        f"i -> CASE {branches} ELSE NULL END), x -> x IS NOT NULL))"
+    )
+    return f"""
+    WITH RECURSIVE doct AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+                    ELSE string_split(text, ' ') END AS toks
+        FROM documents
+    ),
+    words0 AS MATERIALIZED (
+        SELECT DISTINCT toks[g.i] AS w
+        FROM doct, UNNEST(generate_series(1, len(toks))) AS g(i)
+    ),
+    enc(step, w, syms) AS (
+        SELECT 0, w,
+               list_transform(generate_series(1, length(w)), i -> w[i])
+        FROM words0
+        UNION ALL
+        SELECT step + 1, w,
+               list_slice(syms, 1, (key % 10000) - 1)
+               || [syms[key % 10000] || syms[(key % 10000) + 1]]
+               || list_slice(syms, (key % 10000) + 2, len(syms))
+        FROM (
+            SELECT step, w, syms, {key} AS key FROM enc
+        ) WHERE key IS NOT NULL
+    ),
+    finals AS MATERIALIZED (
+        SELECT w, syms FROM enc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY w ORDER BY step DESC) = 1
+    ),
+    docw AS (
+        SELECT doc_id, toks[g.i] AS w, g.i AS ord
+        FROM doct, UNNEST(generate_series(1, len(toks))) AS g(i)
+    ),
+    agg AS (
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(f.syms)) AS BIGINT) AS n_subwords,
+               array_to_string(
+                   list_slice(flatten(list(f.syms ORDER BY d.ord)), 1, 8),
+                   ' ') AS subword_sample
+        FROM docw d JOIN finals f ON f.w = d.w
+        GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_subwords, 0) AS n_subwords,
+           COALESCE(a.subword_sample, '') AS subword_sample
+    FROM doct doc LEFT JOIN agg a ON a.doc_id = doc.doc_id
+    """
+
+
+#: DuckDB replay of the distributed BPE TRAINER (8 merges): one
+#: recursive step per round. The working table carries every word's
+#: current segmentation; the round's winning pair is computed INSIDE
+#: the step by windows over the exploded adjacent-pair occurrences
+#: (SUM(cnt) per pair, then a full-frame FIRST_VALUE ordered by the
+#: Sennrich tie-break weight desc / left asc / right asc), and the
+#: merge-all-occurrences rewrite is the gaps-and-islands run-parity
+#: rule (left-to-right non-overlap: within a consecutive match run,
+#: every even offset starts a merge). Each row carries the round's
+#: (bl, br, bw), so the merge table falls out as SELECT DISTINCT.
+_BPE_TRAIN_N = 8
+_BPE_TRAIN_ORACLE = f"""
+    WITH RECURSIVE vocab0 AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+               list_transform(generate_series(1, length(w)), i -> w[i])
+                   AS syms
+        FROM (
+            SELECT toks[g.i] AS w
+            FROM (SELECT CASE WHEN text = '' THEN CAST([] AS VARCHAR[])
+                              ELSE string_split(lower(text), ' ') END
+                             AS toks
+                  FROM documents),
+                 UNNEST(generate_series(1, len(toks))) AS g(i)
+        ) WHERE length(w) > 0
+        GROUP BY w
+    ),
+    seg(it, w, cnt, syms, bl, br, bw) AS (
+        SELECT 0, w, cnt, syms, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        FROM vocab0
+        UNION ALL
+        SELECT it + 1, w, cnt,
+               list_filter(
+                   list(CASE WHEN mstart THEN bl || br
+                             WHEN COALESCE(prev_mstart, FALSE) THEN NULL
+                             ELSE sym END ORDER BY j),
+                   x -> x IS NOT NULL) AS new_syms,
+               bl, br, bw
+        FROM (
+            SELECT *, LAG(mstart) OVER (PARTITION BY w ORDER BY j)
+                          AS prev_mstart
+            FROM (
+                SELECT *,
+                       mtch AND ((j - MIN(CASE WHEN mtch THEN j END) OVER
+                           (PARTITION BY w,
+                            CASE WHEN mtch THEN j - mrn END)) % 2 = 0)
+                           AS mstart
+                FROM (
+                    SELECT *,
+                           (l IS NOT NULL AND l = bl AND r = br) AS mtch,
+                           SUM(CASE WHEN l IS NOT NULL AND l = bl
+                                         AND r = br
+                               THEN 1 ELSE 0 END) OVER
+                               (PARTITION BY w ORDER BY j) AS mrn
+                    FROM (
+                        SELECT it, w, cnt, syms, j, sym, l, r,
+                               FIRST_VALUE(l) OVER wbest AS bl,
+                               FIRST_VALUE(r) OVER wbest AS br,
+                               CAST(FIRST_VALUE(wp) OVER wbest AS BIGINT)
+                                   AS bw
+                        FROM (
+                            SELECT e.it, e.w, e.cnt, e.syms, g.j,
+                                   e.syms[g.j] AS sym,
+                                   CASE WHEN g.j < len(e.syms)
+                                        THEN e.syms[g.j] END AS l,
+                                   CASE WHEN g.j < len(e.syms)
+                                        THEN e.syms[g.j + 1] END AS r,
+                                   CASE WHEN g.j < len(e.syms) THEN
+                                       SUM(CASE WHEN g.j < len(e.syms)
+                                           THEN e.cnt END)
+                                       OVER (PARTITION BY
+                                           CASE WHEN g.j < len(e.syms)
+                                                THEN e.syms[g.j] END,
+                                           CASE WHEN g.j < len(e.syms)
+                                                THEN e.syms[g.j + 1] END)
+                                   END AS wp
+                            FROM seg e,
+                                 UNNEST(generate_series(1, len(e.syms)))
+                                     AS g(j)
+                            WHERE e.it < {_BPE_TRAIN_N}
+                        )
+                        WINDOW wbest AS (
+                            ORDER BY wp DESC NULLS LAST, l ASC, r ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
+                    )
+                )
+            )
+        )
+        GROUP BY it, w, cnt, bl, br, bw
+        HAVING bl IS NOT NULL
+    )
+    SELECT DISTINCT CAST(it - 1 AS INT) AS rank, bl AS "left",
+           br AS "right", bw AS pair_weight
+    FROM seg WHERE it >= 1 ORDER BY rank
+"""
+
+
 def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy BPE: repeatedly merge the best-ranked adjacent symbol
     pair until no pair is in the table. Pure function of (word,
@@ -83,7 +259,7 @@ def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 @register(
     "tokenize_bpe_docs",
-    oracle=None,  # iterative rewrite: third-engine parity gate instead
+    oracle=_bpe_encode_oracle(),
     tags=("N5", "N12", "E38"),
 )
 def tokenize_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,7 +541,7 @@ def learn_bpe_merges(
     return merges
 
 
-@register("tokenizer_train_bpe", oracle=None, tags=("N5", "N8", "E38"))
+@register("tokenizer_train_bpe", oracle=_BPE_TRAIN_ORACLE, tags=("N5", "N8", "E38"))
 def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 8 BPE merges from the documents corpus with the
     distributed trainer (:func:`learn_bpe_merges`). Rows-only driver
