@@ -330,7 +330,14 @@ def kmeans_fixedpoint(
             .select("key", "vq", (dist * k + F.col("cluster_id")).alias("dk"))
             .groupBy("key", "vq")
             .agg(F.min("dk").alias("dk"))
-            .select("key", "vq", F.expr(f"CAST(dk % {k} AS INT)").alias("cluster_id"))
+            .select(
+                "key",
+                "vq",
+                F.expr(f"CAST(dk % {k} AS INT)").alias("cluster_id"),
+                # integer squared distance to the winning centroid —
+                # the deterministic centrality key SemDeDup needs
+                F.expr(f"dk div {k}").alias("d2_fp"),
+            )
         )
 
     def _cents_df(c: list[list[int]]) -> DataFrame:
@@ -355,7 +362,7 @@ def kmeans_fixedpoint(
             new[r["cluster_id"]][r["i"]] = _truncdiv(int(r["s"]), int(r["n"]))
         cents = new
 
-    final = _assign(_cents_df(cents)).select("key", "cluster_id")
+    final = _assign(_cents_df(cents)).select("key", "cluster_id", "d2_fp")
     return final, cents
 
 

@@ -1232,3 +1232,207 @@ def vector_power_iteration_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_fixedpoint(
         emb, iters=_PIFX_T, quant=_PIFX_Q, shift=_PIFX_SHIFT
     ).orderBy("dim_i")
+
+
+def _semdedup_fp_kmeans_ctes() -> str:
+    """The recursive fixed-point k-means CTE chain of
+    vector_kmeans_fixedpoint, re-based onto the PLANTED corpus
+    (embeddings ∪ md5-jittered copies) and extended to emit the
+    integer centrality d2 alongside the cluster id — shared scaffolding
+    for the SemDeDup fixed-point oracle."""
+    return f"""
+    WITH RECURSIVE elems AS MATERIALIZED (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS g(i)
+    ),
+    planted AS MATERIALIZED (
+        SELECT vec_id, i, x FROM elems
+        UNION ALL
+        SELECT vec_id + {_DUP_OFFSET}, i,
+               CAST(CAST(x * (1.0 + (((
+                   {_P60.format(key="CAST(vec_id AS VARCHAR) || ',' || CAST(i - 1 AS VARCHAR)")}
+                   % 1001) / 500.0) - 1.0) * 0.6) AS REAL) AS DOUBLE)
+        FROM elems
+    ),
+    corp AS MATERIALIZED (
+        SELECT vec_id, list(x ORDER BY i) AS vd
+        FROM planted GROUP BY vec_id
+    ),
+    vq AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(vd, x ->
+                   CAST(FLOOR(x * {_KMFX_QUANT}.0) AS BIGINT)) AS v
+        FROM corp
+    ),
+    seeds AS MATERIALIZED (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+                   AS cluster_id, v
+        FROM (SELECT vec_id, v FROM vq ORDER BY vec_id LIMIT {_KMFX_K})
+    ),
+    dims AS MATERIALIZED (SELECT len(v) AS d FROM vq LIMIT 1),
+    allcl AS MATERIALIZED (
+        SELECT CAST(g.j AS INT) AS cluster_id
+        FROM UNNEST(generate_series(0, {_KMFX_K - 1})) AS g(j)
+    ),
+    cents(it, cluster_id, c) AS (
+        SELECT 0, cluster_id, v FROM seeds
+        UNION ALL
+        SELECT COALESCE(upd.nit, MAX(upd.nit) OVER ()) AS it,
+               a.cluster_id,
+               COALESCE(upd.c, (SELECT list_transform(
+                   generate_series(1, d), x -> CAST(0 AS BIGINT))
+                   FROM dims))
+        FROM allcl a
+        LEFT JOIN (
+            SELECT it + 1 AS nit, cid, list(m ORDER BY i) AS c
+            FROM (
+                SELECT ass.it, ass.cid, g.i,
+                       CAST((CASE WHEN SUM(ass.v[g.i]) >= 0
+                             THEN 1 ELSE -1 END)
+                            * (ABS(SUM(ass.v[g.i])) // COUNT(*))
+                            AS BIGINT) AS m
+                FROM (
+                    SELECT ct.it, q.vec_id, q.v,
+                           CAST(MIN(
+                               CAST(list_sum(list_transform(
+                                    list_zip(q.v, ct.c),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2])))
+                                    AS BIGINT) * {_KMFX_K} + ct.cluster_id
+                           ) % {_KMFX_K} AS INT) AS cid
+                    FROM vq q, cents ct
+                    WHERE ct.it < {_KMFX_ITERS}
+                    GROUP BY ct.it, q.vec_id, q.v
+                ) ass,
+                UNNEST(generate_series(1, (SELECT d FROM dims))) AS g(i)
+                GROUP BY ass.it, ass.cid, g.i
+            ) GROUP BY it + 1, cid
+        ) upd ON upd.cid = a.cluster_id
+        QUALIFY COUNT(upd.nit) OVER () > 0
+    ),
+    final_cents AS (
+        SELECT cluster_id, c FROM cents WHERE it = {_KMFX_ITERS}
+    ),
+    fa AS MATERIALIZED (
+        SELECT q.vec_id,
+               CAST(MIN(dk) % {_KMFX_K} AS INT) AS cluster_id,
+               MIN(dk) // {_KMFX_K} AS d2
+        FROM (
+            SELECT q.vec_id,
+                   CAST(list_sum(list_transform(list_zip(q.v, fc.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)
+                   * {_KMFX_K} + fc.cluster_id AS dk
+            FROM vq q, final_cents fc
+        ) q GROUP BY q.vec_id
+    ),
+    norms AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(vd, x ->
+                   CAST(FLOOR(x * x * 1000000.0) AS BIGINT)))
+                   AS DOUBLE) / 1000000.0 AS q2
+        FROM corp
+    )
+    """
+
+
+@register(
+    "vector_semdedup_fp",
+    oracle=_semdedup_fp_kmeans_ctes() + f"""
+    , dropped AS (
+        SELECT a.vec_id AS vec_id, TRUE AS is_dropped
+        FROM fa a
+        JOIN fa b ON b.cluster_id = a.cluster_id
+           AND (b.d2 < a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id))
+        JOIN corp ca ON ca.vec_id = a.vec_id
+        JOIN corp cb ON cb.vec_id = b.vec_id
+        JOIN norms na ON na.vec_id = a.vec_id
+        JOIN norms nb ON nb.vec_id = b.vec_id
+        WHERE FLOOR(((CAST(list_sum(list_transform(list_zip(ca.vd, cb.vd),
+                  p -> CAST(FLOOR(p[1] * p[2] * 1000000.0) AS BIGINT)))
+                  AS DOUBLE) / 1000000.0)
+              / SQRT(na.q2 * nb.q2)) * 1000000.0) / 1000000.0
+              >= {_NDUP_LSH_THRESH}
+        GROUP BY a.vec_id
+    )
+    SELECT f.vec_id, f.cluster_id,
+           COALESCE(d.is_dropped, FALSE) AS is_dropped
+    FROM fa f LEFT JOIN dropped d ON d.vec_id = f.vec_id
+    ORDER BY f.vec_id
+    """,
+    tags=("N2", "N3", "N9"),
+)
+def vector_semdedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with every decision deterministic: cluster the planted
+    corpus with FIXED-POINT k-means (operators/linalg.kmeans_fixedpoint
+    — integer distances, integer centrality), then within each cluster
+    drop i iff some strictly-more-central j (integer (d2, vec_id)
+    lexicographic — a total order with no float ties) has fixed-point
+    cosine >= {_NDUP_LSH_THRESH}. Because clustering, centrality AND
+    similarity are all exact integer/quantized arithmetic, the whole
+    pass is BIT-IDENTICAL across partitionings and engines — which is
+    what lets the semantic-dedup family register a strict DuckDB
+    oracle (vector_semantic_dedup stays as the float SemDeDup
+    deployment shape with its numpy gate and corpus-scaled k). Plan
+    shape: the in-cluster candidate join is bounded by Σ|cluster|²,
+    never corpus² — the SemDeDup point."""
+    from mobility_etl_spark.operators.linalg import kmeans_fixedpoint
+
+    corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    assigned, _ = kmeans_fixedpoint(
+        corpus, k=_KMFX_K, iters=_KMFX_ITERS, quant=_KMFX_QUANT
+    )
+    g = assigned.select(
+        F.col("key").alias("vec_id"), "cluster_id", "d2_fp"
+    ).join(corpus, "vec_id")
+    a = g.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cluster_id").alias("cl"),
+        F.col("d2_fp").alias("a_d2"),
+        F.col("embedding").alias("__avec"),
+    )
+    b = g.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cluster_id").alias("cl"),
+        F.col("d2_fp").alias("b_d2"),
+        F.col("embedding").alias("__bvec"),
+    )
+    from mobility_etl_spark.operators.similarity import (
+        _dot_expr,
+        _sq_norm_expr,
+    )
+
+    cos = (
+        F.floor(
+            _dot_expr("__avec", "__bvec")
+            / F.sqrt(_sq_norm_expr("__avec") * _sq_norm_expr("__bvec"))
+            * 1000000.0
+        )
+        / 1000000.0
+    )
+    dropped = (
+        a.join(
+            b,
+            (a["cl"] == b["cl"])
+            & (
+                (F.col("b_d2") < F.col("a_d2"))
+                | (
+                    (F.col("b_d2") == F.col("a_d2"))
+                    & (F.col("b_id") < F.col("a_id"))
+                )
+            ),
+        )
+        .filter(cos >= _NDUP_LSH_THRESH)
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        g.select("vec_id", "cluster_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+        )
+        .orderBy("vec_id")
+    )
