@@ -240,6 +240,62 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_stream_stream_outer",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'click'
+    ),
+    wm AS (
+        SELECT least((SELECT MAX(ts) FROM p), (SELECT MAX(ts) FROM c))
+               - INTERVAL 2 HOUR AS w
+    ),
+    j AS (
+        SELECT p.user_id,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.ts AS p_ts,
+               c.ts AS c_ts
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         AND c.ts <= p.ts
+    )
+    SELECT user_id, purchase_id, click_id, p_ts, c_ts
+    FROM j, wm
+    WHERE click_id IS NOT NULL OR p_ts < w
+    """,
+    tags=("E30", "E34"),
+)
+def streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream LEFT OUTER join — the state-eviction-as-emission
+    path the inner face never exercises: a purchase with no click in
+    its window is emitted null-padded only once the watermark PROVES
+    no matching click can still arrive. The oracle states that
+    semantics exactly: matched rows are the plain interval join;
+    null-padded rows appear iff p_ts < min(max purchase ts, max click
+    ts) - 2h — the engine's final watermark under the default 'min'
+    multiple-watermark policy (each withWatermark node tracks its own
+    filtered max; availableNow commits a final flush batch at that
+    watermark, measured: the null set is split-invariant and
+    deterministic, 1-file vs 4-file runs identical). The trailing
+    window's unmatched purchases are NOT emitted — that is correct
+    streaming semantics, not loss: they are still in state awaiting
+    later clicks, and the oracle's watermark clause models exactly
+    that."""
+    name = f"ssjo_{uuid.uuid4().hex[:12]}"
+    stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
+    result = stream_stream_join(stream, how="left_outer")
+    with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
+        run_available_now(result, name, ckpt, output_mode="append")
+    return spark.table(name)
+
+
+@register(
     "streaming_static_join",
     oracle="""
     SELECT e.event_id,
