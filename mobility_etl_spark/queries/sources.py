@@ -684,3 +684,145 @@ def source_csv_badrecords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows")
     ).select(F.lit("__corrupt").alias("o_orderstatus"), "n_rows")
     return valid.unionAll(corrupt)
+
+
+#: zorder_exact_layout geometry: 8-bit cells per dimension, 16 files.
+_ZX_BITS, _ZX_FILES = 8, 16
+
+
+@register(
+    "zorder_exact_layout",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, user_id, CAST(value AS DOUBLE) AS value
+        FROM events
+    ),
+    st AS (
+        SELECT CAST(MIN(user_id) AS DOUBLE) AS ulo,
+               CAST(MAX(user_id) AS DOUBLE) AS uhi,
+               MIN(value) AS vlo, MAX(value) AS vhi
+        FROM ev
+    ),
+    q AS (
+        SELECT event_id, user_id, value,
+               CAST(LEAST({2**_ZX_BITS - 1}, FLOOR(
+                   (CAST(user_id AS DOUBLE) - ulo) * {2**_ZX_BITS}.0
+                   / (uhi - ulo))) AS BIGINT) AS xq,
+               CAST(LEAST({2**_ZX_BITS - 1}, FLOOR(
+                   (value - vlo) * {2**_ZX_BITS}.0
+                   / (vhi - vlo))) AS BIGINT) AS yq
+        FROM ev, st
+    ),
+    z AS (
+        SELECT event_id, user_id, value,
+               CAST(list_sum(list_transform(
+                   generate_series(0, {_ZX_BITS - 1}), b ->
+                   (((xq >> b) & 1) << (2 * b))
+                   + (((yq >> b) & 1) << (2 * b + 1))
+               )) AS BIGINT) AS zv
+        FROM q
+    ),
+    f AS (
+        SELECT *, NTILE({_ZX_FILES}) OVER (ORDER BY zv, event_id) AS fid
+        FROM z
+    ),
+    spans AS (
+        SELECT fid,
+               CAST(MAX(user_id) - MIN(user_id) AS BIGINT) AS us,
+               CAST(FLOOR((MAX(value) - MIN(value)) * 1000000.0)
+                    AS BIGINT) AS vs
+        FROM f GROUP BY fid
+    ),
+    g AS (
+        SELECT CAST(MAX(user_id) - MIN(user_id) AS BIGINT) AS gu,
+               CAST(FLOOR((MAX(value) - MIN(value)) * 1000000.0)
+                    AS BIGINT) AS gv
+        FROM ev
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_files,
+           CAST(SUM(us) * 1000000000 // (COUNT(*) * (SELECT gu FROM g))
+                AS BIGINT) AS user_id_span_fp,
+           CAST(SUM(vs) * 1000000000 // (COUNT(*) * (SELECT gv FROM g))
+                AS BIGINT) AS value_span_fp
+    FROM spans
+    """,
+    tags=("E5", "E20", "N11"),
+)
+def zorder_exact_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering as a fully DETERMINISTIC logical
+    layout — the exact-oracle sibling of zorder_layout_metrics (which
+    measures the PHYSICAL write and stays rows-only because
+    approxQuantile cutpoints and repartitionByRange sampling wobble
+    file boundaries). Here every step is exact: value-quantized
+    {_ZX_BITS}-bit cells from exact MIN/MAX (computed in-frame, same
+    expression text both engines), bit-interleaved z-values (integer
+    fold), file assignment by exact NTILE({_ZX_FILES}) over
+    (z, event_id) via operators/sampling.partitioned_ntile (zero
+    unpartitioned windows — the range-bucketed global rank), and the
+    pruning statistic itself emitted as integers (per-file span sums
+    div global span, 1e-9 units) so the cross-engine hash is exact.
+    The statistic is what parquet row-group pruning consumes: both
+    dimensions' mean per-file span fraction collapses far below the
+    1.0 an unclustered layout gives."""
+    from mobility_etl_spark.operators.sampling import partitioned_ntile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("value").cast("double").alias("value")
+    )
+    st = ev.agg(
+        F.min("user_id").cast("double").alias("ulo"),
+        F.max("user_id").cast("double").alias("uhi"),
+        F.min("value").alias("vlo"),
+        F.max("value").alias("vhi"),
+    )
+    top = 2**_ZX_BITS - 1
+    q = ev.crossJoin(F.broadcast(st)).select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(
+            f"CAST(LEAST({top}, FLOOR((CAST(user_id AS DOUBLE) - ulo) "
+            f"* {2**_ZX_BITS}.0 / (uhi - ulo))) AS BIGINT)"
+        ).alias("xq"),
+        F.expr(
+            f"CAST(LEAST({top}, FLOOR((value - vlo) * {2**_ZX_BITS}.0 "
+            f"/ (vhi - vlo))) AS BIGINT)"
+        ).alias("yq"),
+    )
+    z = q.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr(
+            f"aggregate(sequence(0, {_ZX_BITS - 1}), 0L, (acc, b) -> "
+            "acc + shiftleft(shiftright(xq, b) & 1, 2 * b) "
+            "+ shiftleft(shiftright(yq, b) & 1, 2 * b + 1))"
+        ).alias("zv"),
+    )
+    f = partitioned_ntile(z, _ZX_FILES, "zv", "event_id", col="fid")
+    spans = f.groupBy("fid").agg(
+        (F.max("user_id") - F.min("user_id")).cast("long").alias("us"),
+        F.floor((F.max("value") - F.min("value")) * 1000000.0)
+        .cast("long")
+        .alias("vs"),
+    )
+    g = ev.agg(
+        (F.max("user_id") - F.min("user_id")).cast("long").alias("gu"),
+        F.floor((F.max("value") - F.min("value")) * 1000000.0)
+        .cast("long")
+        .alias("gv"),
+    )
+    return (
+        spans.crossJoin(F.broadcast(g))
+        .agg(
+            F.count("*").cast("int").alias("n_files"),
+            F.expr(
+                "CAST((SUM(us) * 1000000000) div (COUNT(*) * FIRST(gu)) "
+                "AS BIGINT)"
+            ).alias("user_id_span_fp"),
+            F.expr(
+                "CAST((SUM(vs) * 1000000000) div (COUNT(*) * FIRST(gv)) "
+                "AS BIGINT)"
+            ).alias("value_span_fp"),
+        )
+    )
