@@ -373,6 +373,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # windows over O(shuffle_partitions * k) merged Misra-Gries
     # partials, operators/sketch.py
     "token_heavy_hitters_mg",
+    # same bounded MG compress feeding the candidate set of the
+    # exact-recount face (r11 session 2), queries/sketches.py
+    "token_hh_mg_verified",
     # Hamilton-allocation leftover rank over ONE ROW PER STRATUM
     # (|languages|-bounded), queries/sampling.py
     "stratified_quota_sample",
