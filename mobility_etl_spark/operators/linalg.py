@@ -315,10 +315,20 @@ def kmeans_fixedpoint(
             f"CAST(FLOOR(CAST(x AS DOUBLE) * {quant}.0) AS BIGINT))"
         ).alias("vq"),
     ).localCheckpoint(eager=True)
-    dim = len(vq.first()["vq"])
+    first = vq.first()
+    if first is None:
+        raise ValueError("kmeans_fixedpoint: empty input DataFrame")
+    dim = len(first["vq"])
     cents: list[list[int]] = [
         list(r["vq"]) for r in vq.orderBy("key").limit(k).collect()
     ]
+    if len(cents) < k:
+        # explicit contract, not a cryptic IndexError: the k lowest-key
+        # seeds ARE the semantics (and the oracle's LIMIT k would
+        # silently under-seed) — callers must pass >= k vectors
+        raise ValueError(
+            f"kmeans_fixedpoint: needs >= k={k} rows, got {len(cents)}"
+        )
 
     def _assign(cdf: DataFrame) -> DataFrame:
         dist = F.expr(
@@ -390,10 +400,12 @@ def power_iteration_fixedpoint(
     sums; one shuffle of d^2 cells) — after which A is d x d
     control-plane state and the iteration is driver arithmetic (same
     bounded-state posture as kmeans_fit's k x (d+1) merge). Overflow
-    discipline: A is right-shifted by ``shift`` (truncating toward
-    zero, = DuckDB ``//`` = Spark ``div``) and each iterate is
-    renormalized by ``max|w| // shift + 1``, keeping every Spark-side
-    and oracle-side sum inside BIGINT.
+    discipline at ANY corpus size: Gram sums accumulate in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact, never wrapping —
+    then A is truncating-divided by the corpus-ADAPTIVE divisor
+    ``max|A| * d // 2^42 + 1`` (so |a'| <= 2^42/d) and each iterate is
+    renormalized by ``max|w| // shift + 1`` (so |v| <= 2^20): every
+    per-iteration sum stays <= 2^62, inside BIGINT, for any n.
     """
     spark = df.sparkSession
     # the self-join keys on the REAL row key, never a generated id:
@@ -412,10 +424,18 @@ def power_iteration_fixedpoint(
     b = elems.select(
         F.col("rid"), F.col("i").alias("j"), F.col("x").alias("y")
     )
+    # Gram sums accumulate in DECIMAL(38,0): a BIGINT sum of n per-row
+    # products (each <= quant^2 * |x|^2 ~ 1e14) wraps SILENTLY (ANSI
+    # off) past n ~ 1e5 vectors — decimal is exact to 1e38, matching
+    # DuckDB's HUGEINT accumulation on the oracle side.
     gram_rows = (
         elems.join(b, "rid")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("aa"))
+        .agg(
+            F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias(
+                "aa"
+            )
+        )
         .collect()
     )
 
@@ -426,7 +446,14 @@ def power_iteration_fixedpoint(
     d = 1 + max(r["i"] for r in gram_rows)
     A = [[0] * d for _ in range(d)]
     for r in gram_rows:
-        A[r["i"]][r["j"]] = _truncdiv(int(r["aa"]), shift)
+        A[r["i"]][r["j"]] = int(r["aa"])
+    # Corpus-size-adaptive divisor keeps the ORACLE's per-iteration
+    # BIGINT sums safe at ANY n: |a'| <= 2^42/d, so |Σ_j a'v_j| <=
+    # d * (2^42/d) * 2^20 = 2^62. Deterministic integer arithmetic —
+    # the oracle computes the identical divisor from MAX(ABS(a)).
+    max_a = max((abs(x) for row in A for x in row), default=0)
+    adiv = (max_a * d) // (1 << 42) + 1
+    A = [[_truncdiv(x, adiv) for x in row] for row in A]
 
     v = [1] * d
     for _ in range(iters):

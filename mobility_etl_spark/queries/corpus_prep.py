@@ -678,7 +678,12 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pack_sequences_docs geometry, shared by the face and its oracle.
 _PACK_CAP, _PACK_GROUPS = 512, 8
 _PACK_STRIDE = 1 << 40  # operators/packing._BIN_STRIDE
-_PACK_P60 = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+# single source of truth for the portable 60-bit md5 hash spelling —
+# drift between spellings would silently break the group-assignment
+# identity the packing oracle depends on
+from mobility_etl_spark.queries.similarity import _P60 as _SIM_P60
+
+_PACK_P60 = _SIM_P60.format(key="CAST(doc_id AS VARCHAR)")
 
 #: Exact DuckDB replay of group-local best-fit-decreasing (r11): the
 #: portable md5 group salt rebuilds identical groups; per group, the

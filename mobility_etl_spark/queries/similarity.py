@@ -1183,11 +1183,20 @@ _PIFX_Q, _PIFX_SHIFT, _PIFX_T = 10**6, 1 << 20, 8
         FROM embeddings,
              UNNEST(generate_series(1, len(embedding))) AS g(i)
     ),
-    gram AS MATERIALIZED (
+    gram0 AS MATERIALIZED (
         SELECT a.i AS i, b.i AS j,
-               CAST(SUM(a.x * b.x) AS BIGINT) // {_PIFX_SHIFT} AS a
+               SUM(CAST(a.x AS HUGEINT) * b.x) AS aa
         FROM elems a JOIN elems b ON a.vec_id = b.vec_id
         GROUP BY a.i, b.i
+    ),
+    adivp AS MATERIALIZED (
+        SELECT MAX(ABS(aa)) * (SELECT COUNT(DISTINCT i) FROM gram0)
+               // 4398046511104 + 1 AS adiv
+        FROM gram0
+    ),
+    gram AS MATERIALIZED (
+        SELECT i, j, CAST(aa // (SELECT adiv FROM adivp) AS BIGINT) AS a
+        FROM gram0
     ),
     pv(it, i, v) AS (
         SELECT 0, i, CAST(1 AS BIGINT)
@@ -1221,9 +1230,11 @@ def vector_power_iteration_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact commutative integer sum, so the dominant direction of
     the corpus is BIT-IDENTICAL on any partitioning or engine, and
     the oracle replays all {_PIFX_T} matrix-vector rounds (with the
-    same truncating shift renormalization) as a recursive CTE. The
-    data-scale work is one Gram shuffle; the d x d iteration is
-    bounded control-plane state."""
+    same corpus-adaptive A-divisor and truncating shift
+    renormalization — exact DECIMAL/HUGEINT Gram accumulation keeps
+    the face safe at ANY corpus size, not just the tested SFs) as a
+    recursive CTE. The data-scale work is one Gram shuffle; the d x d
+    iteration is bounded control-plane state."""
     from mobility_etl_spark.operators.linalg import (
         power_iteration_fixedpoint,
     )

@@ -68,7 +68,9 @@ def _bpe_encode_oracle() -> str:
     """DuckDB replay of the greedy rank-ordered BPE ENCODER: per
     distinct word, a recursive CTE splices exactly one merge per step
     — the best-ranked pair at its first position, as one scalar
-    ``rank*10000 + position`` key — until no table pair remains; the
+    ``rank*1000000 + position`` key (positions wrap only past
+    million-symbol words — far beyond any real token) — until no
+    table pair remains; the
     rank lookup is the fixed merge table inlined as a CASE lambda (no
     join, so the recursive term stays single-reference). Doc-level
     outputs re-assemble from the word encodings by position."""
@@ -78,7 +80,7 @@ def _bpe_encode_oracle() -> str:
 
     branches = " ".join(
         f"WHEN syms[i] = '{esc(l)}' AND syms[i + 1] = '{esc(r)}' "
-        f"THEN CAST({rank} * 10000 + i AS BIGINT)"
+        f"THEN CAST({rank} * 1000000 + i AS BIGINT)"
         for rank, (l, r) in enumerate(BPE_MERGES)
     )
     key = (
@@ -103,9 +105,9 @@ def _bpe_encode_oracle() -> str:
         FROM words0
         UNION ALL
         SELECT step + 1, w,
-               list_slice(syms, 1, (key % 10000) - 1)
-               || [syms[key % 10000] || syms[(key % 10000) + 1]]
-               || list_slice(syms, (key % 10000) + 2, len(syms))
+               list_slice(syms, 1, (key % 1000000) - 1)
+               || [syms[key % 1000000] || syms[(key % 1000000) + 1]]
+               || list_slice(syms, (key % 1000000) + 2, len(syms))
         FROM (
             SELECT step, w, syms, {key} AS key FROM enc
         ) WHERE key IS NOT NULL
@@ -544,9 +546,10 @@ def learn_bpe_merges(
 @register("tokenizer_train_bpe", oracle=_BPE_TRAIN_ORACLE, tags=("N5", "N8", "E38"))
 def tokenizer_train_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the first 8 BPE merges from the documents corpus with the
-    distributed trainer (:func:`learn_bpe_merges`). Rows-only driver
-    check (the trainer is an iterative argmax loop, not
-    SQL-expressible); exactness gates in tests/test_round6_faces.py:
+    distributed trainer (:func:`learn_bpe_merges`). EXACT-oracle
+    checked since r11 session 2 (_BPE_TRAIN_ORACLE replays every
+    round: windowed argmax + gaps-and-islands non-overlap merge);
+    exactness gates stay in tests/test_round6_faces.py:
     the merge sequence equals the driver-side reference trainer's
     exactly, and pair weights are non-increasing in rank (each round's
     argmax can only shrink — merging never creates a pair heavier than

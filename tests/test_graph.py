@@ -196,16 +196,21 @@ def test_pagerank_fixedpoint_mass_bound(spark):
     assert total >= scale - iters * (e + 2 * n)
 
 
-def test_kcore_rounds_within_oracle_cte_bound(spark, sf_dir):
+@pytest.mark.parametrize(
+    "graph_sf", [None, "/root/testdata/sf0.01"], ids=["test_sf", "driver_sf"]
+)
+def test_kcore_rounds_within_oracle_cte_bound(spark, sf_dir, graph_sf):
     """The DuckDB oracle peels a FIXED number of recursive-CTE rounds
     (_KCORE_ORACLE_ROUNDS); equality with the Spark fixpoint peel only
     holds if the true round count stays under that bound. Pin it with
-    the operator's stats hook on the face's own graph."""
+    the operator's stats hook on the face's own graph — at the test SF
+    AND at the driver's sf0.01 gate (the bound is a constant in the
+    oracle string, so it must hold at every graded scale)."""
     from mobility_etl_spark.io import load_table
     from mobility_etl_spark.operators.components import k_core
     from mobility_etl_spark.queries.sketch_graph import _KCORE_ORACLE_ROUNDS
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, graph_sf or sf_dir, "lineitem")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     pairs = (
