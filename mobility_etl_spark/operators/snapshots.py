@@ -53,10 +53,16 @@ def _list_versions(table_path: str) -> list[int]:
     d = _snap_dir(table_path)
     if not d.is_dir():
         return []
-    return sorted(
-        int(p.name.split(".", 1)[0][1:])
-        for p in d.glob("v*.manifest.json")
-    )
+    out = []
+    for p in d.glob("v*.manifest.json"):
+        # skip stray non-integer names (e.g. a hand-copied
+        # "vbackup.manifest.json") instead of breaking EVERY table
+        # operation — same defense _cat_versions already has
+        try:
+            out.append(int(p.name.split(".", 1)[0][1:]))
+        except ValueError:
+            continue
+    return sorted(out)
 
 
 def _data_files(table_path: str) -> list[str]:
@@ -436,13 +442,6 @@ def snapshot_changes(
             )
     if v_from > v_to:
         raise ValueError(f"v_from {v_from} > v_to {v_to}")
-    d = _snap_dir(table_path)
-    files_from = json.loads(
-        (d / f"v{v_from}.manifest.json").read_text()
-    )["files"]
-    files_to = json.loads((d / f"v{v_to}.manifest.json").read_text())[
-        "files"
-    ]
     root = pathlib.Path(table_path)
     delta_files = changed_files(table_path, v_from, v_to)
     if delta_files is not None:
@@ -503,6 +502,21 @@ def changed_files(
         return None
     CHANGES_PATH_STATS["lineage"] += 1
     return chain
+
+
+def snapshot_tip(table_path: str) -> dict:
+    """Summary of ONLY the latest snapshot — one manifest read. The
+    per-batch maintenance loops poll the tip every micro-batch;
+    going through :func:`snapshot_log` there parses EVERY retained
+    manifest, O(versions) JSON reads per batch -> O(N^2) over a
+    stream's life when vacuum is off."""
+    vs = _list_versions(table_path)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    m = json.loads(
+        (_snap_dir(table_path) / f"v{vs[-1]}.manifest.json").read_text()
+    )
+    return {k: m[k] for k in ("version", "note", "n_files", "bytes")}
 
 
 def snapshot_log(table_path: str) -> list[dict]:
@@ -751,7 +765,14 @@ def streaming_snapshot_sink(
         note = f"batch-{batch_id}"
         root = pathlib.Path(table_path)
         root.mkdir(parents=True, exist_ok=True)
-        if any(e["note"] == note for e in snapshot_log(table_path)):
+        # snapshot_notes, not snapshot_log: the sidecar-backed note
+        # set is one file read + survives vacuum; the log parses every
+        # retained manifest PER BATCH (O(N^2) over the stream's life)
+        try:
+            done = snapshot_notes(table_path)
+        except FileNotFoundError:
+            done = set()
+        if note in done:
             return  # exactly-once: this batch already committed
         stage = root / f".stage-{note}"
         shutil.rmtree(stage, ignore_errors=True)
@@ -858,25 +879,11 @@ def read_catalog_table(
     catalog pins the table to the snapshot it was committed with, so a
     multi-table reader that resolves every table through the SAME
     catalog version gets a transactionally consistent set, regardless
-    of newer per-table snapshots that have not been bound yet."""
-    versions = _cat_versions(catalog_path)
-    if not versions:
-        raise FileNotFoundError(f"no catalog commits at {catalog_path}")
-    v = versions[-1] if catalog_version is None else catalog_version
-    if v not in versions:
-        raise FileNotFoundError(f"catalog v{v} not found (have {versions})")
-    manifest = json.loads(
-        (_cat_dir(catalog_path) / f"v{v}.catalog.json").read_text()
-    )
-    entry = manifest["tables"].get(name)
-    if entry is None:
-        raise KeyError(
-            f"table {name!r} not in catalog v{v} "
-            f"(has {sorted(manifest['tables'])})"
-        )
-    return read_snapshot(
-        spark, entry["path"], entry["version"], where=where
-    )
+    of newer per-table snapshots that have not been bound yet.
+    Resolution is delegated to :func:`catalog_table_entry` — ONE
+    spelling of the version/lookup logic, not two that drift."""
+    path, ver = catalog_table_entry(catalog_path, name, catalog_version)
+    return read_snapshot(spark, path, ver, where=where)
 
 
 def catalog_table_entry(

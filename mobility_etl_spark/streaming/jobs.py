@@ -89,7 +89,15 @@ def events_file_stream(
 
     if os.path.isfile(path):
         parent, _, leaf = path.rstrip("/").rpartition("/")
-        reader = reader.option("pathGlobFilter", leaf)
+        # escape glob metacharacters: a literal file name like
+        # "day[1].parquet" would otherwise become a character class
+        # that matches NOTHING and the stream silently processes zero
+        # files (the exact failure mode this branch exists to avoid)
+        leaf_glob = "".join(
+            f"[{c}]" if c in "*?[]{}" and c not in "]" else c
+            for c in leaf
+        )
+        reader = reader.option("pathGlobFilter", leaf_glob)
         path = parent or "."
     stream = getattr(reader, fmt)(path)
     ts_type = {f.name: f.dataType.simpleString() for f in observed.fields}.get("ts")
@@ -165,7 +173,15 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return (
         stream.withColumn(
             "content_hash",
-            F.sha2(F.concat_ws("|", "event_id", "event_type", "props"), 256),
+            # to_json(struct(...)) encodes BOTH null-vs-empty and
+            # field boundaries — concat_ws skipped NULLs and had no
+            # delimiter escaping, so (type='click', props=NULL) and
+            # (type=NULL, props='click') hashed identically and a
+            # DISTINCT event could be dropped as a duplicate
+            F.sha2(
+                F.to_json(F.struct("event_id", "event_type", "props")),
+                256,
+            ),
         )
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
@@ -194,8 +210,15 @@ def stateful_user_totals(stream: DataFrame) -> DataFrame:
         n, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
+            # NULL values arrive as NaN; the batch GROUP BY SUM this
+            # state is hash-compared with ignores NULLs — mirror that
+            # instead of crashing the query on math.floor(nan)
             total += int(
-                sum(int(math.floor(v * 1_000_000.0)) for v in pdf["value"])
+                sum(
+                    int(math.floor(v * 1_000_000.0))
+                    for v in pdf["value"]
+                    if not math.isnan(v)
+                )
             )
         state.update((n, total))
         yield pd.DataFrame(
@@ -254,6 +277,11 @@ def write_stream_idempotent(
         (
             with_time_partitions(batch_df, "ts")
             .write.partitionBy(*partition_cols)
+            # pinned PER WRITER, not inherited from the session: on a
+            # vanilla session (static overwrite mode) this sink would
+            # otherwise wipe EVERY existing partition each micro-batch
+            # — batch 2 silently erasing batch 1's hours
+            .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(path)
         )
@@ -395,10 +423,12 @@ def _make_running_totals_processor():
             )
             for pdf in rows:
                 n += len(pdf)
+                # NULLs arrive as NaN; mirror batch SUM's null-skip
                 total += int(
                     sum(
                         int(math.floor(v * 1_000_000.0))
                         for v in pdf["value"]
+                        if not math.isnan(v)
                     )
                 )
             self._totals.update((n, total))
@@ -478,7 +508,16 @@ def cdc_apply_stream_seq(
         data_cols = [
             c for c in state.columns if c not in ("__seq", "__deleted")
         ]
-        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        # EQUAL-seq ties resolve by a deterministic content hash, not
+        # partition-arrival order: without the tiebreaker row_number
+        # picked an arbitrary winner per run. (Unique seq per key is
+        # still the feed contract — an equal-seq pair SPLIT ACROSS
+        # batches resolves first-applied-wins by the strictly-greater
+        # check below, which no within-batch rule can repair.)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(seq_col).desc(),
+            F.xxhash64(*[F.col(c) for c in batch_df.columns]).desc(),
+        )
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -710,8 +749,8 @@ def near_dup_apply_batch(
             append_snapshot,
             compact_snapshot,
             read_snapshot,
-            snapshot_log,
             snapshot_notes,
+            snapshot_tip,
             vacuum,
         )
 
@@ -851,7 +890,7 @@ def near_dup_apply_batch(
     if (
         index_snapshots
         and compact_every > 0
-        and snapshot_log(index_path)[-1]["n_files"] > compact_every
+        and snapshot_tip(index_path)["n_files"] > compact_every
     ):
         compact_snapshot(spark, index_path)
         vacuum(index_path, keep_last=2)
@@ -935,6 +974,26 @@ def corpus_index_stream_maintain(
         corpus = read_catalog_table(spark, catalog_path, "corpus")
         index = read_catalog_table(spark, catalog_path, "index")
         keys = batch_df.select("doc_id").distinct()
+        # The feed carries no sequence column, so ops for one doc are
+        # ordered only ACROSS batches (batch id). Multiple ops for the
+        # SAME doc inside ONE batch have no defined order — the old
+        # code silently resurrected deletes (D anti-joined out, then
+        # the same batch's U re-unioned the row) and duplicated doc_id
+        # rows on I+U. That is a feed-contract violation: fail loudly
+        # (the id-ordered-admission precedent), never corrupt state.
+        dup = (
+            batch_df.groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+            .take(1)
+        )
+        if dup:
+            raise ValueError(
+                "corpus_index_stream_maintain: multiple ops for doc_id "
+                f"{dup[0]['doc_id']} within one micro-batch — the "
+                "unsequenced feed contract is one op per key per "
+                "batch (use cdc_apply_stream_seq for sequenced feeds)"
+            )
         upserts = batch_df.filter(F.col("op") != "D").select(
             "doc_id", "text"
         )
@@ -1364,7 +1423,7 @@ def pretraining_stream_ingest(
         catalog_vacuum,
         commit_catalog,
         compact_snapshot,
-        snapshot_log,
+        snapshot_tip,
     )
 
     def _apply(batch_df: DataFrame, epoch: int) -> None:
@@ -1387,7 +1446,7 @@ def pretraining_stream_ingest(
                 if name == "embindex" and has_cents
                 else 0
             )
-            if snapshot_log(path)[-1]["n_files"] > budget:
+            if snapshot_tip(path)["n_files"] > budget:
                 if name == "embindex" and has_cents:
                     # compaction must PRESERVE the cell-clustered
                     # layout + manifest stats or it would erase the
