@@ -80,12 +80,20 @@ def write_partitioned(
 ) -> None:
     """Write a Parquet table with the engine's standard partition layout.
 
-    With ``partitionOverwriteMode=dynamic`` (session default) and
-    ``mode="overwrite"``, only the partitions present in ``df`` are
-    replaced — the Spark-native form of the reference's
-    write-this-hour's-blob idempotency (R8/R12/R13).
+    With ``partitionOverwriteMode=dynamic`` and ``mode="overwrite"``,
+    only the partitions present in ``df`` are replaced — the
+    Spark-native form of the reference's write-this-hour's-blob
+    idempotency (R8/R12/R13). The mode is pinned ON THE WRITER: an
+    externally-built session still at Spark's STATIC default would
+    otherwise wipe every partition not present in ``df`` — the exact
+    data loss this function exists to prevent.
     """
-    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+    (
+        df.write.partitionBy(*partition_cols)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode(mode)
+        .parquet(path)
+    )
 
 
 def with_time_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -197,7 +205,14 @@ def object_store_conf(
                 ),
                 f"fs.azure.sas.fixed.token.{host}": sas_token,
             }
-        return {f"fs.azure.account.auth.type.{host}": "OAuth"}
+        return {
+            f"fs.azure.account.auth.type.{host}": "OAuth",
+            # OAuth without a provider class cannot initialize; the
+            # ambient-identity default on Azure compute is MSI
+            f"fs.azure.account.oauth.provider.type.{host}": (
+                "org.apache.hadoop.fs.azurebfs.oauth2.MsiTokenProvider"
+            ),
+        }
     if scheme == "s3a":
         if access_key is not None:
             key_id, _, secret = access_key.partition(":")
@@ -288,17 +303,25 @@ def compact_partitions(
             continue  # partition already healthy — untouched, byte-stable
         token = _uuid.uuid4().hex[:12]
         if leaf == root:
-            # Unpartitioned table: file-granularity swap (add staged
-            # files under the root, then drop the listed originals).
+            # Unpartitioned table: file-granularity swap. ORDER
+            # MATTERS: originals move to trash BEFORE staged copies
+            # appear under the root. The old order (add copies, then
+            # drop originals) left BOTH generations visible to a
+            # mid-swap reader, and a crash in the window made the
+            # duplication PERMANENT — the rerun compacted
+            # originals+copies together. With trash-first, the crash
+            # window under-reports rows, and everything is sitting
+            # recoverable in .compaction_trash (the docstring's
+            # contract).
             stage = stage_root / token
             spark.read.parquet(str(leaf)).coalesce(n_target).write.mode(
                 "overwrite"
             ).parquet(str(stage))
-            for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
-                staged.rename(root / f"compacted-{token}-{i:05d}.parquet")
             trash_root.mkdir(parents=True, exist_ok=True)
             for old in files:
                 old.rename(trash_root / f"{token}-{old.name}")
+            for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
+                staged.rename(root / f"compacted-{token}-{i:05d}.parquet")
             shutil.rmtree(stage, ignore_errors=True)
         else:
             rel = leaf.relative_to(root)

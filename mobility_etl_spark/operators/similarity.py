@@ -136,8 +136,13 @@ def hyperplane_signatures(
     BIGINT signature.
     """
     plane = _PLANE_SQL.format(p="p", i="i")
+    # NULL vector -> NULL signature (not sig 0): the ELSE-0 branch used
+    # to collapse every null embedding into band-0 buckets, colliding
+    # them with real vectors and emitting null-scored neighbors — the
+    # same fix _sig_col carries for the near-dup family
     sig_bits = F.expr(
         f"""
+        CASE WHEN {vec_col} IS NULL THEN CAST(NULL AS BIGINT) ELSE
         aggregate(
             transform(sequence(0, {num_planes - 1}), p ->
                 CASE WHEN aggregate(
@@ -149,7 +154,7 @@ def hyperplane_signatures(
                     CAST(0 AS BIGINT), (acc, v) -> acc + v) >= 0
                 THEN 1L ELSE 0L END),
             0L, (acc, bit) -> acc * 2 + bit
-        )
+        ) END
         """
     )
     return df.select(F.col(key_col), F.col(vec_col), sig_bits.alias("lsh_sig"))
@@ -172,6 +177,12 @@ def lsh_topk(
     with a bucket equi join whose fan-in is |bucket|, and the exact
     re-rank touches only candidates.
     """
+    if num_planes % bands:
+        raise ValueError(
+            f"lsh_topk: bands={bands} must divide num_planes="
+            f"{num_planes} — truncating would silently drop "
+            f"{num_planes % bands} planes from the banding geometry"
+        )
     bits_per_band = num_planes // bands
     mask = (1 << bits_per_band) - 1
 
@@ -360,6 +371,7 @@ def near_dup_probe(
     inc = increment.select(
         F.col(key_col).alias("inc_id"),
         F.col(vec_col).alias("__ivec"),
+        _sq_norm_expr(vec_col).alias("__in2"),
         F.posexplode(
             _sig_col(increment, vec_col, num_planes, bands, signature)
         ).alias("band", "bucket"),
@@ -367,6 +379,7 @@ def near_dup_probe(
     corp = corpus.select(
         F.col(key_col).alias("corp_id"),
         F.col(vec_col).alias("__cvec"),
+        _sq_norm_expr(vec_col).alias("__cn2"),
         F.posexplode(
             _sig_col(corpus, vec_col, num_planes, bands, signature)
         ).alias("band", "bucket"),
@@ -375,11 +388,12 @@ def near_dup_probe(
         "inc_id",
         "corp_id",
         # 1e-6 FLOOR quantization — identical to near_dup_pairs (r11),
-        # so stream-vs-batch replay parity compares identical scores
+        # so stream-vs-batch replay parity compares identical scores;
+        # norms pre-projected once per row, not re-folded per pair
         (
             F.floor(
                 _dot_expr("__ivec", "__cvec")
-                / F.sqrt(_sq_norm_expr("__ivec") * _sq_norm_expr("__cvec"))
+                / F.sqrt(F.col("__in2") * F.col("__cn2"))
                 * 1000000.0
             )
             / 1000000.0
@@ -650,9 +664,14 @@ def near_dup_pairs(
     sig = _sig_col(df, vec_col, num_planes, bands, signature)
 
     def banded(side: str) -> DataFrame:
+        # the squared norm rides from here: computed ONCE per input
+        # row (Generate repeats it per band for free) instead of per
+        # CANDIDATE PAIR — the pair set is the expensive side, and the
+        # O(dim) interpreted norm fold was being re-run twice per pair
         return df.select(
             F.col(key_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"__{side}vec"),
+            _sq_norm_expr(vec_col).alias(f"__{side}n2"),
             F.posexplode(sig).alias("band", "bucket"),
         )
 
@@ -666,13 +685,13 @@ def near_dup_pairs(
             # 1e-6 FLOOR quantization, not round: floor has no
             # half-tie mode for engines to disagree on, which is what
             # lets the near-dup faces' DuckDB oracles match the score
-            # bit for bit (r11)
+            # bit for bit (r11); the precomputed norms are the SAME
+            # doubles the inline fold produced, so scores are
+            # bit-identical
             (
                 F.floor(
                     _dot_expr("__avec", "__bvec")
-                    / F.sqrt(
-                        _sq_norm_expr("__avec") * _sq_norm_expr("__bvec")
-                    )
+                    / F.sqrt(F.col("__an2") * F.col("__bn2"))
                     * 1000000.0
                 )
                 / 1000000.0
@@ -879,7 +898,13 @@ def _collect_normalized(increment: DataFrame, key_col: str, vec_col: str):
     inc_m = np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in inc_rows]
     )
-    inc_m /= np.linalg.norm(inc_m, axis=1, keepdims=True)
+    # zero-norm guard: dividing by 0 NaN-poisons the row and every
+    # comparison against it is silently False — an all-zero embedding
+    # would pass admission unchecked. Norm 1 keeps the row all-zero:
+    # it matches nothing, deterministically, with no NaN.
+    nrm = np.linalg.norm(inc_m, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    inc_m /= nrm
     return inc_ids, inc_m
 
 
@@ -903,7 +928,9 @@ def _blas_probe_plan(
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0  # zero vector stays zero, no NaN
+            m /= nrm
             sims = m @ inc_m.T  # |chunk| x |increment| gram, one BLAS call
             ci, ii = np.nonzero(sims >= threshold)
             yield pd.DataFrame(
@@ -992,7 +1019,9 @@ def train_kmeans_centroids(
         .collect()
     )
     m = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0  # zero sample vector must not NaN a centroid
+    m /= nrm
     k = min(n_cells, len(m))
     cents = m[:k].copy()
     for _ in range(iters):
@@ -1029,7 +1058,9 @@ def assign_cells(
             m = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0  # zero vector stays zero, no NaN
+            m /= nrm
             sims = m @ cents.T
             cell = np.argmax(sims, axis=1)
             out = pdf[[key_col, vec_col]].copy()
@@ -1154,6 +1185,24 @@ def exact_probe_blas_pruned(
     masks = {
         f: np.concatenate(parts) for f, parts in file_to_qidx.items()
     }
+    # input_file_name() yields an absolute URI; manifest entries are
+    # table-relative (and NESTED under a cell-layout, e.g.
+    # "cell=3/part-....parquet"). Routing joins the two on the file
+    # BASENAME — keying the lookup by the relative path silently
+    # missed every nested file (qidx None -> every row skipped -> the
+    # probe admitted duplicates with no error). Spark part-file names
+    # embed a job UUID so basenames are unique; the contract is
+    # asserted, not assumed.
+    base_masks: dict[str, object] = {}
+    for f, qm in masks.items():
+        b = f.rsplit("/", 1)[-1]
+        if b in base_masks:
+            raise ValueError(
+                f"exact_probe_blas_pruned: duplicate data-file basename "
+                f"{b!r} in manifest v{version} — basename routing "
+                "requires unique file names"
+            )
+        base_masks[b] = qm
     PROBE_PRUNE_STATS["files_total"] += len(files)
     PROBE_PRUNE_STATS["files_kept"] += len(masks)
     PROBE_PRUNE_STATS["qf_total"] += len(inc_ids) * len(files)
@@ -1170,13 +1219,15 @@ def exact_probe_blas_pruned(
             if not len(pdf):
                 continue
             for fname, sub in pdf.groupby("__file", sort=False):
-                qidx = masks.get(str(fname).rsplit("/", 1)[-1])
+                qidx = base_masks.get(str(fname).rsplit("/", 1)[-1])
                 if qidx is None or not len(sub):
                     continue
                 m = np.stack(
                     [np.asarray(x, dtype=np.float64) for x in sub[vec_col]]
                 )
-                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                nrm = np.linalg.norm(m, axis=1, keepdims=True)
+                nrm[nrm == 0.0] = 1.0  # zero vector stays zero, no NaN
+                m /= nrm
                 sims = m @ inc_m[qidx].T
                 ci, ii = np.nonzero(sims >= threshold)
                 yield pd.DataFrame(

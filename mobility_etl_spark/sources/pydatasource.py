@@ -230,25 +230,59 @@ class LedgerWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json
         import os
+        import time
 
         new_files = sorted(m.filename for m in messages if m is not None)
         n_rows = sum(m.n_rows for m in messages if m is not None)
-        prior_files: list[str] = []
-        prior_rows = 0
         manifest_path = os.path.join(self.path, "_LEDGER")
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                prior = json.load(fh)
-            prior_files = list(prior.get("files", []))
-            prior_rows = int(prior.get("n_rows", 0))
-        if self.overwrite:
-            manifest = {"files": new_files, "n_rows": n_rows}
-        else:
-            manifest = {
-                "files": sorted(set(prior_files) | set(new_files)),
-                "n_rows": prior_rows + n_rows,
-            }
-        _publish_manifest(self.path, "_LEDGER", manifest)
+        # The append path is a read-modify-write of one mutable file:
+        # two concurrent committers that both read the same prior
+        # ledger would each publish prior+own and the second rename
+        # silently drops the first writer's files. Serialize with an
+        # O_EXCL lockfile (put-if-absent, the same primitive as
+        # snapshots.py's hard-link commit), stealing locks older than
+        # 60 s so a crashed holder cannot wedge the sink forever.
+        lock = manifest_path + ".lock"
+        fd = None
+        for attempt in range(120):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.stat(lock).st_mtime > 60:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                time.sleep(0.05)
+        if fd is None:
+            raise TimeoutError(
+                f"ledger commit: could not acquire {lock} — a "
+                "concurrent committer is wedged"
+            )
+        try:
+            prior_files: list[str] = []
+            prior_rows = 0
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    prior = json.load(fh)
+                prior_files = list(prior.get("files", []))
+                prior_rows = int(prior.get("n_rows", 0))
+            if self.overwrite:
+                manifest = {"files": new_files, "n_rows": n_rows}
+            else:
+                manifest = {
+                    "files": sorted(set(prior_files) | set(new_files)),
+                    "n_rows": prior_rows + n_rows,
+                }
+            _publish_manifest(self.path, "_LEDGER", manifest)
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
         if self.overwrite:
             # stale committed parts are invisible (not in the manifest)
             # the instant the rename lands; reclaim them afterwards
@@ -464,9 +498,21 @@ class SnapshotChangeFeedDataSource(DataSource):
             int(p.name.split(".", 1)[0][1:])
             for p in snapdir.glob("v*.manifest.json")
         )
+        if not versions:
+            raise FileNotFoundError(
+                f"snapshot_changes source: no committed snapshots at "
+                f"{table} — commit one (or pass an explicit .schema()) "
+                "before starting the stream"
+            )
         files = _json.loads(
             (snapdir / f"v{versions[-1]}.manifest.json").read_text()
         )["files"]
+        if not files:
+            raise ValueError(
+                f"snapshot_changes source: latest snapshot "
+                f"v{versions[-1]} at {table} lists no data files — "
+                "cannot infer a schema; pass an explicit .schema()"
+            )
         sch = pq.ParquetFile(_pl.Path(table) / files[0]).schema_arrow
         return StructType(
             [

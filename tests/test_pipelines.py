@@ -567,7 +567,14 @@ def test_object_store_conf_and_apply(spark):
     assert keyed[f"fs.azure.account.auth.type.{host}"] == "SharedKey"
     assert keyed[f"fs.azure.account.key.{host}"] == "sekrit"
     ambient = object_store_conf("abfss", "wawmob")
-    assert ambient == {f"fs.azure.account.auth.type.{host}": "OAuth"}
+    # OAuth must name a provider class or the ABFS connector cannot
+    # initialize — ambient identity on Azure compute = MSI
+    assert ambient == {
+        f"fs.azure.account.auth.type.{host}": "OAuth",
+        f"fs.azure.account.oauth.provider.type.{host}": (
+            "org.apache.hadoop.fs.azurebfs.oauth2.MsiTokenProvider"
+        ),
+    }
     s3 = object_store_conf("s3a", access_key="AKID:wont-tell")
     assert s3 == {"fs.s3a.access.key": "AKID", "fs.s3a.secret.key": "wont-tell"}
     with pytest.raises(ValueError):
