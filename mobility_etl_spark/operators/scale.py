@@ -69,9 +69,28 @@ def salted_join(
     Replication multiplies ``other``'s shuffle volume by ``n_salts``,
     so salt only the join whose skew actually hurts, with the smallest
     working n_salts. Result is row-identical to the unsalted join
-    (asserted in tests/test_scale.py).
+    (asserted in tests/test_scale.py) — for the SUPPORTED join types:
+    inner/cross and the left-preserving family (left/semi/anti), where
+    every left row matches exactly its own salt's replica. Right/full
+    outer joins are REJECTED: each unmatched replica of an ``other``
+    row would surface as its own null-padded output row (n_salts
+    copies), silently corrupting the result.
+
+    The salt is a per-row counter, NOT a hash of the row: a hot key
+    whose rows are byte-identical (the normal case after projecting
+    down to the join columns) would hash to ONE salt and stay a
+    single straggler task. Which replica a row matches never affects
+    the result (``other`` is replicated over all salts), so the salt
+    needs no cross-run stability.
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    base = how.lower().replace("outer", "").strip("_")
+    if base in ("right", "full"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — unmatched replicas "
+            "of the non-salted side would emit one null-padded row PER "
+            "SALT; salt the other side or use the plain join with AQE"
+        )
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -106,22 +125,19 @@ def detect_hot_keys(
         from mobility_etl_spark.operators.sketch import _mg_add_and_compress
 
         counters: dict = {}
-        n = 0
         for pdf in batches:
             vc = pdf["__key"].value_counts()
-            n += len(pdf)
             _mg_add_and_compress(counters, vc.to_dict(), k)
         yield pd.DataFrame(
             {
                 "key": [str(t) for t in counters],
                 "wt": list(counters.values()),
-                "n": [n] * len(counters),
             }
         )
 
     raw = (
         df.select(key_struct.cast("string").alias("__key"))
-        .mapInPandas(summarize, "key string, wt long, n long")
+        .mapInPandas(summarize, "key string, wt long")
         .groupBy("key")
         .agg(F.sum("wt").alias("wt"))
     )
@@ -144,8 +160,19 @@ def _zvalue_expr(bucket_cols: list, bits: int = _Z_BITS):
     """Interleave the bits of per-dimension bucket ids into one z-value
     (Morton code): bit i of dimension d lands at position
     ``i * ndims + d``. Pure shiftleft/bitwise-OR tree — whole-stage
-    codegen, no UDF."""
+    codegen, no UDF. The interleaved code must fit the 63 value bits
+    of a signed BIGINT: at 8 dims x 8 bits the top bit would hit the
+    sign (negative z-values sort first, breaking contiguity) and
+    beyond that Java's shift masks the count mod 64, silently
+    COLLIDING unrelated (bit, dim) pairs — so over-wide requests fail
+    loudly instead."""
     ndims = len(bucket_cols)
+    if ndims * bits > 62:
+        raise ValueError(
+            f"z-order over {ndims} dims x {bits} bits needs "
+            f"{ndims * bits} bits, exceeding a signed BIGINT's safe "
+            "62 — reduce dimensions or bits per dimension"
+        )
     z = F.lit(0).cast("long")
     for d, b in enumerate(bucket_cols):
         for i in range(bits):
@@ -187,10 +214,12 @@ def zorder_write(
     z-ordered dimensions vs a linear sort, which is exactly the stat
     parquet row-group pruning consumes.
     """
+    probs = [i / 2**_Z_BITS for i in range(1, 2**_Z_BITS)]
+    # ONE multi-column sketch pass — the per-column overload re-scans
+    # the table once per z-order column for identical information
+    all_cuts = df.approxQuantile(list(zorder_cols), probs, rel_err)
     buckets = []
-    for c in zorder_cols:
-        probs = [i / 2**_Z_BITS for i in range(1, 2**_Z_BITS)]
-        cuts = df.approxQuantile(c, probs, rel_err)
+    for c, cuts in zip(zorder_cols, all_cuts):
         arr = F.array(*[F.lit(float(x)) for x in cuts])
         buckets.append(
             F.size(

@@ -107,6 +107,17 @@ def misra_gries_tokens(
     )
 
 
+def portable_hash60(col: "F.Column") -> "F.Column":
+    """The repo's ONE spelling of the portable 60-bit md5 hash of a
+    string Column — ANSI equivalent
+    ``(('0x' || substr(md5(x), 1, 15))::BIGINT)``. Every portable
+    sketch/LSH derivation funnels through this (or renders the same
+    ANSI template, queries/similarity._P60): two hand-maintained
+    spellings drifting apart would silently break the cross-engine
+    bit-identity the exact oracles depend on."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def bloom_positions(
     df: DataFrame, key_col: str, m_bits: int, k_hashes: int
 ) -> DataFrame:
@@ -125,20 +136,12 @@ def bloom_positions(
         F.array(
             *[
                 F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.lit(f"{i}|"),
-                                    F.col(key_col).cast("string"),
-                                )
-                            ),
-                            1,
-                            15,
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint"),
+                    portable_hash60(
+                        F.concat(
+                            F.lit(f"{i}|"),
+                            F.col(key_col).cast("string"),
+                        )
+                    ),
                     F.lit(m_bits),
                 )
                 for i in range(k_hashes)
@@ -184,15 +187,25 @@ def bloom_probe(
     """Membership test against a built filter: a key is *maybe seen*
     iff every one of its ``k_hashes`` bit positions is set (no false
     negatives; false-positive rate ≈ (1 − e^{−kn/m})^k, gated in
-    tests/test_sketch.py). Probe = broadcast join of the sparse filter
-    on ``word_idx`` + one bitwise AND — still zero Python, and the
+    tests/test_sketch.py). Probe = join of the sparse filter on
+    ``word_idx`` + one bitwise AND — still zero Python, and the
     corpus-side shuffle is only the per-key ``min`` reduce.
+
+    The broadcast hint is SIZE-GATED, not unconditional: a ~1.2 GB
+    billion-key filter force-broadcast would bypass
+    autoBroadcastJoinThreshold and OOM the driver; above the gate the
+    filter joins as an ordinary shuffle join (Spark may still choose
+    to broadcast it if its own estimate says so).
 
     Returns the input keys with a boolean ``maybe_seen``.
     """
+    # sparse filter upper bound: m/64 words x ~16 bytes a row
+    bloom_side = (
+        F.broadcast(bloom) if m_bits // 64 * 16 <= 64 * 1024 * 1024 else bloom
+    )
     probed = (
         bloom_positions(df, key_col, m_bits, k_hashes)
-        .join(F.broadcast(bloom), "word_idx", "left")
+        .join(bloom_side, "word_idx", "left")
         .select(
             key_col,
             (
@@ -221,14 +234,7 @@ def kmv_hash(value_col: str) -> "F.Column":
     """The portable 60-bit KMV hash of a column (see :data:`KMV_ONE`);
     ANSI-SQL equivalent:
     ``(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT)``."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
-            16,
-            10,
-        )
-        .cast("bigint")
-    )
+    return portable_hash60(F.col(value_col).cast("string"))
 
 
 def kmv_sketch(

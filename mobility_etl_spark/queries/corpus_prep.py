@@ -98,6 +98,22 @@ _PHONE_RE = "\\+[0-9]{2}-[0-9]{2}-[0-9]{4}-[0-9]{2}"
 _IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
 
+def _scrub_expr(col: "F.Column") -> "F.Column":
+    """The ONE spelling of the email→phone→ip scrub chain, shared by
+    pii_scrub_docs and pipeline_pretraining_prep — the composed
+    pipeline's oracle is only valid while the two Spark chains stay
+    identical, so there is exactly one chain."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+
+
 @register(
     "pii_scrub_docs",
     oracle=f"""
@@ -130,15 +146,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < _DOC_SCOPE
     )
     raw = F.expr(_PLANT_SPARK)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"),
-            _PHONE_RE,
-            "<PHONE>",
-        ),
-        _IP_RE,
-        "<IP>",
-    )
+    scrubbed = _scrub_expr(raw)
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), F.lit(0))).alias(
@@ -330,14 +338,15 @@ def bm25_scores(
         .cast("double")
         .alias("tf"),
     )
-    df_t = (
-        tf_rows.filter(F.col("tf") > 0)
-        .groupBy("term")
-        .agg(F.count("*").alias("df_t"))
-    )
+    # df_t via a window over the SAME positive-tf rows: the separate
+    # groupBy branch re-executed the whole tokenize + terms cross-join
+    # a second time (both consumers un-cached) — one corpus scan, one
+    # shuffle on term, identical counts
     return (
         tf_rows.filter(F.col("tf") > 0)
-        .join(F.broadcast(df_t), "term")
+        .withColumn(
+            "df_t", F.count("*").over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
@@ -556,16 +565,9 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mobility_etl_spark.operators.dedup import exact_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
-            _PHONE_RE,
-            "<PHONE>",
-        ),
-        _IP_RE,
-        "<IP>",
+    scrubbed = docs.select(
+        "doc_id", "lang", _scrub_expr(F.col("text")).alias("clean")
     )
-    scrubbed = docs.select("doc_id", "lang", clean.alias("clean"))
     toks = F.split(F.col("clean"), " ")
     n_grams = F.greatest(F.size(toks) - 2, F.lit(1))
     # Trigrams via zip_with over three shifted slices, NOT an
@@ -1118,13 +1120,12 @@ def run_pretraining_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{feed_dir}/*")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
     pretraining_stream_ingest(
         spark,
         feed,
         root,
         os.path.join(root, "ckpt"),
-        emb,
+        emb_static,  # the SAME static side as init (centroid training)
         _SEM_TAU,
         compact_every=compact_every,
     )
