@@ -1186,23 +1186,22 @@ def exact_probe_blas_pruned(
         f: np.concatenate(parts) for f, parts in file_to_qidx.items()
     }
     # input_file_name() yields an absolute URI; manifest entries are
-    # table-relative (and NESTED under a cell-layout, e.g.
-    # "cell=3/part-....parquet"). Routing joins the two on the file
-    # BASENAME — keying the lookup by the relative path silently
-    # missed every nested file (qidx None -> every row skipped -> the
-    # probe admitted duplicates with no error). Spark part-file names
-    # embed a job UUID so basenames are unique; the contract is
-    # asserted, not assumed.
-    base_masks: dict[str, object] = {}
-    for f, qm in masks.items():
-        b = f.rsplit("/", 1)[-1]
-        if b in base_masks:
-            raise ValueError(
-                f"exact_probe_blas_pruned: duplicate data-file basename "
-                f"{b!r} in manifest v{version} — basename routing "
-                "requires unique file names"
-            )
-        base_masks[b] = qm
+    # table-RELATIVE (and NESTED under a cell/hive layout, e.g.
+    # "cell=3/part-....parquet"). Routing used to join the two on the
+    # file BASENAME, which silently missed every nested key (qidx None
+    # -> every row skipped -> the probe admitted duplicates with no
+    # error) — and basenames are NOT unique either: one partitionBy
+    # write reuses the same part-file name in every partition dir. So
+    # the lookup strips the table root from the URI to recover the
+    # exact relative path (basename fallback only when the root
+    # marker is absent, e.g. a relocated/symlinked mount).
+    import os as _os
+
+    _root_marker = _os.path.abspath(table_path).rstrip("/") + "/"
+
+    def _rel_of(fname: str) -> str:
+        rel = str(fname).split(_root_marker, 1)
+        return rel[1] if len(rel) == 2 else str(fname).rsplit("/", 1)[-1]
     PROBE_PRUNE_STATS["files_total"] += len(files)
     PROBE_PRUNE_STATS["files_kept"] += len(masks)
     PROBE_PRUNE_STATS["qf_total"] += len(inc_ids) * len(files)
@@ -1219,7 +1218,7 @@ def exact_probe_blas_pruned(
             if not len(pdf):
                 continue
             for fname, sub in pdf.groupby("__file", sort=False):
-                qidx = base_masks.get(str(fname).rsplit("/", 1)[-1])
+                qidx = masks.get(_rel_of(fname))
                 if qidx is None or not len(sub):
                     continue
                 m = np.stack(

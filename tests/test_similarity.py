@@ -691,3 +691,45 @@ def test_prune_bound_soundness_fuzz(spark, tmp_path):
                 m /= np.linalg.norm(m, axis=1, keepdims=True)
                 worst = float((m @ qn.T).max())
                 assert worst < tau, (seed, spread, tau, f, worst)
+
+
+def test_pruned_probe_routes_nested_layout_files(spark, sf_dir, tmp_path):
+    """Regression pin (r11 session-2 review find): the probe routes
+    rows to query masks by FILE BASENAME from input_file_name, while
+    manifest entries are table-relative — a snapshot whose data files
+    are NESTED (hive-style cell=N/ dirs, commit_snapshot(files=None)
+    auto-discovery) used to miss every mask key and silently return
+    ZERO hits. It must return exactly the full probe's decisions."""
+    from mobility_etl_spark.operators.similarity import (
+        exact_probe_blas,
+        exact_probe_blas_pruned,
+        assign_cells,
+        train_kmeans_centroids,
+    )
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        commit_snapshot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_kmeans_centroids(emb, n_cells=8)
+    rows = emb.orderBy("vec_id").limit(200).collect()
+    vecs = [r.embedding for r in rows]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "doc_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "nested_index")
+    # hive-partitioned write -> data files live under cell=N/ subdirs
+    assign_cells(df, cents).write.partitionBy("cell").parquet(path)
+    commit_snapshot(spark, path, note="nested")
+    version = _list_versions(path)[-1]
+
+    inc = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in vecs[i]]) for i in range(25)],
+        "doc_id long, embedding array<float>",
+    )
+    full = exact_probe_blas(inc, df, 0.47)
+    pruned = exact_probe_blas_pruned(spark, inc, path, version, cents, 0.47)
+    assert _probe_pair_sets(pruned) == _probe_pair_sets(full)
+    assert len(_probe_pair_sets(pruned)) >= 25  # self-copies must hit
