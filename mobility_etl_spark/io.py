@@ -276,14 +276,23 @@ def compact_partitions(
       ``coalesce``d independently — no Exchange anywhere, no touch of
       healthy partitions. Cost is proportional to the small-file debt,
       not the table.
-    * **Stage-then-swap**: new files are written to a hidden staging
-      dir (invisible to scans), then swapped in with directory renames
-      — the source partition is never overwritten by a job that is
-      concurrently reading it. The old files are moved aside before
-      deletion, so a crash mid-swap leaves data recoverable in
-      ``.compaction_trash`` rather than lost. (True reader-atomicity
-      needs a table format with a manifest commit — Delta/Iceberg; on a
-      rename-less object store, pair this with such a manifest.)
+    * **Stage-then-swap, crash-self-healing**: new files are written
+      to a hidden staging dir (invisible to scans), then swapped in
+      with renames — the source partition is never overwritten by a
+      job that is concurrently reading it. Before the first mutating
+      rename, an INTENT marker (``.compaction_intent/<token>.json``,
+      published atomically) records the originals and the staged
+      outputs; the marker is removed only after the swap completes.
+      The next ``compact_partitions`` run recovers any leftover
+      marker FIRST — restoring originals from ``.compaction_trash``
+      and dropping partial staged renames — so a crash anywhere in
+      the swap window heals itself on rerun instead of leaving the
+      live table silently under-reporting until a manual restore
+      (ADVICE r11). A mid-swap reader can still observe the partition
+      short a few files for the duration of the renames; true
+      reader-atomicity needs a manifest-commit table format — which
+      this repo's operators/snapshots.py provides, and on a
+      rename-less object store is the only option.
 
     Idempotent: a second run finds every partition already at its
     target file count and rewrites nothing. Returns the number of data
@@ -297,6 +306,7 @@ def compact_partitions(
     root = pathlib.Path(path)
     stage_root = root / ".compaction_tmp"
     trash_root = root / ".compaction_trash"
+    _recover_compaction(root, stage_root, trash_root)
     for leaf, files, nbytes in _leaf_partitions(root):
         n_target = max(1, math.ceil(nbytes / target_file_bytes))
         if len(files) <= n_target:
@@ -309,30 +319,118 @@ def compact_partitions(
             # drop originals) left BOTH generations visible to a
             # mid-swap reader, and a crash in the window made the
             # duplication PERMANENT — the rerun compacted
-            # originals+copies together. With trash-first, the crash
-            # window under-reports rows, and everything is sitting
-            # recoverable in .compaction_trash (the docstring's
-            # contract).
+            # originals+copies together. With trash-first + the
+            # intent marker, a crash ANYWHERE in the window is healed
+            # by the next run's recovery pass.
             stage = stage_root / token
             spark.read.parquet(str(leaf)).coalesce(n_target).write.mode(
                 "overwrite"
             ).parquet(str(stage))
+            staged = sorted(stage.glob("*.parquet"))
+            _publish_intent(
+                root,
+                token,
+                {
+                    "mode": "files",
+                    "originals": [f.name for f in files],
+                    "staged": [
+                        f"compacted-{token}-{i:05d}.parquet"
+                        for i in range(len(staged))
+                    ],
+                },
+            )
             trash_root.mkdir(parents=True, exist_ok=True)
             for old in files:
                 old.rename(trash_root / f"{token}-{old.name}")
-            for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
-                staged.rename(root / f"compacted-{token}-{i:05d}.parquet")
+            for i, st in enumerate(staged):
+                st.rename(root / f"compacted-{token}-{i:05d}.parquet")
             shutil.rmtree(stage, ignore_errors=True)
+            _clear_intent(root, token)
+            for old in files:  # this token's trash only
+                (trash_root / f"{token}-{old.name}").unlink(
+                    missing_ok=True
+                )
         else:
             rel = leaf.relative_to(root)
             stage = stage_root / rel
             spark.read.parquet(str(leaf)).coalesce(n_target).write.mode(
                 "overwrite"
             ).parquet(str(stage))
+            _publish_intent(
+                root,
+                token,
+                {"mode": "dir", "leaf": str(rel)},
+            )
             aside = trash_root / rel / token
             aside.parent.mkdir(parents=True, exist_ok=True)
             leaf.rename(aside)
             stage.rename(leaf)
-        shutil.rmtree(trash_root, ignore_errors=True)
+            _clear_intent(root, token)
+            shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(stage_root, ignore_errors=True)
+    shutil.rmtree(trash_root, ignore_errors=True)
     return sum(1 for _, fs, _ in _leaf_partitions(root) for _ in fs)
+
+
+_INTENT_DIR = ".compaction_intent"
+
+
+def _publish_intent(root: pathlib.Path, token: str, payload: dict) -> None:
+    """Atomically publish a compaction intent marker (tmp + rename),
+    the write-ahead record that makes the swap crash-recoverable."""
+    import json
+    import os
+
+    d = root / _INTENT_DIR
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".{token}.tmp"
+    tmp.write_text(json.dumps(payload))
+    os.replace(tmp, d / f"{token}.json")
+
+
+def _clear_intent(root: pathlib.Path, token: str) -> None:
+    (root / _INTENT_DIR / f"{token}.json").unlink(missing_ok=True)
+
+
+def _recover_compaction(
+    root: pathlib.Path,
+    stage_root: pathlib.Path,
+    trash_root: pathlib.Path,
+) -> None:
+    """Heal crashed compaction swaps before touching anything: every
+    leftover intent marker is rolled BACK to the pre-compaction state
+    (originals restored from trash, partial staged renames dropped) —
+    each per-file rename is atomic, so an original is always in
+    exactly one of {live dir, trash}, and restoring the union
+    reconstructs the original set regardless of where the crash
+    landed. The rerun then re-compacts the healed partition normally.
+    """
+    import json
+    import shutil
+
+    d = root / _INTENT_DIR
+    if not d.is_dir():
+        return
+    for marker in sorted(d.glob("*.json")):
+        token = marker.stem
+        intent = json.loads(marker.read_text())
+        if intent["mode"] == "files":
+            for name in intent["staged"]:
+                (root / name).unlink(missing_ok=True)
+            for name in intent["originals"]:
+                t = trash_root / f"{token}-{name}"
+                if t.exists():
+                    t.rename(root / name)
+        else:
+            rel = pathlib.Path(intent["leaf"])
+            leaf, aside = root / rel, trash_root / rel / token
+            stage = root / ".compaction_tmp" / rel
+            if not leaf.exists():
+                # crash between leaf→aside and stage→leaf: finish the
+                # swap if the staged output survived, else roll back
+                if stage.exists():
+                    stage.rename(leaf)
+                elif aside.exists():
+                    aside.rename(leaf)
+            shutil.rmtree(aside, ignore_errors=True)
+        marker.unlink(missing_ok=True)

@@ -400,9 +400,12 @@ def power_iteration_fixedpoint(
     sums; one shuffle of d^2 cells) — after which A is d x d
     control-plane state and the iteration is driver arithmetic (same
     bounded-state posture as kmeans_fit's k x (d+1) merge). Overflow
-    discipline at ANY corpus size: Gram sums accumulate in
-    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact, never wrapping —
-    then A is truncating-divided by the corpus-ADAPTIVE divisor
+    discipline: Gram sums accumulate in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — exact to ~1e38 of accumulated mass (far past
+    any real corpus; with ANSI off Spark returns NULL past that
+    rather than wrapping, and the null-check below turns it into an
+    explicit overflow error instead of a silent wrong answer) — then
+    A is truncating-divided by the corpus-ADAPTIVE divisor
     ``max|A| * d // 2^42 + 1`` (so |a'| <= 2^42/d) and each iterate is
     renormalized by ``max|w| // shift + 1`` (so |v| <= 2^20): every
     per-iteration sum stays <= 2^62, inside BIGINT, for any n.
@@ -443,6 +446,15 @@ def power_iteration_fixedpoint(
         q = abs(a) // n
         return q if a >= 0 else -q
 
+    # DECIMAL(38,0) SUM returns NULL on overflow with ANSI off — fail
+    # loudly (int(None) would raise a bare TypeError) rather than let
+    # a >1e38 accumulation masquerade as data.
+    if any(r["aa"] is None for r in gram_rows):
+        raise OverflowError(
+            "power_iteration_fixedpoint: Gram accumulation overflowed "
+            "DECIMAL(38,0) (~1e38) — reduce `quant` or pre-aggregate "
+            "in two levels before the final sum"
+        )
     d = 1 + max(r["i"] for r in gram_rows)
     A = [[0] * d for _ in range(d)]
     for r in gram_rows:

@@ -76,12 +76,23 @@ def salted_join(
     row would surface as its own null-padded output row (n_salts
     copies), silently corrupting the result.
 
-    The salt is a per-row counter, NOT a hash of the row: a hot key
-    whose rows are byte-identical (the normal case after projecting
-    down to the join columns) would hash to ONE salt and stay a
-    single straggler task. Which replica a row matches never affects
-    the result (``other`` is replicated over all salts), so the salt
-    needs no cross-run stability.
+    Retry-safety (SPARK-23207 class): the salt feeds the join
+    SHUFFLE, so it must be deterministic at the output-multiset level
+    — a nondeterministic salt (RNG, ``monotonically_increasing_id``)
+    recomputed on task retry can land a row in a DIFFERENT reducer
+    after some reduce tasks already fetched, silently dropping or
+    duplicating rows. The salt here is ``xxhash64(all columns) +
+    row_number() over (partition by all columns)``: distinct rows
+    spread by the hash with no extra shuffle cost beyond the window;
+    byte-identical duplicate rows (the normal case after projecting
+    down to the join columns) get consecutive ranks, so the m copies
+    of a hot row fan across min(m, n_salts) salts — and because the
+    rows within a rank-group are identical, WHICH physical row gets
+    which rank cannot change the output multiset: any recomputation
+    yields the same (row, salt) bag. The window's partition-by-all-
+    columns shuffle collapses only identical rows onto one task
+    (counting them is O(m) and cheap — the join fan-out they would
+    cause is the expensive part being avoided).
     """
     base = how.lower().replace("outer", "").strip("_")
     if base in ("right", "full"):
@@ -90,7 +101,13 @@ def salted_join(
             "of the non-salted side would emit one null-padded row PER "
             "SALT; salt the other side or use the plain join with AQE"
         )
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) for c in skewed.columns]
+    dup_rank = F.row_number().over(
+        Window.partitionBy(*cols).orderBy(F.lit(1))
+    )
+    salt = F.pmod(F.xxhash64(*cols) + dup_rank, F.lit(n_salts))
     left = skewed.withColumn("__salt", salt)
     right = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -273,7 +273,24 @@ def network_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         )
     )
-    return k_core(pairs, k=3).orderBy("node")
+    stats: list = []
+    core = k_core(pairs, k=3, stats=stats)
+    # The oracle's recursive CTE peels a FIXED _KCORE_ORACLE_ROUNDS
+    # rounds and reads the final one as the fixpoint — sound only
+    # while the true round count stays under the bound. Assert it
+    # HERE, at whatever SF this face runs at, so a larger corpus that
+    # needs more rounds fails loudly instead of letting the hash gate
+    # report a spurious engine-vs-oracle mismatch on a pre-fixpoint
+    # edge set (ADVICE r11). stats has one entry per peel round,
+    # including the converged one.
+    if len(stats) >= _KCORE_ORACLE_ROUNDS:
+        raise RuntimeError(
+            f"network_kcore_parts: peel took {len(stats)} rounds — at "
+            f"or past the oracle CTE bound _KCORE_ORACLE_ROUNDS="
+            f"{_KCORE_ORACLE_ROUNDS}; raise the bound (oracle would "
+            "otherwise compare a pre-fixpoint edge set)"
+        )
+    return core.orderBy("node")
 
 
 _KMV_K = 256

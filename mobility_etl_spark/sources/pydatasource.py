@@ -231,6 +231,7 @@ class LedgerWriter(DataSourceWriter):
         import json
         import os
         import time
+        import uuid as _uuid
 
         new_files = sorted(m.filename for m in messages if m is not None)
         n_rows = sum(m.n_rows for m in messages if m is not None)
@@ -240,20 +241,37 @@ class LedgerWriter(DataSourceWriter):
         # ledger would each publish prior+own and the second rename
         # silently drops the first writer's files. Serialize with an
         # O_EXCL lockfile (put-if-absent, the same primitive as
-        # snapshots.py's hard-link commit), stealing locks older than
-        # 60 s so a crashed holder cannot wedge the sink forever.
+        # snapshots.py's hard-link commit). A crashed holder cannot
+        # wedge the sink forever: locks older than the staleness
+        # window are STOLEN BY ATOMIC RENAME — rename(lock, per-
+        # stealer name) succeeds for exactly one waiter (the losers
+        # get FileNotFoundError and loop), which closes the stat-then-
+        # unlink TOCTOU where a second waiter could unlink the first
+        # stealer's FRESH lock and let two committers re-enter the
+        # read-modify-write concurrently. The acquire deadline
+        # (STALE + 30 s) extends past the staleness window so a
+        # waiter blocked behind a crashed holder lives long enough to
+        # perform the steal.
         lock = manifest_path + ".lock"
+        _LOCK_STALE_S = 60.0
         fd = None
-        for attempt in range(120):
+        deadline = time.monotonic() + _LOCK_STALE_S + 30.0
+        while time.monotonic() < deadline:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.stat(lock).st_mtime > 60:
-                        os.unlink(lock)
-                        continue
+                    stale = time.time() - os.stat(lock).st_mtime
                 except FileNotFoundError:
+                    continue  # holder released between open and stat
+                if stale > _LOCK_STALE_S:
+                    steal = f"{lock}.steal-{os.getpid()}-{_uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, steal)  # atomic: one winner
+                    except FileNotFoundError:
+                        continue  # another stealer won; race for O_EXCL
+                    os.unlink(steal)
                     continue
                 time.sleep(0.05)
         if fd is None:

@@ -25,17 +25,29 @@ def _worst_case_timings() -> dict[str, float]:
     return {name: 99999.999 for name in bench.HEADLINE}
 
 
+def _worst_case_spread() -> dict[str, list[float]]:
+    # r12 protocol: CORE8 medians carry a [min, max] spread
+    return {name: [99999.999, 99999.999] for name in bench.CORE8}
+
+
 def test_timing_line_fits_driver_tail():
-    line = bench.timing_line(_worst_case_timings(), 799999.992, 0.1)
-    assert len(line) < bench.DRIVER_TAIL_CHARS // 2, (
+    line = bench.timing_line(
+        _worst_case_timings(), 799999.992, 0.1, _worst_case_spread()
+    )
+    assert len(line) < bench.DRIVER_TAIL_CHARS * 3 // 4, (
         f"timing line is {len(line)} chars; must stay well under the "
         f"driver's ~{bench.DRIVER_TAIL_CHARS}-char stdout tail"
     )
 
 
 def test_timing_line_has_no_bulk_keys():
-    payload = json.loads(bench.timing_line(_worst_case_timings(), 1.0, 0.1))
-    assert set(payload) == {"metric", "value", "unit", "queries", "core8", "sf"}
+    payload = json.loads(
+        bench.timing_line(_worst_case_timings(), 1.0, 0.1, _worst_case_spread())
+    )
+    assert set(payload) == {
+        "metric", "value", "unit", "queries", "core8", "sf",
+        "protocol", "spread",
+    }
     assert "plans" not in payload
 
 

@@ -410,6 +410,93 @@ def test_compact_partitions_is_partition_scoped(spark, tmp_path, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_compact_crash_recovery_files_mode(spark, tmp_path, sf_dir):
+    """A crash ANYWHERE in the unpartitioned swap window (after the
+    intent marker, mid trash-move, mid staged-rename) must self-heal
+    on the next compact_partitions run: originals restored from
+    .compaction_trash, partial staged renames dropped, then the rerun
+    compacts normally — no manual restore, no silent under-report
+    (ADVICE r11, io.py intent protocol)."""
+    import json
+    import pathlib
+    import shutil
+
+    from mobility_etl_spark.io import compact_partitions, load_table
+
+    path = tmp_path / "flat"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    for i in range(6):
+        ev.filter(F.col("event_id") % 6 == i).write.mode("append").parquet(
+            str(path)
+        )
+    n_rows = spark.read.parquet(str(path)).count()
+    files = sorted(
+        f.name for f in path.glob("*.parquet")
+    )
+    # simulate the crash state: intent published, 4 of 6 originals
+    # already in trash, one staged output partially renamed in (a
+    # duplicate of trashed data)
+    token = "deadbeef0000"
+    trash = path / ".compaction_trash"
+    trash.mkdir()
+    for name in files[:4]:
+        (path / name).rename(trash / f"{token}-{name}")
+    shutil.copy(trash / f"{token}-{files[0]}",
+                path / f"compacted-{token}-00000.parquet")
+    intent_dir = path / ".compaction_intent"
+    intent_dir.mkdir()
+    (intent_dir / f"{token}.json").write_text(json.dumps({
+        "mode": "files",
+        "originals": files,
+        "staged": [f"compacted-{token}-{i:05d}.parquet" for i in range(2)],
+    }))
+    # mid-crash the live table under-reports
+    assert spark.read.parquet(str(path)).count() < n_rows
+    after = compact_partitions(
+        spark, str(path), target_file_bytes=64 * 1024 * 1024
+    )
+    assert spark.read.parquet(str(path)).count() == n_rows  # healed
+    assert after < 6  # and the rerun actually compacted
+    assert not (path / ".compaction_intent" / f"{token}.json").exists()
+    assert not list(pathlib.Path(path).glob(".compaction_trash/*"))
+
+
+def test_compact_crash_recovery_dir_mode(spark, tmp_path, sf_dir):
+    """Partitioned swap crash between leaf→trash and stage→leaf: the
+    partition is MISSING from the live table until recovery. If the
+    staged output survived the swap completes (roll-forward); here
+    the stage is gone too, so recovery rolls back from trash."""
+    import json
+
+    from mobility_etl_spark.io import compact_partitions, load_table
+
+    path = tmp_path / "lake"
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("dt", F.to_date("ts"))
+        .withColumn("hour", F.hour("ts"))
+    )
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).write.partitionBy(
+            "dt", "hour"
+        ).mode("append").parquet(str(path))
+    n_rows = spark.read.parquet(str(path)).count()
+    leaf = next(d for d in path.rglob("hour=*") if d.is_dir())
+    rel = leaf.relative_to(path)
+    token = "cafebabe0000"
+    aside = path / ".compaction_trash" / rel / token
+    aside.parent.mkdir(parents=True)
+    leaf.rename(aside)
+    intent_dir = path / ".compaction_intent"
+    intent_dir.mkdir()
+    (intent_dir / f"{token}.json").write_text(
+        json.dumps({"mode": "dir", "leaf": str(rel)})
+    )
+    assert spark.read.parquet(str(path)).count() < n_rows
+    compact_partitions(spark, str(path), target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(str(path)).count() == n_rows  # healed
+
+
 def test_check_constraints_valid_plus_violations_partition(spark):
     """operators/quality.py: valid ∪ violating == input; a row failing
     two rules appears twice in the long-form violations."""
