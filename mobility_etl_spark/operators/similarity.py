@@ -908,20 +908,40 @@ def _collect_normalized(increment: DataFrame, key_col: str, vec_col: str):
     return inc_ids, inc_m
 
 
-def _blas_probe_plan(
-    corpus: DataFrame,
-    inc_ids,
-    inc_m,
-    threshold: float,
-    key_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """The map-only BLAS probe core shared by :func:`exact_probe_blas`
-    and :func:`exact_probe_blas_pruned`: one (chunk × incrementᵀ) gram
-    per Arrow batch of the corpus, emitting only ge-threshold hits."""
+#: Broadcast handles for per-batch probe query state, released by
+#: :func:`release_probe_state`. The probe ships its increment matrix
+#: (and per-file masks) as a Spark BROADCAST variable — one
+#: torrent-distributed send per EXECUTOR — never in the task closure,
+#: which is re-serialized into EVERY task (the r11 driver log showed
+#: 11.4 MiB task binaries from closure-shipping; Spark's guidance is
+#: ≤ 1 MiB). Handles accumulate here because the returned DataFrame
+#: is lazy: the caller unpersists only once the batch's actions have
+#: run (the streaming capstone releases the PREVIOUS batch's state at
+#: the top of each micro-batch; batch faces leave cleanup to the
+#: ContextCleaner via GC).
+_PROBE_BROADCASTS: list = []
+
+
+def release_probe_state() -> None:
+    """Unpersist broadcast query state from COMPLETED probe batches
+    (executors drop their torrent blocks; safe once the probe
+    DataFrames of those batches have been fully consumed)."""
+    while _PROBE_BROADCASTS:
+        bc = _PROBE_BROADCASTS.pop()
+        try:
+            bc.unpersist(blocking=False)
+        except Exception:
+            pass  # context already stopped — nothing to release
+
+
+def _make_blas_probe(bc, threshold: float, key_col: str, vec_col: str):
+    """Build the mapInPandas probe fn CLOSING OVER ONLY the broadcast
+    handle + scalars — the closure stays O(100 bytes) no matter how
+    large the increment is (gated in tests/test_similarity.py)."""
     import numpy as np
 
     def probe(batches):
+        inc_ids, inc_m = bc.value  # executor-local, fetched once
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -940,8 +960,27 @@ def _blas_probe_plan(
                 }
             )
 
+    return probe
+
+
+def _blas_probe_plan(
+    corpus: DataFrame,
+    inc_ids,
+    inc_m,
+    threshold: float,
+    key_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The map-only BLAS probe core shared by :func:`exact_probe_blas`
+    and :func:`exact_probe_blas_pruned`: one (chunk × incrementᵀ) gram
+    per Arrow batch of the corpus, emitting only ge-threshold hits.
+    The increment matrix rides a broadcast variable (see
+    _PROBE_BROADCASTS), not the task closure."""
+    bc = corpus.sparkSession.sparkContext.broadcast((inc_ids, inc_m))
+    _PROBE_BROADCASTS.append(bc)
     return corpus.select(key_col, vec_col).mapInPandas(
-        probe, "inc_id long, corp_id long"
+        _make_blas_probe(bc, threshold, key_col, vec_col),
+        "inc_id long, corp_id long",
     )
 
 
@@ -1198,10 +1237,6 @@ def exact_probe_blas_pruned(
     import os as _os
 
     _root_marker = _os.path.abspath(table_path).rstrip("/") + "/"
-
-    def _rel_of(fname: str) -> str:
-        rel = str(fname).split(_root_marker, 1)
-        return rel[1] if len(rel) == 2 else str(fname).rsplit("/", 1)[-1]
     PROBE_PRUNE_STATS["files_total"] += len(files)
     PROBE_PRUNE_STATS["files_kept"] += len(masks)
     PROBE_PRUNE_STATS["qf_total"] += len(inc_ids) * len(files)
@@ -1212,8 +1247,34 @@ def exact_probe_blas_pruned(
     corpus = spark.read.parquet(
         *(str(root / f) for f in sorted(masks))
     ).withColumn("__file", F.input_file_name())
+    # The increment matrix + per-file query masks ride a BROADCAST
+    # variable — one torrent send per executor — not the task closure
+    # (the r11 driver log showed 11.4 MiB per-task binaries from
+    # closure-shipping at capstone batch sizes; see _PROBE_BROADCASTS
+    # for the release protocol).
+    bc = spark.sparkContext.broadcast((inc_ids, inc_m, masks))
+    _PROBE_BROADCASTS.append(bc)
+    return corpus.select(key_col, vec_col, "__file").mapInPandas(
+        _make_pruned_probe(bc, threshold, key_col, vec_col, _root_marker),
+        "inc_id long, corp_id long",
+    )
+
+
+def _make_pruned_probe(
+    bc, threshold: float, key_col: str, vec_col: str, root_marker: str
+):
+    """mapInPandas fn for the pruned probe: closes over the broadcast
+    handle + scalars only (closure size gated in tests). Per corpus
+    file group, probes just the query rows whose bound reaches that
+    file (the broadcast per-file masks)."""
+    import numpy as np
+
+    def _rel_of(fname: str) -> str:
+        rel = str(fname).split(root_marker, 1)
+        return rel[1] if len(rel) == 2 else str(fname).rsplit("/", 1)[-1]
 
     def probe(batches):
+        inc_ids, inc_m, masks = bc.value  # executor-local
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1236,6 +1297,4 @@ def exact_probe_blas_pruned(
                     }
                 )
 
-    return corpus.select(key_col, vec_col, "__file").mapInPandas(
-        probe, "inc_id long, corp_id long"
-    )
+    return probe

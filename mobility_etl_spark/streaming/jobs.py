@@ -1223,6 +1223,15 @@ def pretraining_apply_batch(
     if not batch_df.take(1):
         return
 
+    # the PREVIOUS batch's probe broadcasts (increment matrix +
+    # per-file masks) are fully consumed by now — release their
+    # executor blocks before this batch allocates its own
+    from mobility_etl_spark.operators.similarity import (
+        release_probe_state,
+    )
+
+    release_probe_state()
+
     base = batch_df.select(
         "doc_id",
         "lang",

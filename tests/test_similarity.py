@@ -733,3 +733,45 @@ def test_pruned_probe_routes_nested_layout_files(spark, sf_dir, tmp_path):
     pruned = exact_probe_blas_pruned(spark, inc, path, version, cents, 0.47)
     assert _probe_pair_sets(pruned) == _probe_pair_sets(full)
     assert len(_probe_pair_sets(pruned)) >= 25  # self-copies must hit
+
+
+def test_probe_task_closure_is_bounded(spark):
+    """VERDICT r11 #1 regression gate: the probe's query state (the
+    increment matrix + per-file masks) rides a Spark BROADCAST — one
+    torrent send per executor — never the task closure, which is
+    re-serialized into EVERY task (the r11 driver log showed 11.4 MiB
+    task binaries; Spark guidance is <= 1 MiB). Serialize the
+    mapInPandas fns exactly the way task dispatch does (cloudpickle)
+    against a ~20 MB increment and assert the closure stays tiny."""
+    import numpy as np
+    from pyspark.serializers import CloudPickleSerializer
+
+    from mobility_etl_spark.operators.similarity import (
+        _make_blas_probe,
+        _make_pruned_probe,
+        release_probe_state,
+    )
+
+    rng = np.random.default_rng(0)
+    inc_ids = np.arange(20_000, dtype=np.int64)
+    inc_m = rng.standard_normal((20_000, 128))  # ~20 MB float64
+    masks = {
+        f"cell={i}/part-{i:05d}.parquet": np.arange(5_000)
+        for i in range(64)
+    }
+    bc2 = spark.sparkContext.broadcast((inc_ids, inc_m))
+    bc3 = spark.sparkContext.broadcast((inc_ids, inc_m, masks))
+    ser = CloudPickleSerializer()
+    blas_sz = len(
+        ser.dumps(_make_blas_probe(bc2, 0.5, "doc_id", "embedding"))
+    )
+    pruned_sz = len(
+        ser.dumps(
+            _make_pruned_probe(bc3, 0.5, "doc_id", "embedding", "/t/x/")
+        )
+    )
+    assert blas_sz < 64 * 1024, f"blas closure {blas_sz}B ships bulk"
+    assert pruned_sz < 64 * 1024, f"pruned closure {pruned_sz}B ships bulk"
+    bc2.unpersist()
+    bc3.unpersist()
+    release_probe_state()  # no live handles may leak from this test
