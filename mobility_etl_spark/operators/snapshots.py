@@ -540,6 +540,8 @@ def compact_snapshot(
     stats_cols: tuple[str, ...] = (),
     layout_col: str | None = None,
     layout_files: int | None = None,
+    layout_secondary: tuple[str, ...] = (),
+    max_file_rows: int | None = None,
 ) -> int | None:
     """Table-format-style compaction: rewrite the LATEST snapshot's
     data into right-sized files and commit them as a new snapshot —
@@ -580,10 +582,26 @@ def compact_snapshot(
         # the manifest-stats file pruning (read_snapshot where=,
         # similarity.prune_probe_files) depends on; a coalesce here
         # would interleave cells and destroy every file's span.
+        #
+        # Skew handling (VERDICT r11 #2): real corpora are Zipf-skewed
+        # — one hot cell can hold 30-50% of the table, making the
+        # survivor scan one giant file and its stats one giant span.
+        # ``max_file_rows`` caps file size in ROWS (one control-plane
+        # count decides the partition count), and ``layout_secondary``
+        # lets the range partitioner SPLIT a hot layout_col value by a
+        # secondary column (e.g. ccos for the stored-IVF index): each
+        # of the hot cell's files then covers a contiguous ccos
+        # sub-range, so its min-ccos stat — the probe's θ bound — is
+        # strictly tighter than the whole cell's. Pruning soundness is
+        # untouched (per-file stats stay true whatever the split).
         n_target = max(n_target, layout_files or 1)
+        if max_file_rows is not None:
+            n_rows = tip.count()
+            n_target = max(n_target, math.ceil(n_rows / max_file_rows))
+        cols = [layout_col, *layout_secondary]
         tip = tip.repartitionByRange(
-            n_target, layout_col
-        ).sortWithinPartitions(layout_col)
+            n_target, *cols
+        ).sortWithinPartitions(*cols)
     else:
         tip = tip.coalesce(n_target)
     tip.write.mode("overwrite").parquet(str(stage))

@@ -1071,6 +1071,16 @@ _PRETRAIN_CELLS = 16
 _EMBINDEX_FILES = _PRETRAIN_CELLS  # one file per cell: true stored-IVF
 _EMBINDEX_STATS = ("cell", "ccos", "doc_id")
 
+#: Per-file ROW cap for the compacted embindex (VERDICT r11 #2, skew):
+#: a Zipf-skewed corpus can park 30-50% of the index in ONE hot cell;
+#: capping file rows makes the range partitioner split that cell
+#: across several files keyed by the SECONDARY sort column (ccos), so
+#: each file's min-ccos — the probe's θ bound — tightens and the
+#: survivor scan's partitions stay balanced. 50k rows ≈ 25 MB at
+#: d=64 float32; production would size this to the parquet row-group
+#: budget. None disables the cap (pre-r12 behavior).
+_EMBINDEX_MAX_FILE_ROWS = 50_000
+
 
 def _load_centroids(root: str):
     """The stream's coarse-quantizer centroids (trained once at init,
@@ -1372,8 +1382,8 @@ def pretraining_apply_batch(
                 spark,
                 path,
                 df.repartitionByRange(
-                    _EMBINDEX_FILES, "cell"
-                ).sortWithinPartitions("cell"),
+                    _EMBINDEX_FILES, "cell", "ccos"
+                ).sortWithinPartitions("cell", "ccos"),
                 note=note,
                 stats_cols=_EMBINDEX_STATS,
             )
@@ -1465,6 +1475,8 @@ def pretraining_stream_ingest(
                         path,
                         layout_col="cell",
                         layout_files=_EMBINDEX_FILES,
+                        layout_secondary=("ccos",),
+                        max_file_rows=_EMBINDEX_MAX_FILE_ROWS,
                         stats_cols=_EMBINDEX_STATS,
                     )
                 else:

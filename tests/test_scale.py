@@ -180,3 +180,96 @@ def test_auto_salted_join_routes_by_diagnosis(spark, sf_dir, no_broadcast):
         plan = joined._jdf.queryExecution().optimizedPlan().toString()
         assert ("__salt" in plan) == expect_salt
         assert joined.count() == df.join(dim, ["k"]).count()
+
+
+def test_salted_join_zipf_hot_key_exact_and_full_row_hash(spark, no_broadcast):
+    """VERDICT r11 #5: salted == unsalted on a genuinely Zipf-skewed
+    corpus (hot key ~40% of mass, power-law tail), compared by FULL
+    row multiset hash, not just aggregates — the per-row deterministic
+    salt (xxhash64 + dup-rank) may not lose, duplicate, or mutate a
+    single row, including byte-identical duplicate rows on the hot
+    key."""
+    # Zipf via inverse-CDF on a power law: key = floor(u^(-1/a)) caps
+    # give the classic hot-head / long-tail shape, deterministic from
+    # the id (no RNG state)
+    n = 200_000
+    ev = spark.range(n).select(
+        F.least(
+            (F.lit(1.0) / F.pow((F.col("id") % 9973 + 1) / 9973.0, 1.1))
+            .cast("long"),
+            F.lit(499),
+        ).alias("k"),
+        (F.col("id") % 7).alias("payload"),  # duplicates WITHIN hot key
+    )
+    dim = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    hot_share = (
+        ev.groupBy("k").count().orderBy(F.desc("count")).first()["count"] / n
+    )
+    assert hot_share > 0.25, f"fixture lost its skew ({hot_share:.2f})"
+
+    def row_hash(df):
+        # decimal sum: 200k int64 hashes overflow a BIGINT accumulator
+        return df.select(
+            F.sum(
+                F.xxhash64("k", "payload", "w").cast("decimal(38,0)")
+            ).alias("h"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+
+    plain = row_hash(ev.join(dim, ["k"]))
+    salted = row_hash(salted_join(ev, dim, ["k"], n_salts=16))
+    assert (plain.h, plain.n) == (salted.h, salted.n)
+    assert plain.n == n  # every event key exists in dim
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir, no_broadcast):
+    """VERDICT r11 #5: AQE's skew-join handling (on in session
+    defaults) must actually TRIGGER on a hot key — the final adaptive
+    plan marks the SortMergeJoin with skew=true — with thresholds
+    scaled down to test-data sizes. This pins the config path: if a
+    future session default disables AQE skew handling, this fails."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        n = 300_000
+        ev = spark.range(n).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = ev.join(dim, ["k"])
+        # execute THIS DataFrame's own plan (count() builds a separate
+        # QueryExecution and would leave joined's adaptive plan
+        # unfinalized)
+        assert len(joined.collect()) == n
+        final = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "skew=true" in final, f"AQE skew split did not trigger:\n{final[:2000]}"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

@@ -775,3 +775,80 @@ def test_probe_task_closure_is_bounded(spark):
     bc2.unpersist()
     bc3.unpersist()
     release_probe_state()  # no live handles may leak from this test
+
+
+def test_compaction_row_cap_splits_hot_cell_and_tightens_bound(
+    spark, tmp_path
+):
+    """VERDICT r11 #2: Zipf-skewed corpora park 30-50%+ of the index
+    in one hot cell; with max_file_rows + layout_secondary=("ccos",)
+    the layout-preserving compaction must (a) cap file sizes in rows,
+    (b) split the hot cell across several files keyed by ccos so at
+    least one file's min-ccos — the probe's θ bound — is strictly
+    tighter than the whole cell's, and (c) leave the pruned probe's
+    hits identical to the full scan."""
+    import numpy as np
+
+    from mobility_etl_spark.operators.similarity import (
+        _load_manifest,
+        exact_probe_blas,
+        exact_probe_blas_pruned,
+    )
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        compact_snapshot,
+    )
+
+    # skewed mixture: ~70% of 12k vectors in cluster 0
+    rng = np.random.RandomState(11)
+    k, d, n = 8, 32, 12_000
+    centers = rng.randn(k, d)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = np.where(rng.rand(n) < 0.7, 0, rng.randint(1, k, size=n))
+    vecs = centers[assign] + 0.05 * rng.randn(n, d)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    path, _ = _make_snapshot_index(spark, tmp_path, vecs, centers, files=8)
+    cap = 2_000
+    v2 = compact_snapshot(
+        spark,
+        path,
+        layout_col="cell",
+        layout_files=8,
+        layout_secondary=("ccos",),
+        max_file_rows=cap,
+        stats_cols=("cell", "ccos", "doc_id"),
+    )
+    assert v2 is not None
+    man = _load_manifest(path, v2)
+    stats = man["stats"]
+    rowcounts = {f: stats[f]["_rows"] for f in man["files"] if f in stats}
+    # (a) the range partitioner balances to the cap (equal-depth
+    # quantiles; allow partitioner slack)
+    assert max(rowcounts.values()) <= int(cap * 1.5), rowcounts
+    # (b) the hot cell spans several files with tightening ccos
+    hot_files = [
+        f
+        for f in man["files"]
+        if f in stats
+        and stats[f].get("cell")
+        and stats[f]["cell"][0] == 0 == stats[f]["cell"][1]
+        and stats[f]["_rows"] > 0
+    ]
+    assert len(hot_files) >= 3, "hot cell was not split"
+    mins = sorted(stats[f]["ccos"][0] for f in hot_files)
+    assert mins[-1] > mins[0], "secondary split did not tighten min-ccos"
+    # (c) exactness after the capped, secondary-split compaction
+    q = spark.createDataFrame(
+        [(100_000 + i, [float(x) for x in vecs[i]]) for i in range(30)],
+        "doc_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "doc_id long, embedding array<float>",
+    )
+    full = exact_probe_blas(q, corpus, 0.47)
+    pruned = exact_probe_blas_pruned(
+        spark, q, path, _list_versions(path)[-1], centers, 0.47
+    )
+    assert _probe_pair_sets(pruned) == _probe_pair_sets(full)

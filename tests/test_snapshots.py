@@ -1280,3 +1280,98 @@ def test_ivm_face_folds_through_lineage_not_full_diff(spark, sf_dir):
     out.collect()
     assert CHANGES_PATH_STATS["full_diff"] == 0
     assert CHANGES_PATH_STATS["lineage"] >= 2, dict(CHANGES_PATH_STATS)
+
+
+_XPROC_WORKER = r"""
+import os, pathlib, shutil, sys
+
+root, wid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, sys.argv[3])
+from mobility_etl_spark.operators.snapshots import (
+    commit_catalog,
+    commit_snapshot,
+)
+from mobility_etl_spark.session import get_spark
+
+spark = get_spark(f"race-w{wid}", master="local[2]", shuffle_partitions=2)
+t = os.path.join(root, "t")
+for i in range(3):
+    # land data under UNIQUE names first (concurrent raw appends to one
+    # parquet dir clobber Hadoop's shared _temporary/0 staging — real
+    # writers stage privately and only the COMMIT races)
+    priv = os.path.join(root, f".stage-w{wid}-{i}")
+    spark.range(wid * 1000 + i * 10, wid * 1000 + i * 10 + 5).write.parquet(priv)
+    names = []
+    for j, p in enumerate(sorted(pathlib.Path(priv).glob("*.parquet"))):
+        name = f"w{wid}-b{i}-{j}.parquet"
+        os.replace(p, os.path.join(t, name))
+        names.append(name)
+    shutil.rmtree(priv, ignore_errors=True)
+    v = commit_snapshot(spark, t, note=f"w{wid}-b{i}", files=names)
+    commit_catalog(root, {"t": (t, v)}, note=f"w{wid}-c{i}")
+print("WORKER-OK")
+spark.stop()
+"""
+
+
+def test_cross_process_commit_race(spark, tmp_path):
+    """VERDICT r11 #4: the in-process racing-committer drills share one
+    driver JVM/Python process; a real deployment has INDEPENDENT
+    SparkSessions committing to one table root. Spawn 3 separate
+    Python processes, each with its own local SparkSession, each
+    landing private data files then racing commit_snapshot +
+    commit_catalog 3 times against the same root. The put-if-absent
+    protocol must linearize across PROCESSES exactly as it does across
+    threads: contiguous versions, every commit's payload exactly once,
+    every catalog entry resolving to an existing snapshot, no staged
+    tmp leaks."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        catalog_log,
+        commit_snapshot,
+        snapshot_log,
+    )
+
+    root = str(tmp_path)
+    t = str(tmp_path / "t")
+    spark.range(3).write.parquet(t)
+    v1 = commit_snapshot(spark, t, note="base")
+    assert v1 == 1
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _XPROC_WORKER, root, str(w), repo],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for w in range(3)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all("WORKER-OK" in o for o in outs)
+
+    # snapshots: base + 9 worker commits, contiguous, no note lost
+    assert _list_versions(t) == list(range(1, 11))
+    notes = [e["note"] for e in snapshot_log(t)]
+    expect = ["base"] + [f"w{w}-b{i}" for w in range(3) for i in range(3)]
+    assert sorted(notes) == sorted(expect)
+    # catalog: 9 commits, contiguous, each resolving to a live snapshot
+    clog = catalog_log(root)
+    assert [e["version"] for e in clog] == list(range(1, 10))
+    assert sorted(e["note"] for e in clog) == sorted(
+        f"w{w}-c{i}" for w in range(3) for i in range(3)
+    )
+    snap_versions = set(_list_versions(t))
+    d = pathlib.Path(root) / "_catalog"
+    for e in clog:
+        m = json.loads((d / f"v{e['version']}.catalog.json").read_text())
+        assert m["tables"]["t"]["version"] in snap_versions
+    assert not list(d.glob(".tmp-*")), "catalog staging leaked"
+    assert not list((pathlib.Path(t) / "_snapshots").glob(".tmp-*"))
