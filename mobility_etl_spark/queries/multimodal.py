@@ -179,12 +179,45 @@ def multimodal_pointer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_resize", oracle=None, tags=("N4", "E39"))
+@register(
+    "multimodal_decode_resize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text,
+               64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT)
+                   % 192 AS w,
+               64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT)
+                   % 192 AS h
+        FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           GREATEST(1, CAST(TRUNC(w * (32.0 / GREATEST(w, h)))
+                            AS INT)) AS out_width,
+           GREATEST(1, CAST(TRUNC(h * (32.0 / GREATEST(w, h)))
+                            AS INT)) AS out_height,
+           sha256(array_to_string(
+               list_transform(
+                   range(0, CAST(ceil(length(text) / 256.0) AS INT)),
+                   i -> substr(text, i * 256 + 1, 1)), ''))
+               AS thumb_sha256
+    FROM d
+    """,
+    tags=("N4", "E39"),
+)
 def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + aspect-preserving resize through two chained
-    mapInPandas stages (decode dims are the deterministic stub;
-    rows-only driver check, exact values unit-tested in
-    tests/test_multimodal.py)."""
+    mapInPandas stages. EXACT oracle since r12 (was rows-only): the
+    deterministic decode stub's dims are sha256-derived
+    (64 + digest_byte % 192 — replayed from the hex digest in SQL),
+    the resize is max(1, trunc(dim * 32/max(w,h))) in IEEE double on
+    both engines, and the stub thumbnail is payload[::256], rebuilt
+    byte-for-byte with list_transform + substr (documents are ASCII,
+    so character slicing == byte slicing; non-ASCII corpora would
+    need a blob-typed replay). The production swap replaces the stub
+    with a real codec (queries/multimodal.py:multimodal_ppm_decode
+    proves that path end-to-end)."""
     from mobility_etl_spark.operators.multimodal import (
         decode_features,
         resize_thumbnails,
