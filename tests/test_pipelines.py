@@ -735,3 +735,52 @@ def test_ledger_sink_append_merges_and_overwrite_replaces(spark, tmp_path):
     # old committed parts are reclaimed; staged files == manifest files
     on_disk = {f for f in os.listdir(path) if f.startswith("part-")}
     assert on_disk == set(replaced["files"])
+
+
+def test_ledger_lock_steal_is_single_winner(tmp_path):
+    """ADVICE r11: a STALE ledger lock (crashed holder) must be stolen
+    by exactly one waiter — the atomic-rename steal closes the
+    stat-then-unlink TOCTOU where two waiters could both 'steal' and
+    re-enter the read-modify-write concurrently. Drill: pre-plant a
+    stale lock, race 8 threads committing one staged part each
+    (driver-side commit logic is pure file ops — threads exercise the
+    same interleavings as processes on one FS), assert every part
+    survives in the manifest and the lock dir is clean."""
+    import json
+    import os
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mobility_etl_spark.sources.pydatasource import (
+        LedgerWriter,
+        _LedgerCommit,
+    )
+
+    path = str(tmp_path)
+    os.makedirs(path, exist_ok=True)
+    # a crashed holder's lock, older than the 60 s staleness window
+    lock = os.path.join(path, "_LEDGER.lock")
+    with open(lock, "w"):
+        pass
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))
+
+    def commit_one(i):
+        name = f"part-w{i}.jsonl"
+        with open(os.path.join(path, name), "w") as fh:
+            fh.write(json.dumps({"i": i}) + "\n")
+        w = LedgerWriter({"path": path}, overwrite=False)
+        w.commit([_LedgerCommit(name, 1)])
+        return name
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        names = list(pool.map(commit_one, range(8)))
+
+    manifest = json.loads(
+        open(os.path.join(path, "_LEDGER")).read()
+    )
+    assert sorted(manifest["files"]) == sorted(names)  # none lost
+    assert manifest["n_rows"] == 8
+    assert not os.path.exists(lock)
+    assert not [
+        f for f in os.listdir(path) if ".lock.steal-" in f
+    ], "steal artifacts leaked"
