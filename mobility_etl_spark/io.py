@@ -377,13 +377,16 @@ _INTENT_DIR = ".compaction_intent"
 
 def _publish_intent(root: pathlib.Path, token: str, payload: dict) -> None:
     """Atomically publish a compaction intent marker (tmp + rename),
-    the write-ahead record that makes the swap crash-recoverable."""
+    the write-ahead record that makes the swap crash-recoverable. The
+    marker carries the holder's pid so recovery can tell a CRASHED
+    run (roll back) from a LIVE overlapping run (leave alone)."""
     import json
     import os
 
     d = root / _INTENT_DIR
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".{token}.tmp"
+    payload = dict(payload, pid=os.getpid())
     tmp.write_text(json.dumps(payload))
     os.replace(tmp, d / f"{token}.json")
 
@@ -404,8 +407,17 @@ def _recover_compaction(
     exactly one of {live dir, trash}, and restoring the union
     reconstructs the original set regardless of where the crash
     landed. The rerun then re-compacts the healed partition normally.
+
+    A marker whose holder PID IS STILL ALIVE is an overlapping LIVE
+    compaction, not a crash — rolling back its half-finished renames
+    would let both runs' outputs land (permanent row duplication), so
+    live markers are skipped untouched. Same-host scope: this is a
+    local-filesystem swap protocol by construction (directory
+    renames); cross-host coordination belongs to the manifest-commit
+    table layer (operators/snapshots.py).
     """
     import json
+    import os
     import shutil
 
     d = root / _INTENT_DIR
@@ -414,6 +426,15 @@ def _recover_compaction(
     for marker in sorted(d.glob("*.json")):
         token = marker.stem
         intent = json.loads(marker.read_text())
+        pid = intent.get("pid")
+        if pid is not None and pid != os.getpid():
+            try:
+                os.kill(pid, 0)
+                continue  # holder alive: a live run, not a crash
+            except ProcessLookupError:
+                pass  # holder dead: genuinely crashed, recover
+            except PermissionError:
+                continue  # alive under another uid: leave it alone
         if intent["mode"] == "files":
             for name in intent["staged"]:
                 (root / name).unlink(missing_ok=True)

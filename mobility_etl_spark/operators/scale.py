@@ -82,17 +82,23 @@ def salted_join(
     recomputed on task retry can land a row in a DIFFERENT reducer
     after some reduce tasks already fetched, silently dropping or
     duplicating rows. The salt here is ``xxhash64(all columns) +
-    row_number() over (partition by all columns)``: distinct rows
-    spread by the hash with no extra shuffle cost beyond the window;
-    byte-identical duplicate rows (the normal case after projecting
-    down to the join columns) get consecutive ranks, so the m copies
-    of a hot row fan across min(m, n_salts) salts — and because the
-    rows within a rank-group are identical, WHICH physical row gets
-    which rank cannot change the output multiset: any recomputation
-    yields the same (row, salt) bag. The window's partition-by-all-
-    columns shuffle collapses only identical rows onto one task
-    (counting them is O(m) and cheap — the join fan-out they would
-    cause is the expensive part being avoided).
+    duplicate-rank``, with the rank produced WITHOUT a window sort:
+    rows collapse to (distinct row, count) via groupBy over all
+    columns — map-side partial aggregation collapses duplicates
+    before the shuffle, so the exchange carries O(distinct rows), not
+    the table — then each distinct row re-expands to ranks 1..m
+    through a chunked sequence-explode (bounded 2^16-element arrays,
+    so a hot row with millions of identical copies never materializes
+    one giant in-memory array; generation streams through codegen
+    with no WindowExec buffer). Distinct rows spread by the hash;
+    the m identical copies of a hot row fan across min(m, n_salts)
+    salts; and because copies are byte-identical, which copy gets
+    which rank cannot change the output multiset — any recomputation
+    yields the same (row, salt) bag.
+
+    Columns must be hashable/groupable: MAP-typed columns are
+    rejected up front (Spark cannot group or hash them) — drop or
+    ``map_entries``-convert them before salting.
     """
     base = how.lower().replace("outer", "").strip("_")
     if base in ("right", "full"):
@@ -101,14 +107,45 @@ def salted_join(
             "of the non-salted side would emit one null-padded row PER "
             "SALT; salt the other side or use the plain join with AQE"
         )
-    from pyspark.sql.window import Window
+    from pyspark.sql.types import MapType
 
-    cols = [F.col(c) for c in skewed.columns]
-    dup_rank = F.row_number().over(
-        Window.partitionBy(*cols).orderBy(F.lit(1))
+    maps = [
+        f.name
+        for f in skewed.schema.fields
+        if isinstance(f.dataType, MapType)
+    ]
+    if maps:
+        raise TypeError(
+            f"salted_join: map-typed column(s) {maps} cannot be "
+            "grouped or hashed for the deterministic salt — drop "
+            "them or convert with map_entries() before salting"
+        )
+    cols = list(skewed.columns)
+    _CHUNK = 1 << 16
+    counted = skewed.groupBy(*cols).agg(F.count("*").alias("__m"))
+    chunked = counted.select(
+        *cols,
+        "__m",
+        F.explode(
+            F.sequence(
+                F.lit(0), ((F.col("__m") - 1) / _CHUNK).cast("long")
+            )
+        ).alias("__c"),
     )
-    salt = F.pmod(F.xxhash64(*cols) + dup_rank, F.lit(n_salts))
-    left = skewed.withColumn("__salt", salt)
+    ranked = chunked.select(
+        *cols,
+        F.explode(
+            F.sequence(
+                F.col("__c") * _CHUNK + 1,
+                F.least(F.col("__m"), (F.col("__c") + 1) * _CHUNK),
+            )
+        ).alias("__dup"),
+    )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols]) + F.col("__dup"),
+        F.lit(n_salts),
+    )
+    left = ranked.withColumn("__salt", salt).drop("__dup")
     right = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -915,11 +915,27 @@ def _collect_normalized(increment: DataFrame, key_col: str, vec_col: str):
 #: which is re-serialized into EVERY task (the r11 driver log showed
 #: 11.4 MiB task binaries from closure-shipping; Spark's guidance is
 #: ≤ 1 MiB). Handles accumulate here because the returned DataFrame
-#: is lazy: the caller unpersists only once the batch's actions have
-#: run (the streaming capstone releases the PREVIOUS batch's state at
-#: the top of each micro-batch; batch faces leave cleanup to the
-#: ContextCleaner via GC).
+#: is lazy: the streaming capstone releases the PREVIOUS batch's
+#: state at the top of each micro-batch. The list is BOUNDED at
+#: _PROBE_BC_CAP: a batch caller that never calls
+#: release_probe_state (the bench loop builds each probe query
+#: several times per session) evicts the oldest handle FIFO —
+#: ``unpersist`` is always safe, it only drops executor copies and
+#: Spark re-broadcasts from the driver on next use — and dropping
+#: our strong reference restores the GC → ContextCleaner path for
+#: the broadcast itself once the caller's DataFrame dies.
 _PROBE_BROADCASTS: list = []
+_PROBE_BC_CAP = 8
+
+
+def _track_probe_broadcast(bc) -> None:
+    while len(_PROBE_BROADCASTS) >= _PROBE_BC_CAP:
+        old = _PROBE_BROADCASTS.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # context stopped — nothing to release
+    _PROBE_BROADCASTS.append(bc)
 
 
 def release_probe_state() -> None:
@@ -977,7 +993,7 @@ def _blas_probe_plan(
     The increment matrix rides a broadcast variable (see
     _PROBE_BROADCASTS), not the task closure."""
     bc = corpus.sparkSession.sparkContext.broadcast((inc_ids, inc_m))
-    _PROBE_BROADCASTS.append(bc)
+    _track_probe_broadcast(bc)
     return corpus.select(key_col, vec_col).mapInPandas(
         _make_blas_probe(bc, threshold, key_col, vec_col),
         "inc_id long, corp_id long",
@@ -1194,8 +1210,9 @@ def exact_probe_blas_pruned(
     Pruning is PER QUERY CELL, not per batch: increment rows are
     grouped by their own quantizer cell, each group prunes files
     independently, and a surviving file is probed only against the
-    groups whose bound reaches it (per-file query masks shipped in the
-    task closure, routed executor-side by input_file_name). So a
+    groups whose bound reaches it (per-file query masks ride the
+    probe's BROADCAST variable, routed executor-side by
+    input_file_name). So a
     diverse micro-batch — which REACHES every cluster somewhere and
     would defeat a whole-batch union bound — still skips the
     (query, file) pairs that can't interact: I/O cost is the union of
@@ -1253,7 +1270,7 @@ def exact_probe_blas_pruned(
     # closure-shipping at capstone batch sizes; see _PROBE_BROADCASTS
     # for the release protocol).
     bc = spark.sparkContext.broadcast((inc_ids, inc_m, masks))
-    _PROBE_BROADCASTS.append(bc)
+    _track_probe_broadcast(bc)
     return corpus.select(key_col, vec_col, "__file").mapInPandas(
         _make_pruned_probe(bc, threshold, key_col, vec_col, _root_marker),
         "inc_id long, corp_id long",

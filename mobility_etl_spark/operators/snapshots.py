@@ -596,7 +596,19 @@ def compact_snapshot(
         # untouched (per-file stats stay true whatever the split).
         n_target = max(n_target, layout_files or 1)
         if max_file_rows is not None:
-            n_rows = tip.count()
+            # row count from the manifest's per-file _rows stats when
+            # every file carries them (stats-committed tables do) —
+            # zero Spark jobs; the count() scan is only the fallback
+            # for stats-less manifests
+            fstats = manifest.get("stats") or {}
+            if all(
+                "_rows" in fstats.get(f, {}) for f in manifest["files"]
+            ):
+                n_rows = sum(
+                    fstats[f]["_rows"] for f in manifest["files"]
+                )
+            else:
+                n_rows = tip.count()
             n_target = max(n_target, math.ceil(n_rows / max_file_rows))
         cols = [layout_col, *layout_secondary]
         tip = tip.repartitionByRange(

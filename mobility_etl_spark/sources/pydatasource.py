@@ -296,11 +296,22 @@ class LedgerWriter(DataSourceWriter):
                 }
             _publish_manifest(self.path, "_LEDGER", manifest)
         finally:
-            os.close(fd)
+            # Release ONLY if the lock on disk is still OURS: a holder
+            # that stalled past the staleness window may have had its
+            # lock stolen — blindly unlinking would delete the
+            # STEALER's fresh lock and reopen the concurrent
+            # read-modify-write. Inode equality (same fs) proves
+            # ownership; a stolen lock is simply left to its new
+            # holder. (The stalled holder's own manifest write may
+            # still have raced the stealer's — the staleness window is
+            # a liveness escape hatch, sized far above any real commit
+            # duration, not a correctness substitute.)
             try:
-                os.unlink(lock)
+                if os.stat(lock).st_ino == os.fstat(fd).st_ino:
+                    os.unlink(lock)
             except FileNotFoundError:
                 pass
+            os.close(fd)
         if self.overwrite:
             # stale committed parts are invisible (not in the manifest)
             # the instant the rename lands; reclaim them afterwards

@@ -432,6 +432,13 @@ def capstone_soak(spark, n_batches=100, batch_rows=1_000) -> dict:
                 },
                 note=f"maint-{b}",
             )
+            # retention GC, exactly as pretraining_stream_ingest runs
+            # it — without this the manifest chain grows O(batches)
+            from mobility_etl_spark.operators.snapshots import (
+                catalog_vacuum,
+            )
+
+            catalog_vacuum(root, keep_last=2)
         wall = time.perf_counter() - t0
         if (b + 1) in checkpoints:
             tips = {
