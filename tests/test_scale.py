@@ -273,3 +273,39 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir, no_broadcast):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_salted_join_chunk_boundaries_nulls_and_map_rejection(
+    spark, no_broadcast
+):
+    """Regression pins for the r12 deterministic salt: duplicate
+    counts exact ACROSS the 2^16 chunked-explode boundary (a hot row
+    with 70k identical copies spans two chunks), null join keys
+    preserved on the left-join path, and map-typed columns rejected
+    with a pointed TypeError (Spark can't group or hash them)."""
+    ev = spark.createDataFrame(
+        [(1, "a")] + [(2, "b")] * 70_000 + [(None, "c")] * 3,
+        "k int, payload string",
+    )
+    dim = spark.createDataFrame([(1, 10), (2, 20)], "k int, w int")
+    plain = (
+        ev.join(dim, ["k"]).groupBy("k", "payload", "w").count()
+        .orderBy("k").collect()
+    )
+    salted = (
+        salted_join(ev, dim, ["k"], n_salts=4)
+        .groupBy("k", "payload", "w").count().orderBy("k").collect()
+    )
+    assert plain == salted
+    pl = ev.join(dim, ["k"], "left").groupBy("k").count().orderBy("k").collect()
+    sl = (
+        salted_join(ev, dim, ["k"], n_salts=4, how="left")
+        .groupBy("k").count().orderBy("k").collect()
+    )
+    assert pl == sl  # nulls and unmatched keys intact
+    with pytest.raises(TypeError, match="map-typed"):
+        salted_join(
+            ev.withColumn("m", F.create_map(F.lit("a"), F.lit(1))),
+            dim,
+            ["k"],
+        )
