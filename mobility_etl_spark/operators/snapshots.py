@@ -49,6 +49,48 @@ def _snap_dir(table_path: str) -> pathlib.Path:
     return pathlib.Path(table_path) / _SNAPDIR
 
 
+def _stage_and_publish(
+    df, root: pathlib.Path, stage: pathlib.Path, name_prefix: str,
+    replace: bool = False,
+) -> list[str]:
+    """The shared stage-write → deterministic-rename publish step of
+    append_snapshot / compact_snapshot / streaming_snapshot_sink: one
+    spelling, so protocol fixes (ordering, cleanup, fsync policy)
+    cannot drift between the three writers. Writes ``df`` to the
+    hidden ``stage`` dir (invisible to readers — only committed
+    manifests are scanned), moves each part to
+    ``{name_prefix}{i:05d}.parquet`` under ``root`` (``os.replace``
+    when ``replace`` — the sink's crash-replay path re-publishes the
+    SAME names), cleans the stage, returns the published names."""
+    import shutil
+
+    df.write.mode("overwrite").parquet(str(stage))
+    mv = os.replace if replace else os.rename
+    names = []
+    for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
+        name = f"{name_prefix}{i:05d}.parquet"
+        mv(staged, root / name)
+        names.append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+    return names
+
+
+def _validate_note(note: str) -> None:
+    """Commit notes must be single-line: vacuum preserves dropped
+    manifests' notes as newline-delimited sidecar lines
+    (_preserve_notes_then_drop), so an embedded newline would SPLIT
+    the note on read-back and a replayed writer's
+    ``note in snapshot_notes(...)`` idempotence check would miss —
+    re-appending rows, the exact duplicate the note exists to
+    prevent. Reject at commit time, where the bug would be planted."""
+    if "\n" in note or "\r" in note:
+        raise ValueError(
+            f"snapshot note {note!r} contains a newline — notes are "
+            "persisted line-delimited across vacuum and must be "
+            "single-line"
+        )
+
+
 def _list_versions(table_path: str) -> list[int]:
     d = _snap_dir(table_path)
     if not d.is_dir():
@@ -155,8 +197,18 @@ def commit_snapshot(
     Returns the new version number. The write is staged then renamed —
     a reader either sees the complete new manifest or the old one,
     never a partial file.
+
+    ``files=None`` (publish-the-directory) is a SINGLE-WRITER
+    BOOTSTRAP convenience only: the listing sees every file on disk,
+    including a concurrent appender's renamed-but-uncommitted output
+    and pre-compaction base files a rewrite retained for time travel
+    — committing either duplicates rows. Any table with concurrent
+    writers or a compaction history must commit through
+    :func:`append_snapshot` / :func:`commit_snapshot_update` /
+    explicit ``files``.
     """
     root = pathlib.Path(table_path)
+    _validate_note(note)
     if files is None:
         files = _data_files(table_path)
     stats = _file_column_stats(root, files, stats_cols) if stats_cols else {}
@@ -232,6 +284,7 @@ def commit_snapshot_update(
     only new files are scanned.
     """
     root = pathlib.Path(table_path)
+    _validate_note(note)
     d = _snap_dir(table_path)
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".tmp-{uuid.uuid4().hex[:12]}"
@@ -249,21 +302,32 @@ def commit_snapshot_update(
             new_files = update_fn(list(tip_files))
             if new_files is None:
                 return None
-            stats = {}
-            if stats_cols:
-                carried = [f for f in new_files if f in tip_stats]
-                fresh = [f for f in new_files if f not in tip_stats]
-                stats = {f: tip_stats[f] for f in carried}
-                stats.update(_file_column_stats(root, fresh, stats_cols))
+            try:
+                stats = {}
+                if stats_cols:
+                    carried = [f for f in new_files if f in tip_stats]
+                    fresh = [f for f in new_files if f not in tip_stats]
+                    stats = {f: tip_stats[f] for f in carried}
+                    stats.update(
+                        _file_column_stats(root, fresh, stats_cols)
+                    )
+                nbytes = sum(
+                    (root / f).stat().st_size for f in new_files
+                )
+            except FileNotFoundError:
+                # a tip file vanished under us (concurrent compaction
+                # + vacuum reclaimed it): the tip we read is already
+                # stale — reapply against the fresh one instead of
+                # aborting a retryable commit (and leaking the
+                # caller's staged files)
+                continue
             version = (versions or [0])[-1] + 1
             manifest = {
                 "version": version,
                 "note": note,
                 "files": new_files,
                 "n_files": len(new_files),
-                "bytes": sum(
-                    (root / f).stat().st_size for f in new_files
-                ),
+                "bytes": nbytes,
                 "stats": stats,
                 "op": op,  # see commit_snapshot's manifest note
                 "added": added,
@@ -302,16 +366,9 @@ def append_snapshot(
     root = pathlib.Path(table_path)
     root.mkdir(parents=True, exist_ok=True)
     token = uuid.uuid4().hex[:12]
-    stage = root / f".append-stage-{token}"
-    df.write.mode("overwrite").parquet(str(stage))
-    new_files = []
-    for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
-        name = f"append-{token}-{i:05d}.parquet"
-        os.rename(staged, root / name)
-        new_files.append(name)
-    import shutil
-
-    shutil.rmtree(stage, ignore_errors=True)
+    new_files = _stage_and_publish(
+        df, root, root / f".append-stage-{token}", f"append-{token}-"
+    )
     try:
         v = commit_snapshot_update(
             spark,
@@ -446,7 +503,25 @@ def snapshot_changes(
     delta_files = changed_files(table_path, v_from, v_to)
     if delta_files is not None:
         if not delta_files:
-            return read_snapshot(spark, table_path, v_to).limit(0)
+            # empty delta: a zero-row frame in the table's schema. If
+            # v_to itself has no files (a schema-less empty snapshot),
+            # derive the schema from the nearest retained NON-EMPTY
+            # version instead of crashing a legitimate empty poll —
+            # read_snapshot refuses empty manifests by design.
+            d = _snap_dir(table_path)
+            for v in sorted(versions, reverse=True):
+                has = json.loads(
+                    (d / f"v{v}.manifest.json").read_text()
+                )["files"]
+                if has:
+                    return read_snapshot(
+                        spark, table_path, v
+                    ).limit(0)
+            raise ValueError(
+                f"snapshot_changes: every retained snapshot of "
+                f"{table_path} is empty — no schema source for the "
+                "empty change feed"
+            )
         return spark.read.parquet(
             *(str(root / f) for f in delta_files)
         )
@@ -616,13 +691,9 @@ def compact_snapshot(
         ).sortWithinPartitions(*cols)
     else:
         tip = tip.coalesce(n_target)
-    tip.write.mode("overwrite").parquet(str(stage))
-    new_files = []
-    for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
-        name = f"compacted-{token}-{i:05d}.parquet"
-        os.rename(staged, root / name)
-        new_files.append(name)
-    shutil.rmtree(stage, ignore_errors=True)
+    new_files = _stage_and_publish(
+        tip, root, stage, f"compacted-{token}-"
+    )
 
     def _reapply(cur: list[str]) -> list[str] | None:
         if not base <= set(cur):
@@ -734,8 +805,11 @@ def vacuum(
                     continue  # possibly a mid-commit writer's file
             except FileNotFoundError:
                 continue  # raced with its own writer/another vacuum
-        (root / f).unlink()
-        deleted += 1
+        try:
+            (root / f).unlink()
+            deleted += 1
+        except FileNotFoundError:
+            pass  # a racing second vacuum reclaimed it first
     _preserve_notes_then_drop(
         table_path,
         [_snap_dir(table_path) / f"v{v}.manifest.json" for v in drop],
@@ -756,8 +830,12 @@ def _preserve_notes_then_drop(
     :func:`catalog_vacuum`'s) must go through this. Returns the number
     of manifests dropped."""
     notes = []
+    dropped = 0
     for mf in manifest_paths:
-        note = json.loads(mf.read_text()).get("note", "")
+        try:
+            note = json.loads(mf.read_text()).get("note", "")
+        except FileNotFoundError:
+            continue  # a racing second vacuum already processed it
         if note:
             notes.append(note)
     if notes:
@@ -766,8 +844,12 @@ def _preserve_notes_then_drop(
         with open(_snap_dir(table_path) / _NOTESLOG, "a") as fh:
             fh.write("".join(n + "\n" for n in notes))
     for mf in manifest_paths:
-        mf.unlink()
-    return len(manifest_paths)
+        try:
+            mf.unlink()
+            dropped += 1
+        except FileNotFoundError:
+            pass  # the racing vacuum dropped it first — same outcome
+    return dropped
 
 
 def streaming_snapshot_sink(
@@ -791,31 +873,54 @@ def streaming_snapshot_sink(
     """
     import shutil
 
+    # Note-set cache: loaded once (per stream (re)start) from
+    # snapshot_notes — which parses every RETAINED manifest plus the
+    # vacuum sidecar — then maintained incrementally, so the per-batch
+    # idempotence check is O(1) instead of O(retained versions) per
+    # batch (which compounds to O(N²) over an unvacuumed stream's
+    # life). Sound because this sink is the table's only writer (the
+    # checkpoint serializes batches).
+    done_cache: dict = {"notes": None}
+
     def _apply(batch_df, batch_id: int) -> None:
         note = f"batch-{batch_id}"
         root = pathlib.Path(table_path)
         root.mkdir(parents=True, exist_ok=True)
-        # snapshot_notes, not snapshot_log: the sidecar-backed note
-        # set is one file read + survives vacuum; the log parses every
-        # retained manifest PER BATCH (O(N^2) over the stream's life)
-        try:
-            done = snapshot_notes(table_path)
-        except FileNotFoundError:
-            done = set()
-        if note in done:
+        if done_cache["notes"] is None:
+            try:
+                done_cache["notes"] = set(snapshot_notes(table_path))
+            except FileNotFoundError:
+                done_cache["notes"] = set()
+        if note in done_cache["notes"]:
             return  # exactly-once: this batch already committed
         stage = root / f".stage-{note}"
         shutil.rmtree(stage, ignore_errors=True)
-        batch_df.write.mode("overwrite").parquet(str(stage))
-        # drop leftovers of a crashed earlier attempt FIRST — a replay
-        # that repartitions into fewer files must not leave stale
-        # batch-N-000xx files behind to ride the commit
+        # drop leftovers of a crashed earlier attempt before
+        # publishing — a replay that repartitions into FEWER files
+        # must not leave stale batch-N-000xx files behind as orphans
+        # (they were never committed, so readers can't see them, but
+        # only an aged vacuum would reclaim them)
         for stale in root.glob(f"{note}-*.parquet"):
             stale.unlink()
-        for i, staged in enumerate(sorted(stage.glob("*.parquet"))):
-            os.replace(staged, root / f"{note}-{i:05d}.parquet")
-        shutil.rmtree(stage, ignore_errors=True)
-        commit_snapshot(batch_df.sparkSession, table_path, note=note)
+        batch_files = _stage_and_publish(
+            batch_df, root, stage, f"{note}-", replace=True
+        )
+        # Commit "tip + mine" through the retry-with-reapply path, NOT
+        # a directory listing: after a compaction of this table the
+        # listing would see both the retained pre-compaction files and
+        # their compacted replacements (time travel keeps both) and
+        # publish every old row twice. op-typing the commit also keeps
+        # the change-feed source's O(delta) lineage walk alive across
+        # rewrites (an untyped commit forces the full-diff fallback).
+        commit_snapshot_update(
+            batch_df.sparkSession,
+            table_path,
+            lambda cur: cur + [f for f in batch_files if f not in cur],
+            note=note,
+            op="append",
+            added=batch_files,
+        )
+        done_cache["notes"].add(note)
 
     q = (
         result.writeStream.foreachBatch(_apply)
@@ -1033,9 +1138,31 @@ def catalog_vacuum(
             if entry["path"] not in referenced:
                 dropped_only.add(entry["path"])
 
+    # Highest snapshot version any DROPPED catalog version bound, per
+    # dropped-only table: a snapshot NEWER than that is evidence of an
+    # in-flight RE-PUBLICATION (commit_snapshot already succeeded, the
+    # re-binding commit_catalog may be mid-validation) — wiping the
+    # table now would leave the new catalog version dangling forever,
+    # violating commit_catalog's never-dangles guarantee. Skip such
+    # tables this run; if the re-publication stalls, a later vacuum
+    # (after its catalog commit lands or its snapshots age past the
+    # dropped bindings) reclaims or retains correctly.
+    dropped_bound: dict[str, int] = {}
+    for v in drop:
+        m = json.loads((d / f"v{v}.catalog.json").read_text())
+        for entry in m["tables"].values():
+            if entry["path"] in dropped_only:
+                dropped_bound[entry["path"]] = max(
+                    dropped_bound.get(entry["path"], 0),
+                    entry["version"],
+                )
+
     snapshots_dropped = 0
     files_deleted = 0
     for tpath in sorted(dropped_only):
+        tvers = _list_versions(tpath)
+        if tvers and tvers[-1] > dropped_bound.get(tpath, 0):
+            continue  # newer snapshot: a re-publication is in flight
         # No grace here, deliberately: a table bound ONLY by dropped
         # catalog versions was removed from the catalog before the
         # retention horizon — no legitimate writer can be mid-commit
@@ -1047,12 +1174,15 @@ def catalog_vacuum(
             tpath,
             [
                 _snap_dir(tpath) / f"v{sv}.manifest.json"
-                for sv in sorted(_list_versions(tpath))
+                for sv in sorted(tvers)
             ],
         )
         for f in _data_files(tpath):
-            (root / f).unlink()
-            files_deleted += 1
+            try:
+                (root / f).unlink()
+                files_deleted += 1
+            except FileNotFoundError:
+                pass  # racing vacuum got it first
     for tpath, keep_snaps in referenced.items():
         newest_bound = max(keep_snaps)
         keep_files: set[str] = set()
@@ -1075,10 +1205,16 @@ def catalog_vacuum(
             if f not in keep_files:
                 if _graced(root / f):
                     continue
-                (root / f).unlink()
-                files_deleted += 1
+                try:
+                    (root / f).unlink()
+                    files_deleted += 1
+                except FileNotFoundError:
+                    pass  # racing vacuum got it first
     for v in drop:
-        (d / f"v{v}.catalog.json").unlink()
+        try:
+            (d / f"v{v}.catalog.json").unlink()
+        except FileNotFoundError:
+            pass  # racing catalog_vacuum dropped it first
     return {
         "catalog_versions_dropped": len(drop),
         "snapshots_dropped": snapshots_dropped,

@@ -1375,3 +1375,165 @@ def test_cross_process_commit_race(spark, tmp_path):
         assert m["tables"]["t"]["version"] in snap_versions
     assert not list(d.glob(".tmp-*")), "catalog staging leaked"
     assert not list((pathlib.Path(t) / "_snapshots").glob(".tmp-*"))
+
+
+def test_streaming_sink_survives_compaction_no_duplication(spark, sf_dir):
+    """r12 review finding: the sink used to commit via DIRECTORY
+    LISTING, so after a compaction (old files retained for time
+    travel) the next batch's manifest referenced both generations and
+    every pre-compaction row doubled. Now the sink commits "tip +
+    mine" op-typed: compact mid-stream, continue the stream, row
+    counts stay exact and the op-typed chain keeps the change feed's
+    file-level path alive across the rewrite."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        changed_files,
+        compact_snapshot,
+        read_snapshot,
+        streaming_snapshot_sink,
+    )
+    from mobility_etl_spark.streaming.jobs import events_file_stream
+
+    landing = tempfile.mkdtemp(prefix="sinkland2_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.filter(F.col("event_id") < 300).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(landing)
+    table = tempfile.mkdtemp(prefix="sinktbl2_")
+
+    def run():
+        stream = events_file_stream(
+            spark, landing, options={"maxFilesPerTrigger": "1"}
+        )
+        with tempfile.TemporaryDirectory(prefix="ckpt2_") as ckpt:
+            streaming_snapshot_sink(stream, table, ckpt)
+
+    run()
+    assert read_snapshot(spark, table).count() == 300
+    v_pre = _list_versions(table)[-1]
+    compact_snapshot(spark, table, target_file_bytes=1 << 30)
+    # pre-compaction files are still on disk (time travel); the next
+    # batches must NOT re-commit them
+    ev.filter(F.col("event_id").between(300, 399)).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    assert read_snapshot(spark, table).count() == 400  # not 700
+    # op-typed commits: the file-level delta survives ACROSS the
+    # rewrite (no full-diff fallback, no hard error)
+    v_now = _list_versions(table)[-1]
+    delta = changed_files(table, v_pre, v_now)
+    assert delta is not None
+    got = spark.read.parquet(
+        *(f"{table}/{f}" for f in delta)
+    ).count()
+    assert got == 100
+
+
+def test_commit_note_rejects_newlines(spark, tmp_path):
+    """Notes persist line-delimited across vacuum; an embedded newline
+    would split on read-back and break a replayed writer's
+    idempotence check — rejected at commit time."""
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        commit_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    spark.range(3).write.parquet(t)
+    with pytest.raises(ValueError, match="newline"):
+        commit_snapshot(spark, t, note="e1\nreplayed")
+    commit_snapshot(spark, t, note="ok")
+    with pytest.raises(ValueError, match="newline"):
+        append_snapshot(spark, t, spark.range(2), note="a\rb")
+
+
+def test_snapshot_changes_empty_snapshot_poll(spark, tmp_path):
+    """r12 review finding: polling v==v against an EMPTY snapshot
+    (schema-bearing 0-file init commit) used to crash in
+    read_snapshot; the empty delta now derives its schema from the
+    nearest non-empty retained version, or v_to itself once data
+    lands."""
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot,
+        commit_snapshot,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "t")
+    pathlib = __import__("pathlib")
+    pathlib.Path(t).mkdir()
+    v1 = commit_snapshot(spark, t, note="init", files=[])
+    v2 = append_snapshot(spark, t, spark.range(5))
+    # empty delta with a non-empty schema source
+    assert snapshot_changes(spark, t, v2, v2).count() == 0
+    # delta over the empty init
+    assert snapshot_changes(spark, t, v1, v2).count() == 5
+
+
+def test_preserve_notes_tolerates_racing_vacuum(spark, tmp_path):
+    """r12 review finding: a second racing vacuum used to crash on
+    FileNotFoundError mid-GC. _preserve_notes_then_drop (and the
+    unlink paths) now treat an already-dropped manifest/file as the
+    race it is."""
+    from mobility_etl_spark.operators.snapshots import (
+        _preserve_notes_then_drop,
+        _snap_dir,
+        commit_snapshot,
+        snapshot_notes,
+        vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    spark.range(3).write.parquet(t)
+    for i in range(4):
+        spark.range(i * 10, i * 10 + 2).write.mode("append").parquet(t)
+        commit_snapshot(spark, t, note=f"c{i}")
+    d = _snap_dir(t)
+    # simulate the loser: one of the to-drop manifests already gone
+    (d / "v1.manifest.json").unlink()
+    dropped = _preserve_notes_then_drop(
+        t, [d / "v1.manifest.json", d / "v2.manifest.json"]
+    )
+    assert dropped == 1  # only the one that still existed
+    assert "c1" in snapshot_notes(t)  # note preserved by... the drop
+    vacuum(t, keep_last=1)  # and a follow-up vacuum still succeeds
+
+
+def test_catalog_vacuum_spares_republishing_dropped_table(spark, tmp_path):
+    """r12 review finding: a table bound only by DROPPED catalog
+    versions used to be wiped unconditionally — racing an in-flight
+    re-publication (snapshot committed, commit_catalog mid-validation)
+    into a permanently dangling binding. A snapshot NEWER than
+    anything the dropped versions bound is evidence of that
+    re-publication; the table is spared this run."""
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        catalog_vacuum,
+        commit_catalog,
+        commit_snapshot,
+        read_catalog_table,
+    )
+
+    cat = str(tmp_path)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(3).write.parquet(a)
+    spark.range(4).write.parquet(b)
+    va = commit_snapshot(spark, a, note="a1")
+    vb = commit_snapshot(spark, b, note="b1")
+    commit_catalog(cat, {"a": (a, va), "b": (b, vb)})  # v1: binds both
+    for i in range(3):  # v2..v4 bind only b → a becomes dropped-only
+        commit_catalog(cat, {"b": (b, vb)}, note=f"only-b-{i}")
+    # in-flight re-publication of a: NEW snapshot committed, catalog
+    # commit not yet landed
+    spark.range(10, 14).write.mode("append").parquet(a)
+    va2 = commit_snapshot(spark, a, note="a2")
+    catalog_vacuum(cat, keep_last=2)
+    # a survived: the re-binding can now land and resolve
+    assert va2 in _list_versions(a)
+    commit_catalog(cat, {"a": (a, va2), "b": (b, vb)}, note="rebind")
+    assert read_catalog_table(spark, cat, "a").count() == 7
