@@ -75,30 +75,32 @@ def events_file_stream(
     is a footer-only read (no data scan) per stream construction.
     """
     ensure_session_defaults(spark)
-    observed = getattr(spark.read, fmt)(path).schema
-    reader = spark.readStream.schema(observed)
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
     # The file source lists a *directory*; a single-file path is
     # streamed as parent-dir + glob filter on the file name. File vs
     # directory is decided by an actual filesystem check — a dot in
     # the last segment proves nothing (Spark writes directories named
     # "out.parquet"; "sf0.01" is a directory), and the dot heuristic
-    # silently streamed zero files for those.
+    # silently streamed zero files for those. The BATCH schema probe
+    # must go through the same parent+filter route: Spark's batch
+    # reader ALSO globs the path, so a raw file name containing
+    # metacharacters fails PATH_NOT_FOUND before the stream is even
+    # built (r12 review follow-up).
     import os
 
+    glob_opt = None
     if os.path.isfile(path):
         parent, _, leaf = path.rstrip("/").rpartition("/")
-        # escape glob metacharacters: a literal file name like
-        # "day[1].parquet" would otherwise become a character class
-        # that matches NOTHING and the stream silently processes zero
-        # files (the exact failure mode this branch exists to avoid)
-        leaf_glob = "".join(
-            f"[{c}]" if c in "*?[]{}" and c not in "]" else c
-            for c in leaf
-        )
-        reader = reader.option("pathGlobFilter", leaf_glob)
+        glob_opt = _escape_glob(leaf)
         path = parent or "."
+    probe = spark.read
+    if glob_opt:
+        probe = probe.option("pathGlobFilter", glob_opt)
+    observed = getattr(probe, fmt)(path).schema
+    reader = spark.readStream.schema(observed)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if glob_opt:
+        reader = reader.option("pathGlobFilter", glob_opt)
     stream = getattr(reader, fmt)(path)
     ts_type = {f.name: f.dataType.simpleString() for f in observed.fields}.get("ts")
     if ts_type == "bigint":
@@ -106,6 +108,74 @@ def events_file_stream(
     if ts_type == "timestamp_ntz":
         return stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+#: Per-process replay-ledger caches (r12): the full snapshot_notes /
+#: catalog_log read — O(retained manifests) JSON parses — runs ONCE
+#: per (process, table); afterwards the sets are maintained at every
+#: commit this process makes, so the per-micro-batch "already
+#: committed?" checks are O(1) instead of O(N) (which compounded to
+#: O(N²) ledger I/O over an unvacuumed stream's life). Sound because
+#: each streaming table is single-writer (the checkpoint serializes
+#: batches) and the record happens immediately after the commit
+#: returns — an in-process crash drill that raises AFTER a commit
+#: still finds the note recorded; a real crash restarts the process
+#: and reloads from disk (notes survive vacuum via the sidecar).
+_NOTES_SEEN: dict[str, set] = {}
+_CAT_SEEN: dict[str, set] = {}
+
+
+def _notes_seen(table_path: str) -> set:
+    """The complete committed-note set for ``table_path`` (cached;
+    one disk load per process). The returned set is LIVE — commits
+    recorded via :func:`_note_record` appear in it."""
+    seen = _NOTES_SEEN.get(table_path)
+    if seen is None:
+        from mobility_etl_spark.operators.snapshots import (
+            snapshot_notes,
+        )
+
+        try:
+            seen = set(snapshot_notes(table_path))
+        except FileNotFoundError:
+            seen = set()
+        _NOTES_SEEN[table_path] = seen
+    return seen
+
+
+def _note_record(table_path: str, note: str) -> None:
+    _NOTES_SEEN.setdefault(table_path, set()).add(note)
+
+
+def _cat_notes_seen(root: str) -> set:
+    seen = _CAT_SEEN.get(root)
+    if seen is None:
+        from mobility_etl_spark.operators.snapshots import catalog_log
+
+        try:
+            seen = {e["note"] for e in catalog_log(root) if e["note"]}
+        except FileNotFoundError:
+            seen = set()
+        _CAT_SEEN[root] = seen
+    return seen
+
+
+def _cat_note_record(root: str, note: str) -> None:
+    _CAT_SEEN.setdefault(root, set()).add(note)
+
+
+def _escape_glob(leaf: str) -> str:
+    """Escape a literal file name for Hadoop ``GlobPattern``
+    (``pathGlobFilter``) with GlobPattern's NATIVE backslash escape.
+    The former bracket-class escaping (``[c]``) was verified wrong
+    against the installed GlobPattern: ``[`` inside a class is a
+    parse ERROR (stream construction crashes), and ``?``/``{``/``}``
+    wrapped in a class are still rewritten as metacharacters, so the
+    stream silently matched ZERO files — the exact failure the escape
+    exists to prevent. Backslash-escaping every metachar (and the
+    escape char itself) round-trips all of them; gated against
+    GlobPattern in tests/test_streaming.py."""
+    return "".join("\\" + c if c in "*?[]{}\\" else c for c in leaf)
 
 
 def tumbling_hourly_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -177,9 +247,14 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
             # field boundaries — concat_ws skipped NULLs and had no
             # delimiter escaping, so (type='click', props=NULL) and
             # (type=NULL, props='click') hashed identically and a
-            # DISTINCT event could be dropped as a duplicate
+            # DISTINCT event could be dropped as a duplicate.
+            # EVERY column goes into the digest: a 3-column subset
+            # (event_id, event_type, props) collapsed two events that
+            # differed only in value/ts/user_id — a correction row
+            # sharing an id with its original was silently dropped
+            # (r12 review). "Content digest" now means the content.
             F.sha2(
-                F.to_json(F.struct("event_id", "event_type", "props")),
+                F.to_json(F.struct(*stream.columns)),
                 256,
             ),
         )
@@ -270,7 +345,16 @@ def write_stream_idempotent(
     dynamic partition overwrite — the reference's this-hour-already-
     exists guard (R8, dags/warsaw-weather.py:26-28) with replay safety:
     re-processing a micro-batch overwrites the same partitions instead
-    of duplicating them."""
+    of duplicating them.
+
+    CONTRACT — partition-per-batch alignment: a (dt, hour) partition
+    must be fully contained in ONE micro-batch. If an hour's rows
+    span two batches, the second batch's dynamic overwrite replaces
+    the partition with only its own rows, silently deleting the
+    first's (r12 review). The reference's cadence guarantees the
+    alignment (one blob per hour per run); for arbitrary batch cuts
+    use :func:`operators.snapshots.streaming_snapshot_sink`, whose
+    manifest commits are append-shaped and alignment-free."""
     from mobility_etl_spark.io import with_time_partitions
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -749,7 +833,6 @@ def near_dup_apply_batch(
             append_snapshot,
             compact_snapshot,
             read_snapshot,
-            snapshot_notes,
             snapshot_tip,
             vacuum,
         )
@@ -767,12 +850,9 @@ def near_dup_apply_batch(
     # replayed chunk's "already committed?" check survives compaction
     # and retention GC in ANY interleaving (including an external
     # compactor+vacuum racing a mid-epoch replay).
-    done_notes: set[str] = set()
-    if index_snapshots:
-        try:
-            done_notes = snapshot_notes(index_path)
-        except FileNotFoundError:
-            pass
+    # cached complete ledger (one disk load per process, O(1) per
+    # batch after that — see _NOTES_SEEN)
+    done_notes = _notes_seen(index_path) if index_snapshots else set()
 
     # control-plane collects, all bounded by max_chunk (see the
     # caller's docstring): chunk ids, chunk×index probe hits,
@@ -869,6 +949,7 @@ def near_dup_apply_batch(
                     append_snapshot(
                         spark, index_path, acc_df.coalesce(1), note=note
                     )
+                    _note_record(index_path, note)
             else:
                 _publish_single_parquet(
                     acc_df,
@@ -1095,7 +1176,8 @@ def _load_centroids(root: str):
     path = os.path.join(root, "centroids.json")
     if not os.path.exists(path):
         return None
-    return np.asarray(json.loads(open(path).read()), dtype=np.float64)
+    with open(path) as fh:
+        return np.asarray(json.load(fh), dtype=np.float64)
 
 
 def pretraining_stream_init(
@@ -1216,20 +1298,13 @@ def pretraining_apply_batch(
     from mobility_etl_spark.operators.snapshots import (
         _list_versions,
         append_snapshot,
-        catalog_log,
         commit_catalog,
         read_catalog_table,
-        snapshot_notes,
     )
     from mobility_etl_spark.queries.corpus_prep import _DECON_N, ngram_expr
 
-    try:
-        if any(
-            e["note"] == f"batch-{epoch}" for e in catalog_log(root)
-        ):
-            return  # replay of a fully-committed batch
-    except FileNotFoundError:
-        pass
+    if f"batch-{epoch}" in _cat_notes_seen(root):
+        return  # replay of a fully-committed batch
     if not batch_df.take(1):
         return
 
@@ -1315,11 +1390,20 @@ def pretraining_apply_batch(
     )
     sem_drop = hits_index.union(hits_intra).distinct()
 
-    survivors = s1.join(sem_drop, "doc_id", "left_anti").select(
-        "doc_id", "lang", "n_tokens", F.lit(True).alias("sem_kept")
-    ).unionByName(
-        s1.join(sem_drop, "doc_id", "left_semi").select(
-            "doc_id", "lang", "n_tokens", F.lit(False).alias("sem_kept")
+    # ONE left join + null-flag, not anti∪semi: the union form scanned
+    # s1 twice and referenced the sem_drop subplan — which contains
+    # BOTH BLAS probes — from two branches, re-executing the probes in
+    # the survivors write job unless ReuseExchange happened to fire
+    # (r12 review). Same rows, one probe execution.
+    survivors = (
+        s1.join(
+            sem_drop.withColumn("__hit", F.lit(True)), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.col("__hit").isNull().alias("sem_kept"),
         )
     )
 
@@ -1359,7 +1443,7 @@ def pretraining_apply_batch(
     }
     for name in _PRETRAIN_TABLES:
         path = os.path.join(root, name)
-        if note in snapshot_notes(path):
+        if note in _notes_seen(path):
             continue  # this epoch's append already committed (replay)
         df = payloads[name]
         # Always append — even an empty payload (a batch with no eval
@@ -1394,6 +1478,7 @@ def pretraining_apply_batch(
             # budget immediately (measured in the r10 near-dup
             # stress run)
             append_snapshot(spark, path, df.coalesce(1), note=note)
+        _note_record(path, note)
         if fail_after == name:
             raise RuntimeError(f"simulated crash after {name} append")
 
@@ -1409,6 +1494,7 @@ def pretraining_apply_batch(
         },
         note=f"batch-{epoch}",
     )
+    _cat_note_record(root, f"batch-{epoch}")
 
 
 def pretraining_stream_ingest(
@@ -1454,7 +1540,9 @@ def pretraining_stream_ingest(
         if compact_every <= 0:
             return
         compacted = False
-        has_cents = _load_centroids(root) is not None
+        # existence check only — parsing the full centroid matrix per
+        # micro-batch just for a boolean was measured wasteful (r12)
+        has_cents = os.path.exists(os.path.join(root, "centroids.json"))
         for name in _PRETRAIN_TABLES:
             path = os.path.join(root, name)
             # the cell-clustered index's post-compaction floor is

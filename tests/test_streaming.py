@@ -1601,3 +1601,44 @@ def test_pretraining_boundary_crash_fuzz(spark, sf_dir, seed):
         map(tuple, pipeline_pretraining_full(spark, sf_dir).collect())
     )
     assert got == want and len(got) > 0, (seed, bounds)
+
+
+def test_escape_glob_roundtrips_all_metachars(spark):
+    """r12 review (verified against the installed Hadoop GlobPattern):
+    the old bracket-class escaping CRASHED on '[' and silently matched
+    zero files for '?'/'{'/'}'. The backslash escaper must make every
+    literal name match itself and nothing else."""
+    from mobility_etl_spark.streaming.jobs import _escape_glob
+
+    GP = spark._jvm.org.apache.hadoop.fs.GlobPattern
+    names = [
+        "day[1].parquet", "day?.parquet", "day{1}.parquet",
+        "day{1.parquet", "day*.parquet", "plain.parquet",
+        "back\\slash.pq", "a]b.pq", "mix[*?{}].pq",
+    ]
+    for name in names:
+        pat = GP(_escape_glob(name))
+        assert pat.matches(name), name
+    # and no overmatch: the escaped '*' must not act as a wildcard
+    assert not GP(_escape_glob("day*.parquet")).matches("dayX.parquet")
+    assert not GP(_escape_glob("day?.parquet")).matches("day1.parquet")
+
+
+def test_single_file_stream_with_glob_metachars(spark, sf_dir, tmp_path):
+    """End-to-end: stream a single FILE whose name contains glob
+    metacharacters — the stream must read exactly that file's rows
+    (the old escaping crashed or read zero rows)."""
+    import shutil
+
+    from mobility_etl_spark.streaming.jobs import events_file_stream
+
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").limit(100)
+    plain = tmp_path / "plain"
+    src.coalesce(1).write.parquet(str(plain))
+    part = next(plain.glob("*.parquet"))
+    tricky = tmp_path / "day[1]{a}?.parquet"
+    shutil.copy(part, tricky)
+    rows = _drain(
+        spark, events_file_stream(spark, str(tricky)), mode="append"
+    )
+    assert len(rows) == 100
