@@ -427,8 +427,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches exactly."""
     docs = load_table(spark, sf_dir, "documents")
     scored = bm25_scores(docs, _BM25_TERMS)
-    from pyspark.sql import Window
-
     # top-k FIRST via orderBy+limit (plans as TakeOrderedAndProject —
     # no global sort of the corpus, plan-gated in tests/test_plans.py);
     # the rank window then runs over k=50 rows, where its single
@@ -652,7 +650,11 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mobility_etl_spark.streaming.jobs import events_file_stream
 
     landing = tempfile.mkdtemp(prefix="mes_snapland_")
-    spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+    # load_table, not a raw read: the events ts encoding has drifted
+    # between rounds and load_table carries the dtype-branching every
+    # other face gets (plus session defaults) — a raw first read on a
+    # fresh session can fail outright on a nanos re-encode (r12 review)
+    load_table(spark, sf_dir, "events").filter(
         F.col("event_id") < 1000
     ).repartition(4).write.mode("overwrite").parquet(landing)
 
@@ -668,11 +670,6 @@ def streaming_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
-        )
-        .select(
-            "event_type",
-            "n_events",
-            "sum_value",
         )
     )
 
@@ -856,7 +853,7 @@ _FULL_ORACLE = f"""
         SELECT doc_id, lang, n_tokens FROM (
             SELECT s3.*,
                    ROW_NUMBER() OVER (PARTITION BY lang
-                       ORDER BY (doc_id * {_MIX_H}) % 4294967296,
+                       ORDER BY ((doc_id % 1000003) * {_MIX_H}) % 4294967296,
                                 doc_id) AS rk
             FROM s3)
         WHERE rk <= (SELECT m FROM quota)
@@ -864,7 +861,7 @@ _FULL_ORACLE = f"""
     packed AS (
         SELECT doc_id, lang, n_tokens,
                CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang
-                   ORDER BY (doc_id * {_PACK_H}) % 4294967296, doc_id
+                   ORDER BY ((doc_id % 1000003) * {_PACK_H}) % 4294967296, doc_id
                    ROWS UNBOUNDED PRECEDING) - n_tokens)
                    / {_PACK_BIN}.0) AS BIGINT) AS bin_id
         FROM s4
@@ -876,8 +873,8 @@ _FULL_ORACLE = f"""
                ROW_NUMBER() OVER (
                    PARTITION BY e.epoch,
                        CASE WHEN n_tokens <= 300 THEN 0 ELSE 1 END, lang
-                   ORDER BY ((doc_id + 1) * ({_MIX_H} + e.epoch
-                             * {_EPOCH_H})) % 4294967296,
+                   ORDER BY ((doc_id % 1000003 + 1) * ({_MIX_H}
+                             + e.epoch * {_EPOCH_H})) % 4294967296,
                             doc_id) AS r
         FROM packed p CROSS JOIN (SELECT UNNEST([0, 1]) AS epoch) e
     )
@@ -921,8 +918,14 @@ def mixture_pack_curriculum(spark: SparkSession, s3: DataFrame) -> DataFrame:
     byte-identity claim reduces to the corpora being equal."""
     # (4) balanced mixture: per-lang quota = smallest lang's count
     quota = s3.groupBy("lang").count().agg(F.min("count").alias("m"))
+    # (doc_id % 1000003) pre-reduction before the multiply — the same
+    # _PREMOD discipline operators/sampling.py uses: without it the
+    # int64 product overflows (ANSI ArithmeticException / silent wrap)
+    # once doc_id reaches ~3.5e9, i.e. exactly the 100 TB corpus this
+    # pipeline claims (r12 review). Identity for every current SF
+    # (max doc_id 4999), so values are unchanged at test scale.
     w_mix = Window.partitionBy("lang").orderBy(
-        (F.col("doc_id") * _MIX_H) % 4294967296, "doc_id"
+        ((F.col("doc_id") % 1000003) * _MIX_H) % 4294967296, "doc_id"
     )
     s4 = (
         s3.withColumn("rk", F.row_number().over(w_mix))
@@ -934,7 +937,10 @@ def mixture_pack_curriculum(spark: SparkSession, s3: DataFrame) -> DataFrame:
     # (5) concat-cut packing per language
     w_pack = (
         Window.partitionBy("lang")
-        .orderBy((F.col("doc_id") * _PACK_H) % 4294967296, "doc_id")
+        .orderBy(
+            ((F.col("doc_id") % 1000003) * _PACK_H) % 4294967296,
+            "doc_id",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = s4.withColumn(
@@ -949,7 +955,8 @@ def mixture_pack_curriculum(spark: SparkSession, s3: DataFrame) -> DataFrame:
     epochs = spark.createDataFrame([(0,), (1,)], "epoch int")
     phase = F.when(F.col("n_tokens") <= 300, 0).otherwise(1).cast("int")
     w_ep = Window.partitionBy("epoch", "phase", "lang").orderBy(
-        ((F.col("doc_id") + 1) * (_MIX_H + F.col("epoch") * _EPOCH_H))
+        ((F.col("doc_id") % 1000003 + 1)
+         * (_MIX_H + F.col("epoch") * _EPOCH_H))
         % 4294967296,
         "doc_id",
     )
@@ -1044,8 +1051,14 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        dup = (np.triu(m @ m.T, k=1) >= _SEM_TAU).any(axis=0)
-        return pd.DataFrame({"doc_id": pdf["doc_id"].values[dup]})
+        # strict-ID mask, not positional triu(k=1): with a duplicated
+        # vec_id the positional form pairs a row with its own twin
+        # (cos = 1) and drops a doc the oracle's a.doc_id < b.doc_id
+        # keeps (r12 review). Identical for unique ids.
+        ids = pdf["doc_id"].values
+        witnessed = (m @ m.T >= _SEM_TAU) & (ids[:, None] < ids[None, :])
+        dup = witnessed.any(axis=0)
+        return pd.DataFrame({"doc_id": ids[dup]})
 
     sem_drop = (
         embedded.groupBy(F.lit(1).alias("__g"))
@@ -1105,7 +1118,13 @@ def run_pretraining_stream(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang"
     )
-    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        raise ValueError(
+            f"run_pretraining_stream: documents table at {sf_dir} is "
+            "empty — nothing to stream (MAX(doc_id) is NULL)"
+        )
+    hi = max_id + 1
     bounds = [round(i * hi / n_files) for i in range(n_files + 1)]
     for i in range(n_files):
         docs.filter(

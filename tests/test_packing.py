@@ -181,3 +181,27 @@ def test_pretraining_full_semantic_margin_and_stage_activity():
         """
     ).fetchone()
     assert lo < hi  # mixture quota actually rebalances
+
+
+def test_mixture_pack_curriculum_survives_100tb_doc_ids(spark):
+    """r12 review: the stage 4-6 multiplicative hashes lacked the
+    premod reduction and overflowed int64 (ANSI ArithmeticException)
+    once doc_id passed ~3.47e9 — exactly the id range a 100 TB corpus
+    reaches. With the (doc_id % 1000003) premod the pipeline must run
+    clean on ids straddling that threshold; values at current SFs are
+    unchanged (premod is the identity below 1000003, which the
+    capstone oracles re-verify)."""
+    from pyspark.sql import functions as F
+
+    from mobility_etl_spark.queries.corpus_prep import (
+        mixture_pack_curriculum,
+    )
+
+    s3 = spark.range(5_000_000_000, 5_000_000_400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        (F.col("id") % 400 + 60).cast("int").alias("n_tokens"),
+    )
+    out = mixture_pack_curriculum(spark, s3).collect()
+    assert len(out) > 0
+    assert sum(r.n_docs for r in out) > 0

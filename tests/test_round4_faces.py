@@ -320,3 +320,79 @@ def test_rag_oracle_constants_are_shared_with_bm25(spark):
     assert retrieval._TERMS is corpus_prep._BM25_TERMS
     assert retrieval._K1 == corpus_prep._K1
     assert retrieval._B == corpus_prep._B
+
+
+def test_bm25_fixed_point_margin_protects_ln_ulp(spark, sf_dir):
+    """r12 review: the bm25 oracle identity assumes FLOOR(contrib*1e9)
+    agrees across engines, but ln() is only ~1-ulp-reproducible
+    between JVM Math.log and libm — abs noise ~1e-15, i.e. ~1e-6 at
+    the 1e9 fixed-point scale. Gate: every contribution's distance to
+    its floor boundary must exceed that noise band by an order of
+    magnitude, the same margin discipline the semantic-dedup stage
+    documents. If a future corpus/term-set lands a contribution within
+    1e-5 of an integer, this fails loudly instead of letting the hash
+    gate flap."""
+    from pyspark.sql import functions as F
+
+    from mobility_etl_spark.io import load_table
+    from mobility_etl_spark.queries.corpus_prep import _BM25_TERMS
+
+    from pyspark.sql import Window
+
+    from mobility_etl_spark.queries.corpus_prep import _B, _K1
+
+    docs = load_table(spark, sf_dir, "documents")
+    # re-derive the pre-floor contributions (bm25_scores floors
+    # per-term then sums, so the boundary risk is per (doc, term))
+
+    toks = F.split(F.col("text"), " ")
+    t = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    stats = t.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    terms_df = spark.createDataFrame(
+        [(x,) for x in _BM25_TERMS], "term string"
+    )
+    tf = (
+        t.crossJoin(F.broadcast(terms_df))
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(F.filter("toks", lambda x: x == F.col("term")))
+            .cast("double")
+            .alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+        .withColumn(
+            "df_t", F.count("*").over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c9",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+                )
+            )
+            * 1e9,
+        )
+    )
+    min_margin = tf.select(
+        F.min(F.least(F.col("c9") - F.floor("c9"),
+                      1.0 - (F.col("c9") - F.floor("c9")))).alias("m")
+    ).first()["m"]
+    assert min_margin is not None and min_margin > 1e-5, (
+        f"bm25 contribution within {min_margin} of a floor boundary — "
+        "1-ulp ln() disagreement could flip the fixed-point hash"
+    )
