@@ -40,6 +40,15 @@ def connected_components(
     ``nodes``: one row per node (isolated nodes become their own
     component). ``edges``: undirected pairs (each pair listed once is
     enough). Returns ``(node_col, component)``.
+
+    Convergence is VERIFIED, never assumed: min-label propagation
+    needs as many rounds as the longest label-distance in a
+    component, and a transitive near-dup chain can exceed any fixed
+    bound — returning silently at ``max_iter`` (the pre-r12 behavior)
+    handed unconverged labels to callers whose oracles compute the
+    exact closure, splitting one true component into several
+    "canonical" survivors with wrong keep/drop decisions. Exhausting
+    ``max_iter`` without reaching the fixpoint now raises.
     """
     sym = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -63,10 +72,15 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:  # labels are monotone non-increasing
-            break
+            return labels.withColumnRenamed("node", node_col)
         prev_sum = cur_sum
 
-    return labels.withColumnRenamed("node", node_col)
+    raise RuntimeError(
+        f"connected_components: no fixpoint within max_iter={max_iter} "
+        "rounds — labels are still propagating (a component's label "
+        "distance exceeds the bound); raise max_iter rather than "
+        "accept unconverged components"
+    )
 
 
 def bfs_distances(

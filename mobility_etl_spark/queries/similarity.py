@@ -43,25 +43,8 @@ def _rawcos_sql(a: str, b: str) -> str:
     scored AS (
         SELECT q.vec_id AS query_id,
                c.vec_id AS neighbor_id,
-               FLOOR((
-                 (CAST((SELECT SUM(CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)
-                                        * CAST(c.embedding[i] AS DOUBLE)
-                                        * 1000000.0) AS BIGINT))
-                       FROM UNNEST(generate_series(1, len(q.embedding)))
-                           AS g(i)) AS DOUBLE) / 1000000.0)
-                 / sqrt(
-                     (CAST((SELECT SUM(CAST(FLOOR(CAST(q.embedding[i] AS DOUBLE)
-                                        * CAST(q.embedding[i] AS DOUBLE)
-                                        * 1000000.0) AS BIGINT))
-                       FROM UNNEST(generate_series(1, len(q.embedding)))
-                           AS g(i)) AS DOUBLE) / 1000000.0)
-                     *
-                     (CAST((SELECT SUM(CAST(FLOOR(CAST(c.embedding[i] AS DOUBLE)
-                                        * CAST(c.embedding[i] AS DOUBLE)
-                                        * 1000000.0) AS BIGINT))
-                       FROM UNNEST(generate_series(1, len(c.embedding)))
-                           AS g(i)) AS DOUBLE) / 1000000.0)
-                   )) * 1000000.0) / 1000000.0 AS cos_sim
+               FLOOR(({_rawcos_sql("q.embedding", "c.embedding")})
+                     * 1000000.0) / 1000000.0 AS cos_sim
         FROM q, embeddings c
         WHERE q.vec_id != c.vec_id
     )
@@ -250,25 +233,8 @@ _NDUP_MAX_ID = 300
     pairs AS (
         SELECT a.vec_id AS a_id,
                b.vec_id AS b_id,
-               FLOOR((
-                 (CAST((SELECT SUM(CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE)
-                                        * CAST(b.embedding[i] AS DOUBLE)
-                                        * 1000000.0) AS BIGINT))
-                       FROM UNNEST(generate_series(1, len(a.embedding)))
-                           AS g(i)) AS DOUBLE) / 1000000.0)
-                 / sqrt(
-                     (CAST((SELECT SUM(CAST(FLOOR(CAST(a.embedding[i] AS DOUBLE)
-                                        * CAST(a.embedding[i] AS DOUBLE)
-                                        * 1000000.0) AS BIGINT))
-                       FROM UNNEST(generate_series(1, len(a.embedding)))
-                           AS g(i)) AS DOUBLE) / 1000000.0)
-                     *
-                     (CAST((SELECT SUM(CAST(FLOOR(CAST(b.embedding[i] AS DOUBLE)
-                                        * CAST(b.embedding[i] AS DOUBLE)
-                                        * 1000000.0) AS BIGINT))
-                       FROM UNNEST(generate_series(1, len(b.embedding)))
-                           AS g(i)) AS DOUBLE) / 1000000.0)
-                   )) * 1000000.0) / 1000000.0 AS cos_sim
+               FLOOR(({_rawcos_sql("a.embedding", "b.embedding")})
+                     * 1000000.0) / 1000000.0 AS cos_sim
         FROM sub a, sub b
         WHERE a.vec_id < b.vec_id
     )
@@ -872,9 +838,12 @@ def neardup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py: survivors+dropped partition the corpus,
     every cluster keeps exactly its minimum member, and kept-set
     equals a driver-side union-find replay over the same pairs.
-    Rows-only driver check (LSH candidates are recall-bounded). Scale:
+    EXACT-oracle checked since r11 (the registration above carries a
+    full recursive-transitive-closure DuckDB replay — an earlier
+    draft of this docstring still said rows-only; r12 review). Scale:
     the pair graph is bucket-bounded (never corpus²), components is
-    the bounded-iteration label propagation, the survivor choice one
+    fixpoint-VERIFIED label propagation (raises rather than return
+    unconverged labels — r12), the survivor choice one
     min-aggregate."""
     from mobility_etl_spark.operators.components import (
         connected_components,
@@ -911,6 +880,21 @@ def neardup_canonical_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_STORE_CACHE: dict[str, str] = {}
 
 
+def _tmp_store_dir(prefix: str) -> str:
+    """A per-process scratch dir whose removal is REGISTERED at
+    creation: the stored-IVF/pruned-probe faces write a corpus-sized
+    copy per process, and without cleanup repeated sweeps accumulate
+    orphaned gigabytes under /tmp until unrelated jobs hit ENOSPC
+    (r12 review)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 @register(
     "vector_ivf_stored_probe",
     oracle=_IVF_TOPK_ORACLE,
@@ -944,9 +928,7 @@ def vector_ivf_stored_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store = _IVF_STORE_CACHE.get(sf_dir)
     if store is None:
-        import tempfile
-
-        store = tempfile.mkdtemp(prefix="ivf_store_") + "/cells"
+        store = _tmp_store_dir("ivf_store_") + "/cells"
         ivf_store(emb, centroids, store)
         _IVF_STORE_CACHE[sf_dir] = store
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
@@ -1011,7 +993,7 @@ def vector_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         emb = load_table(spark, sf_dir, "embeddings")
         cents = train_kmeans_centroids(emb, n_cells=16)
-        root = tempfile.mkdtemp(prefix="pruned_probe_")
+        root = _tmp_store_dir("pruned_probe_")
         path = os.path.join(root, "embindex")
         spark.createDataFrame(
             [], "vec_id long, embedding array<float>, cell int, ccos double"
@@ -1384,8 +1366,15 @@ def vector_semdedup_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     what lets the semantic-dedup family register a strict DuckDB
     oracle (vector_semantic_dedup stays as the float SemDeDup
     deployment shape with its numpy gate and corpus-scaled k). Plan
-    shape: the in-cluster candidate join is bounded by Σ|cluster|²,
-    never corpus² — the SemDeDup point."""
+    shape: the in-cluster candidate join is Σ|cluster|² with a FIXED
+    k (8) — at a fixed quantizer width that is Θ(n²/k), so this
+    face is the EXACTNESS demonstration, not the scale path; the
+    deployment path is vector_semantic_dedup, whose _semdedup_k
+    scales the cluster count with the corpus precisely so Σ|cluster|²
+    stays bounded (r12 review corrected an overstated claim here —
+    scaling k inside this face's recursive-CTE oracle would require a
+    corpus-dependent literal in two duplicated CTE chains and was
+    judged oracle-destabilizing for no coverage gain)."""
     from mobility_etl_spark.operators.linalg import kmeans_fixedpoint
 
     corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
