@@ -23,8 +23,8 @@ from mobility_etl_spark.io import load_table
 from mobility_etl_spark.registry import register
 from mobility_etl_spark.streaming.jobs import (
     dedup_stream,
+    drain_available_now,
     events_file_stream,
-    run_available_now,
     sliding_agg,
     stateful_user_totals,
     stream_stream_join,
@@ -53,8 +53,8 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
     result = tumbling_hourly_agg(stream)
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        run_available_now(result, name, ckpt)
-    return spark.table(name)
+        out = drain_available_now(result, name, ckpt)
+    return out
 
 
 @register(
@@ -83,8 +83,8 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
     result = sliding_agg(stream, "1 hour", "15 minutes")
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        run_available_now(result, name, ckpt)
-    return spark.table(name)
+        out = drain_available_now(result, name, ckpt)
+    return out
 
 
 @register(
@@ -104,7 +104,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     land each logical row exactly once, matching the oracle's count
     over the single original copy."""
     landing = tempfile.mkdtemp(prefix="mes_replay_")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+    raw = load_table(spark, sf_dir, "events").filter(
         F.col("event_id") < 2000
     )
     raw.write.mode("overwrite").parquet(landing)
@@ -113,9 +113,9 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sdr_{uuid.uuid4().hex[:12]}"
     deduped = dedup_stream(events_file_stream(spark, landing))
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        run_available_now(deduped, name, ckpt, output_mode="append")
+        out = drain_available_now(deduped, name, ckpt, output_mode="append")
     return (
-        spark.table(name)
+        out
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
     )
@@ -139,7 +139,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state genuinely carries between batches; the final state per user
     must equal the batch GROUP BY."""
     landing = tempfile.mkdtemp(prefix="mes_state_")
-    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+    load_table(spark, sf_dir, "events").repartition(4).write.mode(
         "overwrite"
     ).parquet(landing)
 
@@ -149,8 +149,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = stateful_user_totals(stream)
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        run_available_now(result, name, ckpt, output_mode="update")
-    sink = spark.table(name)
+        sink = drain_available_now(result, name, ckpt, output_mode="update")
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -165,17 +164,23 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_session_window",
     oracle="""
     WITH o AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
         FROM events
     ),
     s AS (
         SELECT user_id, ts,
+               -- cumsum ordered by the SAME (ts, event_id) total order
+               -- as the lag above: ordering by (ts, prev_ts) put a
+               -- first-row NULL prev_ts AFTER its tied sibling and
+               -- mis-split a session on duplicate timestamps (latent
+               -- on current data, live on a second-granularity regen
+               -- -- r12 review)
                SUM(CASE WHEN prev_ts IS NULL
                           OR ts - prev_ts > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts, prev_ts
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS session_id
         FROM o
     )
@@ -203,8 +208,8 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
     result = session_agg(stream, gap="30 minutes")
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        run_available_now(result, name, ckpt)
-    return spark.table(name).select(
+        out = drain_available_now(result, name, ckpt)
+    return out.select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         "n_events",
@@ -235,8 +240,8 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
     result = stream_stream_join(stream)
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        run_available_now(result, name, ckpt, output_mode="append")
-    return spark.table(name)
+        out = drain_available_now(result, name, ckpt, output_mode="append")
+    return out
 
 
 @register(
@@ -291,8 +296,8 @@ def streaming_stream_stream_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = events_file_stream(spark, f"{sf_dir}/events.parquet")
     result = stream_stream_join(stream, how="left_outer")
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        run_available_now(result, name, ckpt, output_mode="append")
-    return spark.table(name)
+        out = drain_available_now(result, name, ckpt, output_mode="append")
+    return out
 
 
 @register(
@@ -331,8 +336,8 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp_ntz").alias("ts"),
     )
     with tempfile.TemporaryDirectory(prefix="ckpt_") as ckpt:
-        run_available_now(enriched, name, ckpt, output_mode="append")
-    return spark.table(name)
+        out = drain_available_now(enriched, name, ckpt, output_mode="append")
+    return out
 
 
 @register(
@@ -360,10 +365,11 @@ def streaming_pyds_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
         FakeWeatherDataSource,
     )
 
-    try:
-        spark.dataSource.register(FakeWeatherDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # unconditional, like the snapshot-source faces: duplicate
+    # registration does not raise, and a guard here would only hide a
+    # genuine registration failure until a less-diagnostic
+    # format-not-found at .load() (r12 review)
+    spark.dataSource.register(FakeWeatherDataSource)
     name = f"spw_{uuid.uuid4().hex[:12]}"
     stream = (
         spark.readStream.format(WEATHER_SOURCE_NAME)
@@ -380,8 +386,11 @@ def streaming_pyds_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.processAllAvailable()
         q.stop()
+    drained = spark.table(name)
+    out = spark.createDataFrame(drained.collect(), drained.schema)
+    spark.catalog.dropTempView(name)  # memory sinks outlive the face
     return (
-        spark.table(name)
+        out
         .groupBy("station_id")
         .agg(
             F.count("*").alias("n_obs"),
@@ -568,7 +577,11 @@ def run_near_dup_stream(
     written in stream order), returning the decisions table. With
     ``index_snapshots`` the index lives in a manifest-committed
     snapshot table that the stream compacts+vacuums whenever the tip
-    exceeds ``compact_every`` files (pass ``root`` to inspect it)."""
+    exceeds ``compact_every`` files (pass ``root`` to inspect it).
+    Returns the decisions DIRECTORY (not a DataFrame): callers cache
+    the path and re-read with their own session — a cached DataFrame
+    is bound to the session that built it and throws after a session
+    swap (r12 review)."""
     import os
 
     from mobility_etl_spark.streaming.jobs import (
@@ -607,7 +620,7 @@ def run_near_dup_stream(
         index_snapshots=index_snapshots,
         compact_every=compact_every,
     )
-    return spark.read.parquet(decisions)
+    return decisions
 
 
 def _ndup_stream_oracle() -> str:
@@ -784,21 +797,21 @@ def streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the STREAM made exactly the decisions the greedy spec
     defines. Batch-side sequential-replay parity stays gated in
     tests/test_streaming.py."""
-    out = _NDUP_STREAM_CACHE.get(sf_dir)
-    if out is None:
-        dec = run_near_dup_stream(
+    dec_dir = _NDUP_STREAM_CACHE.get(sf_dir)
+    if dec_dir is None:
+        dec_dir = run_near_dup_stream(
             spark,
             sf_dir,
             [(300, 400), (400, 100000), (100000, 200000), (200000, 300000)],
         )
-        _NDUP_STREAM_CACHE[sf_dir] = dec
-        out = dec
-    return out.orderBy("vec_id")
+        _NDUP_STREAM_CACHE[sf_dir] = dec_dir
+    return spark.read.parquet(dec_dir).orderBy("vec_id")
 
 
-#: Per-process cache: sf_dir -> (decisions DF, run root) for the
-#: snapshot-indexed streaming near-dup face.
-_NDUP_SNAP_CACHE: dict[str, tuple[DataFrame, str]] = {}
+#: Per-process cache: sf_dir -> (decisions dir, run root) for the
+#: snapshot-indexed streaming near-dup face — PATHS, not DataFrames:
+#: a cached DataFrame is bound to the building session (r12 review).
+_NDUP_SNAP_CACHE: dict[str, tuple[str, str]] = {}
 
 
 @register(
@@ -829,7 +842,7 @@ def streaming_near_dup_compacted(
     cached = _NDUP_SNAP_CACHE.get(sf_dir)
     if cached is None:
         root = tempfile.mkdtemp(prefix="ndup_snap_")
-        dec = run_near_dup_stream(
+        dec_dir = run_near_dup_stream(
             spark,
             sf_dir,
             [(300, 400), (400, 100000), (100000, 200000), (200000, 300000)],
@@ -837,9 +850,9 @@ def streaming_near_dup_compacted(
             index_snapshots=True,
             compact_every=2,  # r10: chunk appends are single-file now
         )
-        _NDUP_SNAP_CACHE[sf_dir] = (dec, root)
-        cached = (dec, root)
-    return cached[0].orderBy("vec_id")
+        _NDUP_SNAP_CACHE[sf_dir] = (dec_dir, root)
+        cached = (dec_dir, root)
+    return spark.read.parquet(cached[0]).orderBy("vec_id")
 
 
 #: Per-process cache: sf_dir -> catalog root for the streaming
@@ -886,6 +899,7 @@ def run_index_maintenance_stream(spark: SparkSession, sf_dir: str) -> str:
     )
     from mobility_etl_spark.streaming.jobs import (
         corpus_index_stream_maintain,
+        index_postings,
     )
 
     root = tempfile.mkdtemp(prefix="idx_stream_")
@@ -895,18 +909,10 @@ def run_index_maintenance_stream(spark: SparkSession, sf_dir: str) -> str:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def postings(df):
-        tok = df.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
-        ).filter(F.length("token") > 0)
-        return tok.groupBy("token", "doc_id").agg(
-            F.count("*").cast("long").alias("tf")
-        )
-
     v1 = docs.filter(F.col("doc_id") % 13 != 0)
     v1.write.parquet(corpus_p)
     cv = commit_snapshot(spark, corpus_p, note="v1")
-    postings(v1).write.parquet(index_p)
+    index_postings(v1).write.parquet(index_p)
     iv = commit_snapshot(spark, index_p, note="v1")
     commit_catalog(
         root, {"corpus": (corpus_p, cv), "index": (index_p, iv)}, note="v1"
@@ -979,7 +985,7 @@ def streaming_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Per-process cache: sf_dir -> (table root, collected per-lang rows).
+#: Per-process cache: sf_dir -> fixture table root.
 _SNAP_SRC_CACHE: dict[str, str] = {}
 
 
@@ -1121,7 +1127,10 @@ def streaming_snapshot_source_agg(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    drained = spark.table(name)
+    out = spark.createDataFrame(drained.collect(), drained.schema)
+    spark.catalog.dropTempView(name)  # memory sinks outlive the face
+    return out
 
 
 _SNAP_SRC_COMPACT_CACHE: dict[str, str] = {}

@@ -335,6 +335,28 @@ def run_available_now(
     q.awaitTermination()
 
 
+def drain_available_now(
+    result: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """:func:`run_available_now`, then hand back the drained rows as a
+    SELF-CONTAINED local DataFrame and DROP the memory-sink temp view.
+    Memory-sink tables live in the JVM for the session's lifetime —
+    uuid-named per invocation, they accumulated one full drained
+    result per face call (bench's median-of-3 reruns each face several
+    times; r12 review). Every memory-sink face drains a BOUNDED
+    result (windowed aggregates / small joins), so the collect +
+    createDataFrame round-trip is control-plane sized."""
+    spark = result.sparkSession
+    run_available_now(result, query_name, checkpoint_dir, output_mode)
+    drained = spark.table(query_name)
+    out = spark.createDataFrame(drained.collect(), drained.schema)
+    spark.catalog.dropTempView(query_name)
+    return out
+
+
 def write_stream_idempotent(
     result: DataFrame,
     path: str,
@@ -996,6 +1018,20 @@ def _publish_single_parquet(df: DataFrame, target) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def index_postings(docs: DataFrame) -> DataFrame:
+    """The ONE tokenize->postings spelling shared by the v1 index
+    build (queries/streaming.py:run_index_maintenance_stream) and the
+    per-batch delta here — two token-for-token copies used to exist,
+    and a rule change applied to one would silently diverge the
+    maintained index from its own baseline (r12 review)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    return tok.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
 def corpus_index_stream_maintain(
     spark: SparkSession,
     feed: DataFrame,
@@ -1041,14 +1077,6 @@ def corpus_index_stream_maintain(
         read_catalog_table,
     )
 
-    def postings(docs: DataFrame) -> DataFrame:
-        tok = docs.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
-        ).filter(F.length("token") > 0)
-        return tok.groupBy("token", "doc_id").agg(
-            F.count("*").cast("long").alias("tf")
-        )
-
     def _apply(batch_df: DataFrame, _epoch: int) -> None:
         if not batch_df.take(1):
             return
@@ -1087,7 +1115,7 @@ def corpus_index_stream_maintain(
         )
         new_index = (
             index.join(keys, "doc_id", "left_anti")
-            .unionByName(postings(upserts))
+            .unionByName(index_postings(upserts))
             .select("token", "doc_id", "tf")
         )
         # land the new state as fresh files; manifests list ONLY them

@@ -627,8 +627,11 @@ def test_near_dup_stream_invariant_to_batch_boundaries(spark, sf_dir):
     mean the probe pool and the intra-batch chain disagree)."""
     from mobility_etl_spark.queries.streaming import run_near_dup_stream
 
-    one = run_near_dup_stream(spark, sf_dir, [(300, 300000)])
-    many = run_near_dup_stream(
+    # run_near_dup_stream returns the decisions DIR since r12
+    one = spark.read.parquet(
+        run_near_dup_stream(spark, sf_dir, [(300, 300000)])
+    )
+    many_dir = run_near_dup_stream(
         spark,
         sf_dir,
         [
@@ -637,6 +640,7 @@ def test_near_dup_stream_invariant_to_batch_boundaries(spark, sf_dir):
             (200000, 200330), (200330, 300000),
         ],
     )
+    many = spark.read.parquet(many_dir)
     assert sorted(map(tuple, one.collect())) == sorted(
         map(tuple, many.collect())
     )
@@ -685,9 +689,10 @@ def test_near_dup_stream_matches_batch_sequential_replay(spark, sf_dir):
             expected.append((i, 1, None, None))
 
     got = sorted(
-        map(tuple, run_near_dup_stream(spark, sf_dir, [(300, 100000),
-                                                       (100000, 300000)])
-            .collect())
+        map(tuple, spark.read.parquet(
+            run_near_dup_stream(spark, sf_dir, [(300, 100000),
+                                                (100000, 300000)])
+        ).collect())
     )
     assert got == sorted(expected)
     by_id = dict((t[0], t) for t in got)
@@ -870,11 +875,11 @@ def test_near_dup_snapshot_index_compacts_without_changing_decisions(
     # (the small-files fix the stress run motivated), so only batches
     # with acceptees grow the tip — the dup-only batches append nothing
     # and a budget of 4 would never be exceeded in this fixture
-    snap = run_near_dup_stream(
+    snap = spark.read.parquet(run_near_dup_stream(
         spark, sf_dir, chunks, root=root, index_snapshots=True,
         compact_every=2,
-    )
-    raw = run_near_dup_stream(spark, sf_dir, chunks)
+    ))
+    raw = spark.read.parquet(run_near_dup_stream(spark, sf_dir, chunks))
     got = sorted(map(tuple, snap.collect()))
     assert got == sorted(map(tuple, raw.collect()))
 
