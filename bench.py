@@ -35,16 +35,43 @@ CORE8: tuple[str, ...] = (
 #: Pipeline-family headliners added in r11 (VERDICT r10 #6): the batch
 #: and STREAMING pretraining capstones, the incremental change-feed
 #: rollup, and banded MinHash — previously only tracked in
-#: BENCH_PIPELINE.json, now graded round-over-round. They run ONE cold
-#: timed pass (no warm-up double-run: the capstones execute real
-#: streams/state machinery whose cold cost IS the number; JVM/codegen
-#: warm-up has already happened on the core set).
+#: BENCH_PIPELINE.json, now graded round-over-round. r13 protocol
+#: (VERDICT r12 #2): they run THREE cold passes each — per-process
+#: state caches are cleared between passes so every pass re-runs the
+#: full stream/state machinery from scratch — and report the median,
+#: with [min, max] in ``spread``. Single cold passes cost two rounds
+#: of noise adjudication (minhash 1.851→2.850 driver vs 2.20 judge).
 PIPELINE_HEADLINE: tuple[str, ...] = (
     "pipeline_pretraining_full",
     "pipeline_pretraining_stream",
     "snapshot_change_feed_ivm",
     "minhash_near_dup",
 )
+
+
+def reset_state_caches() -> None:
+    """Clear every per-process memo that would turn a repeat pass WARM
+    (stream roots, stored-IVF layouts, snapshot catalogs): each timed
+    pass must rebuild its state tables from scratch or the median
+    reports replay-short-circuit time, not the pipeline."""
+    import importlib
+
+    for mod_name, attrs in (
+        ("mobility_etl_spark.queries.corpus_prep", ("_STREAM_FULL_CACHE",)),
+        ("mobility_etl_spark.queries.dataops",
+         ("_CATALOG_CACHE", "_CONCURRENT_CAT_CACHE")),
+        ("mobility_etl_spark.queries.scale_ops",
+         ("_SNAP_CI_CACHE", "_SNAP_PR_CACHE")),
+        ("mobility_etl_spark.queries.similarity",
+         ("_IVF_STORE_CACHE", "_PRUNED_PROBE_CACHE")),
+        ("mobility_etl_spark.queries.sketch_graph",
+         ("_THETA_STREAM_CACHE",)),
+        ("mobility_etl_spark.queries.streaming",
+         ("_CDC_STATE_CACHE", "_NDUP_STREAM_CACHE")),
+    ):
+        mod = importlib.import_module(mod_name)
+        for attr in attrs:
+            getattr(mod, attr).clear()
 
 #: Headline queries: one per major operator family (SURVEY.md §2).
 HEADLINE: tuple[str, ...] = CORE8 + PIPELINE_HEADLINE
@@ -103,9 +130,10 @@ def timing_line(
     spread: dict[str, list[float]] | None = None,
 ) -> str:
     """The ONE stdout JSON line the driver parses. Keep it compact:
-    no plans, no nested bulk — those go to PLANS_BENCH.json. r12
-    protocol change (VERDICT r11 #3): CORE8 values are the median of
-    3 in-session passes; ``spread`` carries per-query [min, max]."""
+    no plans, no nested bulk — those go to PLANS_BENCH.json. r13
+    protocol (VERDICT r12 #2): every headliner is the median of 3
+    in-session passes — warm for CORE8, COLD (state caches reset) for
+    the pipeline family; ``spread`` carries per-query [min, max]."""
     out = {
         "metric": "headline_queries_wall_clock",
         "value": round(total, 3),
@@ -115,7 +143,7 @@ def timing_line(
             sum(timings.get(n, 0.0) for n in CORE8), 3
         ),
         "sf": sf,
-        "protocol": "core8_median_of_3",
+        "protocol": "median_of_3_all",
     }
     if spread:
         out["spread"] = spread
@@ -160,18 +188,22 @@ def main() -> None:
     # CORE8 protocol (r12, VERDICT r11 #3): median of 3 timed passes
     # per query within the session, so a single host-noise spike (the
     # ±50% single-run swings every verdict since r8 had to adjudicate)
-    # no longer pollutes the round-over-round comparison. `spread`
-    # carries per-query [min, max] so noise stays visible without
-    # being graded. Pipeline headliners remain cold single-pass by
-    # design (their cold cost IS the number).
+    # no longer pollutes the round-over-round comparison. Pipeline
+    # headliners (r13, VERDICT r12 #2): median of 3 COLD passes —
+    # reset_state_caches() runs before each so the pass rebuilds its
+    # stream roots/state tables from scratch instead of replaying.
+    # `spread` carries per-query [min, max] for ALL 12 headliners so
+    # noise stays visible without being graded.
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     plans: dict[str, dict] = {}
     total = 0.0
     for name in names:
-        n_reps = 1 if name in PIPELINE_HEADLINE else 3
+        cold = name in PIPELINE_HEADLINE
         reps: list[float] = []
-        for _ in range(n_reps):
+        for _ in range(3):
+            if cold:
+                reset_state_caches()
             start = time.perf_counter()
             df = specs[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -179,8 +211,7 @@ def main() -> None:
         reps.sort()
         elapsed = reps[len(reps) // 2]
         timings[name] = round(elapsed, 3)
-        if n_reps > 1:
-            spread[name] = [round(reps[0], 3), round(reps[-1], 3)]
+        spread[name] = [round(reps[0], 3), round(reps[-1], 3)]
         total += elapsed
         plans[name] = plan_signature(specs[name].builder(spark, sf_dir))
 

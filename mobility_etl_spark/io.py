@@ -339,12 +339,20 @@ def compact_partitions(
                     ],
                 },
             )
-            trash_root.mkdir(parents=True, exist_ok=True)
-            for old in files:
-                old.rename(trash_root / f"{token}-{old.name}")
-            for i, st in enumerate(staged):
-                st.rename(root / f"compacted-{token}-{i:05d}.parquet")
-            shutil.rmtree(stage, ignore_errors=True)
+            try:
+                trash_root.mkdir(parents=True, exist_ok=True)
+                for old in files:
+                    old.rename(trash_root / f"{token}-{old.name}")
+                for i, st in enumerate(staged):
+                    st.rename(root / f"compacted-{token}-{i:05d}.parquet")
+                shutil.rmtree(stage, ignore_errors=True)
+            finally:
+                # On an exception the on-disk marker must SURVIVE for
+                # the recovery pass, but the in-process registry entry
+                # must not — or this process would treat its own
+                # aborted swap as live until the staleness window.
+                with _intent_lock():
+                    _INTENT_ACTIVE.discard(token)
             _clear_intent(root, token)
             for old in files:  # this token's trash only
                 (trash_root / f"{token}-{old.name}").unlink(
@@ -361,10 +369,14 @@ def compact_partitions(
                 token,
                 {"mode": "dir", "leaf": str(rel)},
             )
-            aside = trash_root / rel / token
-            aside.parent.mkdir(parents=True, exist_ok=True)
-            leaf.rename(aside)
-            stage.rename(leaf)
+            try:
+                aside = trash_root / rel / token
+                aside.parent.mkdir(parents=True, exist_ok=True)
+                leaf.rename(aside)
+                stage.rename(leaf)
+            finally:
+                with _intent_lock():
+                    _INTENT_ACTIVE.discard(token)
             _clear_intent(root, token)
             shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(stage_root, ignore_errors=True)
@@ -374,25 +386,57 @@ def compact_partitions(
 
 _INTENT_DIR = ".compaction_intent"
 
+# Markers older than this are recovered regardless of holder-PID
+# liveness: os.kill(pid, 0) is defeated by PID reuse (an unrelated
+# process recycling the crashed holder's PID would otherwise pin the
+# partition mid-swap forever). Sized far above any real single-
+# partition compact (a Spark coalesce-write of one leaf), so a live
+# holder is never rolled back by a merely-slow stage.
+_INTENT_STALE_S = 900.0
+
+# Tokens published by THIS process that are still mid-swap. Lets
+# recovery distinguish a same-PID LIVE marker (another thread of this
+# process compacting the same table — leave alone) from a same-PID
+# crashed-call leftover (an earlier exception-aborted compact in this
+# process — recover). Guarded by _INTENT_ACTIVE_LOCK.
+_INTENT_ACTIVE: set = set()
+_INTENT_ACTIVE_LOCK = None  # created lazily to keep import light
+
+
+def _intent_lock():
+    global _INTENT_ACTIVE_LOCK
+    if _INTENT_ACTIVE_LOCK is None:
+        import threading
+
+        _INTENT_ACTIVE_LOCK = threading.Lock()
+    return _INTENT_ACTIVE_LOCK
+
 
 def _publish_intent(root: pathlib.Path, token: str, payload: dict) -> None:
     """Atomically publish a compaction intent marker (tmp + rename),
     the write-ahead record that makes the swap crash-recoverable. The
-    marker carries the holder's pid so recovery can tell a CRASHED
-    run (roll back) from a LIVE overlapping run (leave alone)."""
+    marker carries the holder's pid AND a wall-clock timestamp so
+    recovery can tell a CRASHED run (roll back) from a LIVE
+    overlapping run (leave alone) without trusting PID liveness
+    forever — see _recover_compaction."""
     import json
     import os
+    import time
 
     d = root / _INTENT_DIR
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".{token}.tmp"
-    payload = dict(payload, pid=os.getpid())
+    payload = dict(payload, pid=os.getpid(), ts=time.time())
     tmp.write_text(json.dumps(payload))
     os.replace(tmp, d / f"{token}.json")
+    with _intent_lock():
+        _INTENT_ACTIVE.add(token)
 
 
 def _clear_intent(root: pathlib.Path, token: str) -> None:
     (root / _INTENT_DIR / f"{token}.json").unlink(missing_ok=True)
+    with _intent_lock():
+        _INTENT_ACTIVE.discard(token)
 
 
 def _recover_compaction(
@@ -408,17 +452,34 @@ def _recover_compaction(
     reconstructs the original set regardless of where the crash
     landed. The rerun then re-compacts the healed partition normally.
 
-    A marker whose holder PID IS STILL ALIVE is an overlapping LIVE
+    A marker whose holder is STILL LIVE is an overlapping live
     compaction, not a crash — rolling back its half-finished renames
     would let both runs' outputs land (permanent row duplication), so
-    live markers are skipped untouched. Same-host scope: this is a
-    local-filesystem swap protocol by construction (directory
-    renames); cross-host coordination belongs to the manifest-commit
-    table layer (operators/snapshots.py).
+    live markers are skipped untouched. Liveness is decided in three
+    tiers, because os.kill(pid, 0) alone is defeated by PID reuse (an
+    unrelated process recycling the crashed holder's PID would pin
+    the partition mid-swap forever):
+
+    1. age > _INTENT_STALE_S → recover unconditionally. No real
+       single-leaf compact runs that long; a recycled PID can delay
+       recovery by at most the window, never block it.
+    2. same-PID marker → live iff its token is in this process's
+       _INTENT_ACTIVE registry (another THREAD mid-swap); an
+       exception-aborted earlier call in this same process leaves a
+       registered-nowhere marker that IS recovered (the old
+       unconditional same-PID rollback broke two threads of one
+       process compacting the same table).
+    3. other-PID marker within the window → trust os.kill liveness
+       (dead → recover; alive or other-uid → skip).
+
+    Same-host scope: this is a local-filesystem swap protocol by
+    construction (directory renames); cross-host coordination belongs
+    to the manifest-commit table layer (operators/snapshots.py).
     """
     import json
     import os
     import shutil
+    import time
 
     d = root / _INTENT_DIR
     if not d.is_dir():
@@ -427,14 +488,20 @@ def _recover_compaction(
         token = marker.stem
         intent = json.loads(marker.read_text())
         pid = intent.get("pid")
-        if pid is not None and pid != os.getpid():
-            try:
-                os.kill(pid, 0)
-                continue  # holder alive: a live run, not a crash
-            except ProcessLookupError:
-                pass  # holder dead: genuinely crashed, recover
-            except PermissionError:
-                continue  # alive under another uid: leave it alone
+        age = time.time() - intent.get("ts", 0.0)
+        if age <= _INTENT_STALE_S:
+            if pid == os.getpid():
+                with _intent_lock():
+                    if token in _INTENT_ACTIVE:
+                        continue  # a live thread of this process
+            elif pid is not None:
+                try:
+                    os.kill(pid, 0)
+                    continue  # holder alive: a live run, not a crash
+                except ProcessLookupError:
+                    pass  # holder dead: genuinely crashed, recover
+                except PermissionError:
+                    continue  # alive under another uid: leave it alone
         if intent["mode"] == "files":
             for name in intent["staged"]:
                 (root / name).unlink(missing_ok=True)

@@ -96,9 +96,27 @@ def salted_join(
     which rank cannot change the output multiset — any recomputation
     yields the same (row, salt) bag.
 
-    Columns must be hashable/groupable: MAP-typed columns are
-    rejected up front (Spark cannot group or hash them) — drop or
-    ``map_entries``-convert them before salting.
+    Columns must be hashable/groupable: MAP-typed columns — including
+    maps NESTED inside structs/arrays — are rejected up front (Spark
+    cannot group or hash them) — drop or ``map_entries``-convert them
+    before salting.
+
+    Cost and role: the groupBy-all-columns rank carries each DISTINCT
+    row's full payload through one Exchange — acceptable for the
+    skew-fallback role (the plain join shuffles the same bytes, and
+    map-side combine collapses the hot key's duplicates), but plain
+    AQE skew handling (``spark.sql.adaptive.skewJoin``, plan-gated by
+    the ``skewjoin_aqe_identity`` face) is the DEFAULT path;
+    ``salted_join`` is the last resort for keys AQE can't split (e.g.
+    skew materialized by a post-aggregation explosion, where AQE's
+    partition-splitting sees balanced map output).
+
+    Float semantics: the groupBy round-trip canonicalizes floating
+    values under Spark's grouping equality — ``-0.0`` normalizes to
+    ``0.0`` and distinct NaN bit patterns collapse to one canonical
+    NaN in the OUTPUT rows. Joins treat those values as equal anyway,
+    so match results are unchanged, but byte-level float identity of
+    pass-through columns is not preserved.
     """
     base = how.lower().replace("outer", "").strip("_")
     if base in ("right", "full"):
@@ -107,13 +125,20 @@ def salted_join(
             "of the non-salted side would emit one null-padded row PER "
             "SALT; salt the other side or use the plain join with AQE"
         )
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    maps = [
-        f.name
-        for f in skewed.schema.fields
-        if isinstance(f.dataType, MapType)
-    ]
+    def _has_map(dt) -> bool:
+        # recurse: a map nested in a struct/array still breaks
+        # groupBy/xxhash64, with an opaque Spark error if admitted
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    maps = [f.name for f in skewed.schema.fields if _has_map(f.dataType)]
     if maps:
         raise TypeError(
             f"salted_join: map-typed column(s) {maps} cannot be "

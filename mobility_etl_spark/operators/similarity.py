@@ -855,6 +855,7 @@ def exact_probe_blas(
     threshold: float,
     key_col: str = "doc_id",
     vec_col: str = "embedding",
+    precollected: tuple | None = None,
 ) -> DataFrame:
     """EXACT cosine probe of a bounded increment against a large
     corpus, distributed AND vectorized: the increment (a micro-batch —
@@ -873,8 +874,20 @@ def exact_probe_blas(
     float noise); parity is gated in tests/test_similarity.py.
     Returns (inc_id, corp_id) — corp rows within ``threshold`` cosine
     of an increment row, every (corp < inc) orientation decision left
-    to the caller."""
-    inc_ids, inc_m = _collect_normalized(increment, key_col, vec_col)
+    to the caller.
+
+    ``precollected`` — an already-materialized ``(ids, normalized
+    float64 matrix)`` pair as returned by :func:`_collect_normalized`
+    (or ``(None, None)`` for an empty increment) — skips this
+    function's own collect: a caller probing the same increment
+    several ways per micro-batch (the streaming capstone probes the
+    stored index AND intra-batch) collects ONCE instead of
+    re-executing the increment's join per probe (r13 profile)."""
+    inc_ids, inc_m = (
+        precollected
+        if precollected is not None
+        else _collect_normalized(increment, key_col, vec_col)
+    )
     if inc_ids is None:
         return (
             corpus.sparkSession.createDataFrame(
@@ -889,15 +902,24 @@ def exact_probe_blas(
 def _collect_normalized(increment: DataFrame, key_col: str, vec_col: str):
     """Collect a bounded increment once into (int64 ids, row-normalized
     float64 matrix); (None, None) when empty."""
-    import numpy as np
-
     inc_rows = increment.select(key_col, vec_col).collect()
     if not inc_rows:
         return None, None
-    inc_ids = np.array([r[key_col] for r in inc_rows], dtype=np.int64)
-    inc_m = np.stack(
-        [np.asarray(r[vec_col], dtype=np.float64) for r in inc_rows]
+    return normalize_pairs(
+        [r[key_col] for r in inc_rows], [r[vec_col] for r in inc_rows]
     )
+
+
+def normalize_pairs(ids, vecs):
+    """(int64 ids, row-normalized float64 matrix) from already-local
+    id/vector sequences — ONE spelling of the increment normalization
+    shared by :func:`_collect_normalized` and callers that collected
+    the rows themselves (the streaming capstone collects its batch
+    once and feeds every probe — r13)."""
+    import numpy as np
+
+    inc_ids = np.array(list(ids), dtype=np.int64)
+    inc_m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
     # zero-norm guard: dividing by 0 NaN-poisons the row and every
     # comparison against it is silently False — an all-zero embedding
     # would pass admission unchecked. Norm 1 keeps the row all-zero:
@@ -1202,6 +1224,7 @@ def exact_probe_blas_pruned(
     threshold: float,
     key_col: str = "doc_id",
     vec_col: str = "embedding",
+    precollected: tuple | None = None,
 ) -> DataFrame:
     """:func:`exact_probe_blas` against a SNAPSHOT-TABLE corpus with
     manifest-level cluster pruning: collect the increment once, skip
@@ -1219,12 +1242,19 @@ def exact_probe_blas_pruned(
     reachable files, FLOP cost the sum of reachable pairs. At 100 TB
     with clusterable embeddings this is the admission path's story:
     the stored-IVF layout plus manifest stats make the probe's cost
-    proportional to the CANDIDATE cluster pairs, not the index."""
+    proportional to the CANDIDATE cluster pairs, not the index.
+
+    ``precollected`` as in :func:`exact_probe_blas`: skip the collect
+    when the caller already materialized the increment once."""
     import pathlib
 
     import numpy as np
 
-    inc_ids, inc_m = _collect_normalized(increment, key_col, vec_col)
+    inc_ids, inc_m = (
+        precollected
+        if precollected is not None
+        else _collect_normalized(increment, key_col, vec_col)
+    )
     if inc_ids is None:
         return spark.createDataFrame([], "inc_id long, corp_id long")
     cents = np.ascontiguousarray(centroids, dtype=np.float64)

@@ -314,12 +314,28 @@ def commit_snapshot_update(
                 nbytes = sum(
                     (root / f).stat().st_size for f in new_files
                 )
-            except FileNotFoundError:
-                # a tip file vanished under us (concurrent compaction
-                # + vacuum reclaimed it): the tip we read is already
-                # stale — reapply against the fresh one instead of
-                # aborting a retryable commit (and leaking the
-                # caller's staged files)
+            except FileNotFoundError as exc:
+                # A vanished TIP file means the tip we read is already
+                # stale (concurrent compaction + vacuum reclaimed it):
+                # reapply against the fresh one. But a vanished file
+                # from the update's own NEWLY-ADDED set (staged file
+                # reclaimed by a racing vacuum, or a bad name returned
+                # by update_fn) fails identically on every retry —
+                # re-raise instead of burning 100 tip-reads and
+                # masking it as "lost 100 consecutive commit races".
+                tip_set = set(tip_files)
+                not_from_tip = [
+                    f
+                    for f in new_files
+                    if f not in tip_set and not (root / f).exists()
+                ]
+                if not_from_tip:
+                    raise FileNotFoundError(
+                        f"commit_snapshot_update: update_fn returned "
+                        f"file(s) that do not exist in {table_path} "
+                        f"and were not part of the tip (unretryable): "
+                        f"{not_from_tip}"
+                    ) from exc
                 continue
             version = (versions or [0])[-1] + 1
             manifest = {

@@ -206,6 +206,92 @@ def _publish_manifest(path: str, name: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(path, name))  # atomic publish
 
 
+_LOCK_STALE_S = 60.0
+
+# Seam for tests: the staleness stat inside _acquire_ledger_lock. The
+# fresh-lock-steal protection (inode verify + link-restore) is a
+# nanosecond-window interleave that cannot be driven from outside;
+# tests monkeypatch this to make the waiter observe a lying stat.
+_lock_stat = None  # None → os.stat
+
+
+def _acquire_ledger_lock(lock: str, stale_s: float = _LOCK_STALE_S) -> int:
+    """Acquire an O_EXCL lockfile, stealing locks older than
+    ``stale_s``. Returns the open fd (close via _release_ledger_lock).
+
+    The steal is an atomic rename to a per-stealer name — exactly one
+    waiter wins; losers get FileNotFoundError and loop. The rename
+    alone has a stat-then-rename TOCTOU: between this waiter's
+    staleness stat and its rename, another stealer can remove the
+    stale lock and a NEW holder can recreate a fresh one — the rename
+    would then claim the fresh lock and the unlink would release it
+    while its holder is inside the critical section. Closed by
+    recording the inode from the staleness stat and verifying the
+    STOLEN file carries that inode; on mismatch (fresh lock stolen)
+    the file is restored under its original name via os.link — which,
+    unlike rename-back, cannot clobber a lock an even-newer holder
+    created in the absence window — and the waiter retries.
+    """
+    import os
+    import time
+    import uuid as _uuid
+
+    stat = _lock_stat or os.stat
+    fd = None
+    deadline = time.monotonic() + stale_s + 30.0
+    while time.monotonic() < deadline:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            return fd
+        except FileExistsError:
+            try:
+                st = stat(lock)
+            except FileNotFoundError:
+                continue  # holder released between open and stat
+            if time.time() - st.st_mtime > stale_s:
+                steal = f"{lock}.steal-{os.getpid()}-{_uuid.uuid4().hex}"
+                try:
+                    os.rename(lock, steal)  # atomic: one winner
+                except FileNotFoundError:
+                    continue  # another stealer won; race for O_EXCL
+                if os.stat(steal).st_ino != st.st_ino:
+                    # Stole a FRESH lock recreated after another
+                    # stealer removed the stale one: put it back
+                    # (FileExistsError = an even-newer lock occupies
+                    # the name; the microsecond interleave is then
+                    # unrecoverable — vs. the old unconditional unlink
+                    # that released EVERY fresh lock it caught).
+                    try:
+                        os.link(steal, lock)
+                    except FileExistsError:
+                        pass
+                    os.unlink(steal)
+                    time.sleep(0.05)
+                    continue
+                os.unlink(steal)
+                continue
+            time.sleep(0.05)
+    raise TimeoutError(
+        f"could not acquire {lock} — a concurrent holder is wedged"
+    )
+
+
+def _release_ledger_lock(lock: str, fd: int) -> None:
+    """Release ONLY if the lock on disk is still OURS: a holder that
+    stalled past the staleness window may have had its lock stolen —
+    blindly unlinking would delete the STEALER's fresh lock and reopen
+    the concurrent read-modify-write. Inode equality (same fs) proves
+    ownership; a stolen lock is simply left to its new holder."""
+    import os
+
+    try:
+        if os.stat(lock).st_ino == os.fstat(fd).st_ino:
+            os.unlink(lock)
+    except FileNotFoundError:
+        pass
+    os.close(fd)
+
+
 class LedgerWriter(DataSourceWriter):
     """Two-phase-commit JSON-lines sink (Spark 4 Python DataSource
     writer API) — the engine-native form of the reference's
@@ -230,8 +316,6 @@ class LedgerWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json
         import os
-        import time
-        import uuid as _uuid
 
         new_files = sorted(m.filename for m in messages if m is not None)
         n_rows = sum(m.n_rows for m in messages if m is not None)
@@ -242,43 +326,21 @@ class LedgerWriter(DataSourceWriter):
         # silently drops the first writer's files. Serialize with an
         # O_EXCL lockfile (put-if-absent, the same primitive as
         # snapshots.py's hard-link commit). A crashed holder cannot
-        # wedge the sink forever: locks older than the staleness
-        # window are STOLEN BY ATOMIC RENAME — rename(lock, per-
-        # stealer name) succeeds for exactly one waiter (the losers
-        # get FileNotFoundError and loop), which closes the stat-then-
-        # unlink TOCTOU where a second waiter could unlink the first
-        # stealer's FRESH lock and let two committers re-enter the
-        # read-modify-write concurrently. The acquire deadline
-        # (STALE + 30 s) extends past the staleness window so a
-        # waiter blocked behind a crashed holder lives long enough to
-        # perform the steal.
+        # wedge the sink forever: _acquire_ledger_lock steals locks
+        # older than the staleness window by atomic rename, with an
+        # inode verify + link-restore closing the stat-then-rename
+        # TOCTOU on a fresh lock (see its docstring). The acquire
+        # deadline (STALE + 30 s) extends past the staleness window so
+        # a waiter blocked behind a crashed holder lives long enough
+        # to perform the steal.
         lock = manifest_path + ".lock"
-        _LOCK_STALE_S = 60.0
-        fd = None
-        deadline = time.monotonic() + _LOCK_STALE_S + 30.0
-        while time.monotonic() < deadline:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    stale = time.time() - os.stat(lock).st_mtime
-                except FileNotFoundError:
-                    continue  # holder released between open and stat
-                if stale > _LOCK_STALE_S:
-                    steal = f"{lock}.steal-{os.getpid()}-{_uuid.uuid4().hex}"
-                    try:
-                        os.rename(lock, steal)  # atomic: one winner
-                    except FileNotFoundError:
-                        continue  # another stealer won; race for O_EXCL
-                    os.unlink(steal)
-                    continue
-                time.sleep(0.05)
-        if fd is None:
+        try:
+            fd = _acquire_ledger_lock(lock)
+        except TimeoutError as exc:
             raise TimeoutError(
-                f"ledger commit: could not acquire {lock} — a "
-                "concurrent committer is wedged"
-            )
+                f"ledger commit: {exc} (a concurrent committer is "
+                "wedged)"
+            ) from None
         try:
             prior_files: list[str] = []
             prior_rows = 0
@@ -296,22 +358,11 @@ class LedgerWriter(DataSourceWriter):
                 }
             _publish_manifest(self.path, "_LEDGER", manifest)
         finally:
-            # Release ONLY if the lock on disk is still OURS: a holder
-            # that stalled past the staleness window may have had its
-            # lock stolen — blindly unlinking would delete the
-            # STEALER's fresh lock and reopen the concurrent
-            # read-modify-write. Inode equality (same fs) proves
-            # ownership; a stolen lock is simply left to its new
-            # holder. (The stalled holder's own manifest write may
-            # still have raced the stealer's — the staleness window is
-            # a liveness escape hatch, sized far above any real commit
-            # duration, not a correctness substitute.)
-            try:
-                if os.stat(lock).st_ino == os.fstat(fd).st_ino:
-                    os.unlink(lock)
-            except FileNotFoundError:
-                pass
-            os.close(fd)
+            # (A stalled holder's own manifest write may still have
+            # raced a stealer's — the staleness window is a liveness
+            # escape hatch, sized far above any real commit duration,
+            # not a correctness substitute.)
+            _release_ledger_lock(lock, fd)
         if self.overwrite:
             # stale committed parts are invisible (not in the manifest)
             # the instant the rename lands; reclaim them afterwards

