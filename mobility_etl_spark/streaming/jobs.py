@@ -1361,7 +1361,10 @@ def pretraining_apply_batch(
     t0 = time.monotonic()
     if f"batch-{epoch}" in _cat_notes_seen(root):
         return  # replay of a fully-committed batch
-    if not batch_df.take(1):
+    # one job decides emptiness AND the id-contract floor (r13: the
+    # former take(1) probe was a second scan of the batch)
+    batch_min = batch_df.agg(F.min("doc_id")).first()[0]
+    if batch_min is None:
         return
     t0 = _stamp(epoch, "take", t0)
 
@@ -1394,7 +1397,6 @@ def pretraining_apply_batch(
     # is manifest-pruned on the committed per-file doc_id spans
     # (where=), so with id-ordered appends it opens O(1) recent files,
     # not the index.
-    batch_min = batch_df.agg(F.min("doc_id")).first()[0]
     stray = (
         read_catalog_table(
             spark, root, "embindex", where=("doc_id", batch_min, 1 << 62)

@@ -93,16 +93,22 @@ def generate(spark, out_dir: str) -> None:
             for col in cols:
                 c = c.withColumn(col, F.col(col) + F.lit(i * unit(col)))
             if name == "embeddings" and i > 0:
-                c = c.withColumn(
-                    "embedding",
-                    F.transform(
-                        "embedding",
-                        lambda x, j, i=i: (
+
+                def _perturb(copy_i):
+                    # factory, not a default arg: pyspark derives the
+                    # higher-order function's arity from the lambda's
+                    # Python signature
+                    def f(x, j):
+                        return (
                             x
-                            + ((F.lit(i * 37) + j * 13) % 211 - 105)
+                            + ((F.lit(copy_i * 37) + j * 13) % 211 - 105)
                             * 2e-4
-                        ).cast("float"),
-                    ),
+                        ).cast("float")
+
+                    return f
+
+                c = c.withColumn(
+                    "embedding", F.transform("embedding", _perturb(i))
                 )
             parts.append(c)
         functools.reduce(DataFrame.unionAll, parts).write.mode(
@@ -127,7 +133,10 @@ def main() -> None:
         # the cluster case, so keep them.
     )
 
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+    expected = list(SHIFT_COLS) + list(COPY_AS_IS)
+    if not all(
+        os.path.exists(f"{out_dir}/{t}.parquet") for t in expected
+    ):
         t = time.perf_counter()
         generate(spark, out_dir)
         print(f"generation: {time.perf_counter() - t:.1f}s", flush=True)
