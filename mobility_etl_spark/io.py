@@ -346,13 +346,19 @@ def compact_partitions(
                 for i, st in enumerate(staged):
                     st.rename(root / f"compacted-{token}-{i:05d}.parquet")
                 shutil.rmtree(stage, ignore_errors=True)
-            finally:
+            except BaseException:
                 # On an exception the on-disk marker must SURVIVE for
                 # the recovery pass, but the in-process registry entry
                 # must not — or this process would treat its own
-                # aborted swap as live until the staleness window.
+                # aborted swap as live until the staleness window. On
+                # SUCCESS the order is the opposite: _clear_intent
+                # removes the marker FIRST and only then deregisters
+                # (discard-before-unlink would let a sibling thread's
+                # recovery see marker + unregistered token and roll
+                # back a COMPLETED swap — r13 review).
                 with _intent_lock():
                     _INTENT_ACTIVE.discard(token)
+                raise
             _clear_intent(root, token)
             for old in files:  # this token's trash only
                 (trash_root / f"{token}-{old.name}").unlink(
@@ -374,9 +380,13 @@ def compact_partitions(
                 aside.parent.mkdir(parents=True, exist_ok=True)
                 leaf.rename(aside)
                 stage.rename(leaf)
-            finally:
+            except BaseException:
+                # see the files-mode note: deregister on the exception
+                # path only; on success _clear_intent unlinks the
+                # marker BEFORE deregistering
                 with _intent_lock():
                     _INTENT_ACTIVE.discard(token)
+                raise
             _clear_intent(root, token)
             shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(stage_root, ignore_errors=True)
@@ -428,9 +438,20 @@ def _publish_intent(root: pathlib.Path, token: str, payload: dict) -> None:
     tmp = d / f".{token}.tmp"
     payload = dict(payload, pid=os.getpid(), ts=time.time())
     tmp.write_text(json.dumps(payload))
-    os.replace(tmp, d / f"{token}.json")
+    # register BEFORE the marker becomes visible: the reverse order
+    # left a window where a sibling thread's recovery saw a same-PID
+    # marker with an unregistered token and rolled back a LIVE swap
+    # (r13 review). A crash between add and replace leaves a stale
+    # registry entry — tokens are per-call UUIDs, never reused, so it
+    # is a few bytes, not a correctness hazard.
     with _intent_lock():
         _INTENT_ACTIVE.add(token)
+    try:
+        os.replace(tmp, d / f"{token}.json")
+    except BaseException:
+        with _intent_lock():
+            _INTENT_ACTIVE.discard(token)
+        raise
 
 
 def _clear_intent(root: pathlib.Path, token: str) -> None:
@@ -486,7 +507,12 @@ def _recover_compaction(
         return
     for marker in sorted(d.glob("*.json")):
         token = marker.stem
-        intent = json.loads(marker.read_text())
+        try:
+            intent = json.loads(marker.read_text())
+        except FileNotFoundError:
+            continue  # a concurrent holder's _clear_intent (or a
+            # racing recovery) removed it between glob and read:
+            # that swap completed or was already healed
         pid = intent.get("pid")
         age = time.time() - intent.get("ts", 0.0)
         if age <= _INTENT_STALE_S:

@@ -254,7 +254,16 @@ def _acquire_ledger_lock(lock: str, stale_s: float = _LOCK_STALE_S) -> int:
                     os.rename(lock, steal)  # atomic: one winner
                 except FileNotFoundError:
                     continue  # another stealer won; race for O_EXCL
-                if os.stat(steal).st_ino != st.st_ino:
+                stolen = os.stat(steal)
+                if (
+                    stolen.st_ino != st.st_ino
+                    # inode equality alone is forgeable by inode REUSE
+                    # (ext4 hands the lowest free inode back: stale
+                    # lock unlinked, fresh lock recreated on the same
+                    # inode) — so the stolen file must also still be
+                    # stale-AGED, which a fresh lock cannot be
+                    or time.time() - stolen.st_mtime <= stale_s
+                ):
                     # Stole a FRESH lock recreated after another
                     # stealer removed the stale one: put it back
                     # (FileExistsError = an even-newer lock occupies

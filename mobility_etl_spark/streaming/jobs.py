@@ -1193,12 +1193,16 @@ _EMBINDEX_MAX_FILE_ROWS = 50_000
 
 #: Per-stage wall timings of the streaming capstone's micro-batches
 #: (driver-side observability, VERDICT r12 #1): each entry is
-#: {"epoch", "stage", "s"}. Appending a dict per stage per batch is
-#: O(stages x batches) driver memory and ~µs per stamp — always on.
-#: The profiling harness (tools/profile_stream_r13.py) resets and
-#: aggregates this into SCALING.md's per-stage table; correctness
-#: never reads it.
-STAGE_TIMINGS: list[dict] = []
+#: {"epoch", "stage", "s"}; ~µs per stamp — always on. BOUNDED
+#: (deque maxlen): a forever-running stream appends ~10 stamps per
+#: micro-batch, and an unbounded list would be a slow driver leak
+#: (r13 review); 8192 covers ~800 recent batches — far more than any
+#: profiling window needs. The profiling harness
+#: (tools/profile_stream_r13.py) clears and aggregates this into
+#: SCALING.md's per-stage table; correctness never reads it.
+from collections import deque as _deque
+
+STAGE_TIMINGS: "_deque[dict]" = _deque(maxlen=8192)
 
 
 def _stamp(epoch: int, stage: str, t0: float) -> float:
