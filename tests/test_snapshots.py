@@ -1411,7 +1411,22 @@ def test_cross_process_commit_race(spark, tmp_path):
     assert not list((pathlib.Path(t) / "_snapshots").glob(".tmp-*"))
 
 
-_XPROC_APPENDER = r"""
+_XPROC_BARRIER = r"""
+# startup barrier shared by every drill worker: JVM startup skew would
+# otherwise let the slow starters run AFTER the fast ones finished,
+# and the drill would race nothing. Each worker signals ready-<name>
+# once its session is up; the test writes `go` when all are ready.
+import os, time
+def barrier(root, name, timeout=120.0):
+    open(os.path.join(root, f"ready-{name}"), "w").close()
+    deadline = time.monotonic() + timeout
+    while not os.path.exists(os.path.join(root, "go")):
+        if time.monotonic() > deadline:
+            raise TimeoutError("barrier: no go signal")
+        time.sleep(0.05)
+"""
+
+_XPROC_APPENDER = _XPROC_BARRIER + r"""
 import os, pathlib, sys
 root, wid = sys.argv[1], int(sys.argv[2])
 sys.path.insert(0, sys.argv[3])
@@ -1423,6 +1438,8 @@ from mobility_etl_spark.session import get_spark
 
 spark = get_spark(f"xa-{wid}", master="local[2]", shuffle_partitions=2)
 t = os.path.join(root, "t")
+spark.range(1).collect()  # session fully up before signalling ready
+barrier(root, f"a{wid}")
 for i in range(3):
     df = spark.range(wid * 1000 + i * 10, wid * 1000 + i * 10 + 5)
     append_snapshot(spark, t, df, note=f"w{wid}-b{i}")
@@ -1433,7 +1450,7 @@ print("APPENDER-OK")
 spark.stop()
 """
 
-_XPROC_COMPACTOR = r"""
+_XPROC_COMPACTOR = _XPROC_BARRIER + r"""
 import os, sys, time
 root = sys.argv[1]
 sys.path.insert(0, sys.argv[2])
@@ -1444,6 +1461,8 @@ from mobility_etl_spark.session import get_spark
 
 spark = get_spark("xc", master="local[2]", shuffle_partitions=2)
 t = os.path.join(root, "t")
+spark.range(1).collect()
+barrier(root, "c")
 done = lambda: all(
     os.path.exists(os.path.join(root, f"done-a{w}")) for w in range(2)
 )
@@ -1465,13 +1484,14 @@ print(f"COMPACTOR-OK ok={n_ok} abort={n_abort}")
 spark.stop()
 """
 
-_XPROC_VACUUM = r"""
+_XPROC_VACUUM = _XPROC_BARRIER + r"""
 import os, sys, time
 root = sys.argv[1]
 sys.path.insert(0, sys.argv[2])
 from mobility_etl_spark.operators.snapshots import catalog_vacuum, vacuum
 
 t = os.path.join(root, "t")
+barrier(root, "v")
 done = lambda: all(
     os.path.exists(os.path.join(root, f"done-a{w}")) for w in range(2)
 )
@@ -1534,6 +1554,21 @@ def test_cross_process_compact_vacuum_race(spark, tmp_path):
         )
         for src in (_XPROC_COMPACTOR, _XPROC_VACUUM)
     ]
+    # startup barrier: release every worker only when ALL sessions are
+    # up, so appends genuinely overlap the compactor and the vacuum
+    import time as _time
+
+    deadline = _time.monotonic() + 180
+    names = ["a0", "a1", "c", "v"]
+    while not all(
+        (tmp_path / f"ready-{n}").exists() for n in names
+    ):
+        if _time.monotonic() > deadline:
+            for p in procs:
+                p.kill()
+            raise TimeoutError("drill workers never became ready")
+        _time.sleep(0.05)
+    (tmp_path / "go").touch()
     results = [p.communicate(timeout=420) for p in procs]
     outs = [r[0] for r in results]
     assert all(p.returncode == 0 for p in procs), [
