@@ -297,13 +297,48 @@ def compact_partitions(
     Idempotent: a second run finds every partition already at its
     target file count and rewrites nothing. Returns the number of data
     files after compaction.
+
+    Concurrency: whole runs are SERIALIZED per table by an O_EXCL
+    lockfile (``.compaction.lock``, stale-stealable after
+    ``_INTENT_STALE_S`` — the same primitive as the ledger sink's
+    commit lock). Two live compactors swapping the same leaf would
+    otherwise rename each other's originals mid-swap; the intent
+    markers make such wrecks RECOVERABLE, the lock makes them not
+    happen. Recovery of leftover markers also runs under the lock, so
+    the liveness tiers in :func:`_recover_compaction` are
+    defense-in-depth for the stolen-lock case, not the normal path.
     """
     import math
     import shutil
     import uuid as _uuid
 
+    from mobility_etl_spark.sources.pydatasource import (
+        _acquire_ledger_lock,
+        _release_ledger_lock,
+    )
+
     ensure_session_defaults(spark)
     root = pathlib.Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+    lock = str(root / ".compaction.lock")
+    # staleness window sized for real Spark rewrites, not the ledger's
+    # 60 s commit window: a per-leaf coalesce write can run minutes
+    fd = _acquire_ledger_lock(lock, stale_s=_INTENT_STALE_S)
+    try:
+        return _compact_partitions_locked(
+            spark, root, target_file_bytes
+        )
+    finally:
+        _release_ledger_lock(lock, fd)
+
+
+def _compact_partitions_locked(
+    spark: SparkSession, root: pathlib.Path, target_file_bytes: int
+) -> int:
+    import math
+    import shutil
+    import uuid as _uuid
+
     stage_root = root / ".compaction_tmp"
     trash_root = root / ".compaction_trash"
     _recover_compaction(root, stage_root, trash_root)

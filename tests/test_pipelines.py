@@ -497,6 +497,44 @@ def test_compact_crash_recovery_dir_mode(spark, tmp_path, sf_dir):
     assert spark.read.parquet(str(path)).count() == n_rows  # healed
 
 
+def test_concurrent_compactors_serialize_per_table(spark, tmp_path, sf_dir):
+    """r13: compact_partitions runs are serialized by a per-table
+    lockfile — two LIVE compactors swapping the same leaf would rename
+    each other's originals mid-swap (the intent markers make such
+    wrecks recoverable; the lock makes them not happen). Drill: 4
+    threads compact the same small-file table concurrently; every call
+    returns, rows are exact, no markers/trash/lock remain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mobility_etl_spark.io import compact_partitions, load_table
+
+    path = tmp_path / "t"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    for i in range(8):
+        ev.filter(F.col("event_id") % 8 == i).write.mode("append").parquet(
+            str(path)
+        )
+    n_rows = spark.read.parquet(str(path)).count()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        counts = list(
+            pool.map(
+                lambda _: compact_partitions(
+                    spark, str(path), target_file_bytes=1 << 30
+                ),
+                range(4),
+            )
+        )
+    assert all(isinstance(c, int) for c in counts)
+    assert spark.read.parquet(str(path)).count() == n_rows
+    assert min(counts) < 8  # at least one run actually compacted
+    assert not (path / ".compaction.lock").exists()
+    assert not list((path / ".compaction_intent").glob("*.json")) or not (
+        path / ".compaction_intent"
+    ).exists()
+    assert not (path / ".compaction_trash").exists()
+
+
 def test_compact_recovery_liveness_tiers(tmp_path):
     """ADVICE r12 (io.py PID-reuse): marker liveness is decided in
     tiers — (1) a marker older than the staleness window is recovered
