@@ -189,9 +189,22 @@ def kmeans_fit(
         def partials(batches, c_b=c_b):
             sums = np.zeros((k, dim))
             cnt = np.zeros(k)
+            c2 = (c_b * c_b).sum(axis=1)
             for pdf in batches:
                 x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                d2 = ((x[:, None, :] - c_b[None, :, :]) ** 2).sum(axis=2)
+                # gram form ||x||² − 2xCᵀ + ||c||², NOT the broadcast
+                # difference (x[:,None,:] − C)² — that materializes an
+                # (n_batch × k × d) tensor (1.3 GB per 10k-row batch at
+                # k=256, d=64; measured 45 s/fit at 400k vectors, r13)
+                # where the gram is one BLAS call and an (n_batch × k)
+                # matrix. Rounding differs in the last bits; the
+                # parity gate is allclose(1e-8) + argmin equality on
+                # margin-separated data (tests/test_linalg.py).
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ c_b.T)
+                    + c2[None, :]
+                )
                 a = d2.argmin(axis=1)
                 np.add.at(sums, a, x)
                 cnt += np.bincount(a, minlength=k)
@@ -259,6 +272,70 @@ def kmeans_assign(
     if dist_col is not None:
         cols.append(F.array_min(dists).alias(dist_col))
     return df.select(*cols)
+
+
+def kmeans_assign_blas(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    key_cols: tuple[str, ...],
+    dist_col: str | None = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """BLAS twin of :func:`kmeans_assign` for LARGE k. The codegen form
+    expands k zip_with folds into ~k·d scalar expressions per row —
+    fine at k ≤ 16, but at k = 256, d = 64 that is ~16k expressions,
+    past whole-stage-codegen's practical limits (measured 72 s incl.
+    its follow-up join at 400k vectors, r13). Here one Arrow-batched
+    ``mapInPandas`` pass computes all k distances as a single
+    ``||x||² − 2xCᵀ + ||c||²`` gram; argmin's first-minimum tie-break
+    matches the codegen form's ``array_position(array_min)``.
+
+    ``keep_cols`` pass extra columns (e.g. the vector itself) through
+    the same pass — the SemDeDup caller previously re-JOINED the
+    corpus on the key to get its embeddings back, a full wide-row
+    shuffle join this parameter deletes.
+
+    Float caveats: gram-form rounding differs from the sequential
+    fold in the last bits (exact ties may split differently — callers
+    gating decision-equality must recompute over THIS assignment), and
+    ``dist_col`` can be a tiny negative for near-identical points
+    (cancellation); it is an ORDERING key (centrality), where that is
+    harmless. Still map-only: no shuffle, centroids ride the closure
+    (k·d ≤ ~4096·64 float64 = 2 MB, under the task-binary budget)."""
+    import numpy as np
+
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+    c2 = (cents * cents).sum(axis=1)
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_cols = list(dict.fromkeys([*key_cols, *keep_cols]))
+    schema = ", ".join(
+        [f"{c} {fields[c]}" for c in out_cols]
+        + ["cluster_id int"]
+        + ([f"{dist_col} double"] if dist_col else [])
+    )
+    in_cols = list(dict.fromkeys([*out_cols, vec_col]))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ cents.T)
+                + c2[None, :]
+            )
+            cid = d2.argmin(axis=1)
+            out = pdf[out_cols].copy()
+            out["cluster_id"] = cid.astype(np.int32)
+            if dist_col:
+                out[dist_col] = d2[np.arange(len(cid)), cid]
+            yield out
+
+    return df.select(*in_cols).mapInPandas(assign, schema)
 
 
 def gram_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:

@@ -726,9 +726,14 @@ def near_dup_probe_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_k(n: int) -> int:
     """Cluster count for semantic dedup: ~250 vectors per cluster,
-    clamped to [8, 256] — k must scale with the corpus or the
-    in-cluster pairwise term re-quadratizes."""
-    return max(8, min(256, n // 250))
+    clamped to [8, 4096] — k must scale with the corpus or the
+    in-cluster pairwise term re-quadratizes. The old 256 cap did
+    exactly that past ~64k vectors (r13's sf10-equivalent run measured
+    it); 4096 holds the ~250/cluster rule to ~1M vectors, and the
+    centroid matrix stays driver control state (4096 × 64 float64 =
+    2 MB). Past that, production SemDeDup shards the corpus or goes
+    hierarchical — a data-layout decision, not an operator change."""
+    return max(8, min(4096, n // 250))
 
 
 @register("vector_semantic_dedup", oracle=None, tags=("N2", "N3", "E39"))
@@ -750,22 +755,31 @@ def vector_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas (shuffled on cluster_id). k GROWS with
     the corpus (_semdedup_k: ~250 vectors per cluster, the SemDeDup
     deployment rule) so the in-cluster pair count stays ~n·c, never
-    n² — a fixed k would quietly re-quadratize at scale. Rows-only
-    driver check (centroid float partials wobble last bits);
-    tests/test_similarity.py recomputes the drop rule in numpy and
-    requires decision-for-decision equality plus every planted pair
-    resolving to one survivor."""
+    n² — a fixed k would quietly re-quadratize at scale (r13: the old
+    256 cap did, measured at the sf10-equivalent). Assignment is the
+    BLAS twin (operators/linalg.py:kmeans_assign_blas — the codegen
+    form's k·d expression tree left JIT range at large k) and passes
+    the embedding THROUGH, deleting the old wide-row corpus re-join.
+    Rows-only driver check (centroid float partials wobble last
+    bits); tests/test_similarity.py recomputes the drop rule in numpy
+    over this same assignment and requires decision-for-decision
+    equality plus every planted pair resolving to one survivor."""
     from mobility_etl_spark.operators.linalg import (
-        kmeans_assign,
+        kmeans_assign_blas,
         kmeans_fit,
     )
 
     corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
     k = _semdedup_k(corpus.count())  # control-plane scalar
     cents, _ = kmeans_fit(corpus, "embedding", _GRAM_DIM, k=k, iters=4)
-    assigned = kmeans_assign(
-        corpus, "embedding", cents, ("vec_id",), dist_col="d2"
-    ).join(corpus, "vec_id")
+    assigned = kmeans_assign_blas(
+        corpus,
+        "embedding",
+        cents,
+        ("vec_id",),
+        dist_col="d2",
+        keep_cols=("embedding",),
+    )
 
     import numpy as np
     import pandas as pd

@@ -298,7 +298,10 @@ def test_semantic_dedup_matches_numpy_rule_and_resolves_pairs(spark, sf_dir):
 
     from mobility_etl_spark.registry import load_all
 
-    from mobility_etl_spark.operators.linalg import kmeans_assign, kmeans_fit
+    from mobility_etl_spark.operators.linalg import (
+        kmeans_assign_blas,
+        kmeans_fit,
+    )
     from mobility_etl_spark.queries.similarity import (
         _DUP_OFFSET,
         _GRAM_DIM,
@@ -310,11 +313,18 @@ def test_semantic_dedup_matches_numpy_rule_and_resolves_pairs(spark, sf_dir):
     cents, _ = kmeans_fit(
         corpus, "embedding", _GRAM_DIM, k=_semdedup_k(corpus.count()), iters=4
     )
-    rows = (
-        kmeans_assign(corpus, "embedding", cents, ("vec_id",), dist_col="d2")
-        .join(corpus, "vec_id")
-        .collect()
-    )
+    # the face's own assignment path (BLAS twin, embedding passed
+    # through) — decision-equality must recompute over the SAME
+    # assignment, and the BLAS gram's last-bit rounding may split an
+    # exact tie differently than the codegen fold
+    rows = kmeans_assign_blas(
+        corpus,
+        "embedding",
+        cents,
+        ("vec_id",),
+        dist_col="d2",
+        keep_cols=("embedding",),
+    ).collect()
     by_cluster: dict[int, list] = {}
     for r in rows:
         by_cluster.setdefault(r.cluster_id, []).append(r)
