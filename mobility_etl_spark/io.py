@@ -300,21 +300,21 @@ def compact_partitions(
 
     Concurrency: whole runs are SERIALIZED per table by an O_EXCL
     lockfile (``.compaction.lock``, stale-stealable after
-    ``_INTENT_STALE_S`` — the same primitive as the ledger sink's
-    commit lock). Two live compactors swapping the same leaf would
-    otherwise rename each other's originals mid-swap; the intent
-    markers make such wrecks RECOVERABLE, the lock makes them not
-    happen. Recovery of leftover markers also runs under the lock, so
-    the liveness tiers in :func:`_recover_compaction` are
-    defense-in-depth for the stolen-lock case, not the normal path.
+    ``_INTENT_STALE_S`` — the shared primitive in
+    mobility_etl_spark/locks.py). Two live compactors swapping the
+    same leaf would otherwise rename each other's originals mid-swap;
+    the intent markers make such wrecks RECOVERABLE, the lock makes
+    them not happen. The holder HEARTBEATS the lock between leaves
+    (r13 review: the staleness window is sized per-leaf, and a
+    many-leaf run would otherwise age past it mid-run and get its
+    live lock stolen), and recovery of leftover markers also runs
+    under the lock, so the liveness tiers in
+    :func:`_recover_compaction` are defense-in-depth for the
+    stolen-lock case, not the normal path.
     """
-    import math
-    import shutil
-    import uuid as _uuid
-
-    from mobility_etl_spark.sources.pydatasource import (
-        _acquire_ledger_lock,
-        _release_ledger_lock,
+    from mobility_etl_spark.locks import (
+        acquire_exclusive_lock,
+        release_exclusive_lock,
     )
 
     ensure_session_defaults(spark)
@@ -323,26 +323,34 @@ def compact_partitions(
     lock = str(root / ".compaction.lock")
     # staleness window sized for real Spark rewrites, not the ledger's
     # 60 s commit window: a per-leaf coalesce write can run minutes
-    fd = _acquire_ledger_lock(lock, stale_s=_INTENT_STALE_S)
+    fd = acquire_exclusive_lock(lock, stale_s=_INTENT_STALE_S)
     try:
         return _compact_partitions_locked(
-            spark, root, target_file_bytes
+            spark, root, target_file_bytes, lock
         )
     finally:
-        _release_ledger_lock(lock, fd)
+        release_exclusive_lock(lock, fd)
 
 
 def _compact_partitions_locked(
-    spark: SparkSession, root: pathlib.Path, target_file_bytes: int
+    spark: SparkSession,
+    root: pathlib.Path,
+    target_file_bytes: int,
+    lock: str,
 ) -> int:
     import math
     import shutil
     import uuid as _uuid
 
+    from mobility_etl_spark.locks import heartbeat_lock
+
     stage_root = root / ".compaction_tmp"
     trash_root = root / ".compaction_trash"
     _recover_compaction(root, stage_root, trash_root)
     for leaf, files, nbytes in _leaf_partitions(root):
+        # keep the live lock younger than the staleness window — it
+        # is sized for ONE leaf's rewrite, not the whole run
+        heartbeat_lock(lock)
         n_target = max(1, math.ceil(nbytes / target_file_bytes))
         if len(files) <= n_target:
             continue  # partition already healthy — untouched, byte-stable
@@ -401,7 +409,12 @@ def _compact_partitions_locked(
                 )
         else:
             rel = leaf.relative_to(root)
-            stage = stage_root / rel
+            # token-scoped stage path: a stolen-lock second compactor
+            # (the holder exceeded the staleness window) must never
+            # share a stage dir with the first — overwrite-mode writes
+            # to one path would corrupt the in-flight swap's rollback
+            # source (r13 review)
+            stage = stage_root / token / rel
             spark.read.parquet(str(leaf)).coalesce(n_target).write.mode(
                 "overwrite"
             ).parquet(str(stage))
@@ -573,7 +586,10 @@ def _recover_compaction(
         else:
             rel = pathlib.Path(intent["leaf"])
             leaf, aside = root / rel, trash_root / rel / token
-            stage = root / ".compaction_tmp" / rel
+            stage = root / ".compaction_tmp" / token / rel
+            if not stage.exists():
+                # pre-r13 markers staged without the token scope
+                stage = root / ".compaction_tmp" / rel
             if not leaf.exists():
                 # crash between leaf→aside and stage→leaf: finish the
                 # swap if the staged output survived, else roll back

@@ -189,23 +189,9 @@ def kmeans_fit(
         def partials(batches, c_b=c_b):
             sums = np.zeros((k, dim))
             cnt = np.zeros(k)
-            c2 = (c_b * c_b).sum(axis=1)
             for pdf in batches:
                 x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                # gram form ||x||² − 2xCᵀ + ||c||², NOT the broadcast
-                # difference (x[:,None,:] − C)² — that materializes an
-                # (n_batch × k × d) tensor (1.3 GB per 10k-row batch at
-                # k=256, d=64; measured 45 s/fit at 400k vectors, r13)
-                # where the gram is one BLAS call and an (n_batch × k)
-                # matrix. Rounding differs in the last bits; the
-                # parity gate is allclose(1e-8) + argmin equality on
-                # margin-separated data (tests/test_linalg.py).
-                d2 = (
-                    (x * x).sum(axis=1)[:, None]
-                    - 2.0 * (x @ c_b.T)
-                    + c2[None, :]
-                )
-                a = d2.argmin(axis=1)
+                a = _gram_d2(x, c_b).argmin(axis=1)
                 np.add.at(sums, a, x)
                 cnt += np.bincount(a, minlength=k)
             cc, dd = np.nonzero(np.ones((k, dim)))
@@ -274,6 +260,27 @@ def kmeans_assign(
     return df.select(*cols)
 
 
+def _gram_d2(x, cents):
+    """All-pairs squared distances via the gram form
+    ``||x||² − 2xCᵀ + ||c||²`` — ONE spelling shared by kmeans_fit's
+    per-iteration assignment and kmeans_assign_blas (r13 review). NOT
+    the broadcast difference ``((x[:,None,:] − C)²).sum(2)``: that
+    materializes an (n × k × d) tensor — 1.3 GB per 10k-row batch at
+    k=256, d=64, measured 45 s/fit at 400k vectors (r13) — where the
+    gram is one BLAS call and an (n × k) matrix. Rounding differs in
+    the last bits (can be tiny-negative for near-identical points via
+    cancellation — callers use it for argmin/ordering, where that is
+    harmless); the fit parity gate is allclose(1e-8) + argmin equality
+    on margin-separated data (tests/test_linalg.py)."""
+    import numpy as np
+
+    return (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ np.ascontiguousarray(cents).T)
+        + (cents * cents).sum(axis=1)[None, :]
+    )
+
+
 def kmeans_assign_blas(
     df: DataFrame,
     vec_col: str,
@@ -304,9 +311,10 @@ def kmeans_assign_blas(
     harmless. Still map-only: no shuffle, centroids ride the closure
     (k·d ≤ ~4096·64 float64 = 2 MB, under the task-binary budget)."""
     import numpy as np
+    import pandas as pd
 
     cents = np.ascontiguousarray(centroids, dtype=np.float64)
-    c2 = (cents * cents).sum(axis=1)
+    d = cents.shape[1]
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_cols = list(dict.fromkeys([*key_cols, *keep_cols]))
     schema = ", ".join(
@@ -320,19 +328,38 @@ def kmeans_assign_blas(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            # null/ragged vectors get a NULL cluster_id/dist — the
+            # codegen twin's behavior (zip_with/aggregate propagate
+            # null); np.stack on them would crash the whole stage
+            ok = np.fromiter(
+                (
+                    v is not None and len(v) == d
+                    for v in pdf[vec_col]
+                ),
+                dtype=bool,
+                count=len(pdf),
             )
-            d2 = (
-                (x * x).sum(axis=1)[:, None]
-                - 2.0 * (x @ cents.T)
-                + c2[None, :]
-            )
-            cid = d2.argmin(axis=1)
+            cid_f = np.full(len(pdf), np.nan)
+            d2_f = np.full(len(pdf), np.nan)
+            if ok.any():
+                x = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col][ok]
+                    ]
+                )
+                d2 = _gram_d2(x, cents)
+                cid = d2.argmin(axis=1)
+                idx = np.nonzero(ok)[0]
+                cid_f[idx] = cid
+                d2_f[idx] = d2[np.arange(len(cid)), cid]
             out = pdf[out_cols].copy()
-            out["cluster_id"] = cid.astype(np.int32)
+            out["cluster_id"] = pd.Series(cid_f).astype("Int32")
             if dist_col:
-                out[dist_col] = d2[np.arange(len(cid)), cid]
+                out[dist_col] = pd.array(
+                    [None if not o else v for o, v in zip(ok, d2_f)],
+                    dtype="Float64",
+                )
             yield out
 
     return df.select(*in_cols).mapInPandas(assign, schema)

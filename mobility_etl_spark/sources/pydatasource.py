@@ -206,99 +206,18 @@ def _publish_manifest(path: str, name: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(path, name))  # atomic publish
 
 
-_LOCK_STALE_S = 60.0
-
-# Seam for tests: the staleness stat inside _acquire_ledger_lock. The
-# fresh-lock-steal protection (inode verify + link-restore) is a
-# nanosecond-window interleave that cannot be driven from outside;
-# tests monkeypatch this to make the waiter observe a lying stat.
-_lock_stat = None  # None → os.stat
-
-
-def _acquire_ledger_lock(lock: str, stale_s: float = _LOCK_STALE_S) -> int:
-    """Acquire an O_EXCL lockfile, stealing locks older than
-    ``stale_s``. Returns the open fd (close via _release_ledger_lock).
-
-    The steal is an atomic rename to a per-stealer name — exactly one
-    waiter wins; losers get FileNotFoundError and loop. The rename
-    alone has a stat-then-rename TOCTOU: between this waiter's
-    staleness stat and its rename, another stealer can remove the
-    stale lock and a NEW holder can recreate a fresh one — the rename
-    would then claim the fresh lock and the unlink would release it
-    while its holder is inside the critical section. Closed by
-    recording the inode from the staleness stat and verifying the
-    STOLEN file carries that inode; on mismatch (fresh lock stolen)
-    the file is restored under its original name via os.link — which,
-    unlike rename-back, cannot clobber a lock an even-newer holder
-    created in the absence window — and the waiter retries.
-    """
-    import os
-    import time
-    import uuid as _uuid
-
-    stat = _lock_stat or os.stat
-    fd = None
-    deadline = time.monotonic() + stale_s + 30.0
-    while time.monotonic() < deadline:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            return fd
-        except FileExistsError:
-            try:
-                st = stat(lock)
-            except FileNotFoundError:
-                continue  # holder released between open and stat
-            if time.time() - st.st_mtime > stale_s:
-                steal = f"{lock}.steal-{os.getpid()}-{_uuid.uuid4().hex}"
-                try:
-                    os.rename(lock, steal)  # atomic: one winner
-                except FileNotFoundError:
-                    continue  # another stealer won; race for O_EXCL
-                stolen = os.stat(steal)
-                if (
-                    stolen.st_ino != st.st_ino
-                    # inode equality alone is forgeable by inode REUSE
-                    # (ext4 hands the lowest free inode back: stale
-                    # lock unlinked, fresh lock recreated on the same
-                    # inode) — so the stolen file must also still be
-                    # stale-AGED, which a fresh lock cannot be
-                    or time.time() - stolen.st_mtime <= stale_s
-                ):
-                    # Stole a FRESH lock recreated after another
-                    # stealer removed the stale one: put it back
-                    # (FileExistsError = an even-newer lock occupies
-                    # the name; the microsecond interleave is then
-                    # unrecoverable — vs. the old unconditional unlink
-                    # that released EVERY fresh lock it caught).
-                    try:
-                        os.link(steal, lock)
-                    except FileExistsError:
-                        pass
-                    os.unlink(steal)
-                    time.sleep(0.05)
-                    continue
-                os.unlink(steal)
-                continue
-            time.sleep(0.05)
-    raise TimeoutError(
-        f"could not acquire {lock} — a concurrent holder is wedged"
-    )
-
-
-def _release_ledger_lock(lock: str, fd: int) -> None:
-    """Release ONLY if the lock on disk is still OURS: a holder that
-    stalled past the staleness window may have had its lock stolen —
-    blindly unlinking would delete the STEALER's fresh lock and reopen
-    the concurrent read-modify-write. Inode equality (same fs) proves
-    ownership; a stolen lock is simply left to its new holder."""
-    import os
-
-    try:
-        if os.stat(lock).st_ino == os.fstat(fd).st_ino:
-            os.unlink(lock)
-    except FileNotFoundError:
-        pass
-    os.close(fd)
+# The lockfile protocol lives in mobility_etl_spark/locks.py (one
+# spelling shared with io.py's compaction serialization — r13 review);
+# these names remain the ledger sink's local spelling of it.
+from mobility_etl_spark.locks import (  # noqa: E402
+    DEFAULT_STALE_S as _LOCK_STALE_S,
+)
+from mobility_etl_spark.locks import (  # noqa: E402
+    acquire_exclusive_lock as _acquire_ledger_lock,
+)
+from mobility_etl_spark.locks import (  # noqa: E402
+    release_exclusive_lock as _release_ledger_lock,
+)
 
 
 class LedgerWriter(DataSourceWriter):

@@ -256,3 +256,59 @@ def test_power_iteration_fixedpoint_finds_dominant_direction(spark):
     top = evecs[:, -1]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99
+
+
+def test_kmeans_assign_blas_matches_codegen_and_tolerates_nulls(spark, emb):
+    """r13: the BLAS twin must agree with the codegen assign on every
+    well-formed vector, pass keep_cols through unchanged, and emit a
+    NULL cluster_id/dist for null or wrong-length vectors — the
+    codegen form's null-propagation behavior — instead of crashing the
+    stage on np.stack."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mobility_etl_spark.operators.linalg import (
+        kmeans_assign,
+        kmeans_assign_blas,
+        kmeans_fit,
+    )
+
+    cents, _ = kmeans_fit(emb, "embedding", 64, k=8, iters=2)
+    want = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(emb, "embedding", cents, ("vec_id",)).collect()
+    }
+    got_rows = kmeans_assign_blas(
+        emb, "embedding", cents, ("vec_id",), dist_col="d2",
+        keep_cols=("embedding",),
+    ).collect()
+    assert {r.vec_id: r.cluster_id for r in got_rows} == want
+    # keep_cols round-trip + dist consistency for one spot row
+    r0 = got_rows[0]
+    x = np.asarray(r0.embedding, dtype=np.float64)
+    ref = float(((x - cents[r0.cluster_id]) ** 2).sum())
+    assert abs(r0.d2 - ref) < 1e-6
+
+    bad = emb.limit(3).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.when(F.col("vec_id") % 3 == 0, F.col("embedding"))
+        .when(F.col("vec_id") % 3 == 1, F.lit(None).cast("array<float>"))
+        .otherwise(F.slice("embedding", 1, 5))
+        .alias("embedding"),
+    )
+    out = {
+        r.vec_id: (r.cluster_id, r.d2)
+        for r in kmeans_assign_blas(
+            emb.select("vec_id", "embedding").unionByName(bad),
+            "embedding",
+            cents,
+            ("vec_id",),
+            dist_col="d2",
+        ).collect()
+    }
+    for r in bad.collect():
+        cid, d2 = out[r.vec_id]
+        if r.embedding is None or len(r.embedding) != 64:
+            assert cid is None and d2 is None
+        else:
+            assert cid is not None and d2 is not None

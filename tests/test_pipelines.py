@@ -614,7 +614,7 @@ def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
     import time
     from types import SimpleNamespace
 
-    from mobility_etl_spark.sources import pydatasource as pds
+    from mobility_etl_spark import locks as pds
 
     lock = str(tmp_path / "_LEDGER.lock")
     # the FRESH lock currently held by an in-flight committer
@@ -640,7 +640,7 @@ def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
     def waiter():
         pds._lock_stat = lying_stat
         try:
-            acquired["fd"] = pds._acquire_ledger_lock(lock)
+            acquired["fd"] = pds.acquire_exclusive_lock(lock)
         finally:
             pds._lock_stat = None
 
@@ -662,10 +662,10 @@ def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
     )
     assert "fd" not in acquired, "waiter acquired while holder lives"
     # holder releases; the waiter must now acquire normally
-    pds._release_ledger_lock(lock, fd_holder)
+    pds.release_exclusive_lock(lock, fd_holder)
     t.join(timeout=30)
     assert not t.is_alive() and "fd" in acquired
-    pds._release_ledger_lock(lock, acquired["fd"])
+    pds.release_exclusive_lock(lock, acquired["fd"])
     assert not os.path.exists(lock)
     assert not [
         f for f in os.listdir(tmp_path) if ".lock.steal-" in f

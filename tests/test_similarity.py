@@ -298,10 +298,7 @@ def test_semantic_dedup_matches_numpy_rule_and_resolves_pairs(spark, sf_dir):
 
     from mobility_etl_spark.registry import load_all
 
-    from mobility_etl_spark.operators.linalg import (
-        kmeans_assign_blas,
-        kmeans_fit,
-    )
+    from mobility_etl_spark.operators.linalg import kmeans_fit
     from mobility_etl_spark.queries.similarity import (
         _DUP_OFFSET,
         _GRAM_DIM,
@@ -310,42 +307,42 @@ def test_semantic_dedup_matches_numpy_rule_and_resolves_pairs(spark, sf_dir):
     )
 
     corpus = _with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    # Cluster MEMBERSHIP comes from the face's own output (it emits
+    # cluster_id), not an independent refit: kmeans_fit's float
+    # partial merges are order-nondeterministic across runs, so a
+    # second fit could land a boundary vector in a different cluster
+    # and flake the equality (r13 review). The test's own refit below
+    # supplies only the CENTRALITY ordering (d2 to the member's
+    # cluster centroid), where planted-pair margins dwarf last-bit
+    # centroid wobble.
+    face_rows = (
+        load_all()["vector_semantic_dedup"].builder(spark, sf_dir).collect()
+    )
+    got = {r.vec_id: r.kept for r in face_rows}
+    cluster_of = {r.vec_id: r.cluster_id for r in face_rows}
+
     cents, _ = kmeans_fit(
         corpus, "embedding", _GRAM_DIM, k=_semdedup_k(corpus.count()), iters=4
     )
-    # the face's own assignment path (BLAS twin, embedding passed
-    # through) — decision-equality must recompute over the SAME
-    # assignment, and the BLAS gram's last-bit rounding may split an
-    # exact tie differently than the codegen fold
-    rows = kmeans_assign_blas(
-        corpus,
-        "embedding",
-        cents,
-        ("vec_id",),
-        dist_col="d2",
-        keep_cols=("embedding",),
-    ).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in corpus.collect()
+    }
     by_cluster: dict[int, list] = {}
-    for r in rows:
-        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for vid, cid in cluster_of.items():
+        d2 = float(((emb[vid] - cents[cid]) ** 2).sum())
+        by_cluster.setdefault(cid, []).append((d2, vid))
     expected_kept: dict[int, int] = {}
     for members in by_cluster.values():
-        members.sort(key=lambda r: (r.d2, r.vec_id))
-        vecs = [np.asarray(r.embedding, dtype=np.float64) for r in members]
+        members.sort()
+        vecs = [emb[vid] for _, vid in members]
         norms = [np.linalg.norm(v) for v in vecs]
-        for i, r in enumerate(members):
+        for i, (_, vid) in enumerate(members):
             dropped = any(
                 float(vecs[i] @ vecs[j]) / (norms[i] * norms[j]) >= 0.9
                 for j in range(i)
             )
-            expected_kept[r.vec_id] = 0 if dropped else 1
-
-    got = {
-        r.vec_id: r.kept
-        for r in load_all()["vector_semantic_dedup"]
-        .builder(spark, sf_dir)
-        .collect()
-    }
+            expected_kept[vid] = 0 if dropped else 1
     assert got == expected_kept
 
     n_src = sum(1 for v in got if v < _DUP_OFFSET)

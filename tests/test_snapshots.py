@@ -1417,7 +1417,10 @@ _XPROC_BARRIER = r"""
 # and the drill would race nothing. Each worker signals ready-<name>
 # once its session is up; the test writes `go` when all are ready.
 import os, time
-def barrier(root, name, timeout=120.0):
+# timeout must EXCEED the test's own ready-wait deadline (180s), or
+# startup skew in (worker_timeout, 180) makes fast workers give up
+# before the test writes `go`
+def barrier(root, name, timeout=240.0):
     open(os.path.join(root, f"ready-{name}"), "w").close()
     deadline = time.monotonic() + timeout
     while not os.path.exists(os.path.join(root, "go")):

@@ -142,12 +142,22 @@ def main() -> None:
         # the cluster case, so keep them.
     )
 
+    # regenerate when any table is missing OR the existing data was
+    # generated at a DIFFERENT copies value — otherwise a rerun with a
+    # new scale silently benchmarks the old data under the new label
     expected = list(SHIFT_COLS) + list(COPY_AS_IS)
-    if not all(
+    marker = f"{out_dir}/_copies.json"
+    existing = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            existing = json.load(fh).get("copies")
+    if existing != copies or not all(
         os.path.exists(f"{out_dir}/{t}.parquet") for t in expected
     ):
         t = time.perf_counter()
         generate(spark, out_dir, copies)
+        with open(marker, "w") as fh:
+            json.dump({"copies": copies, "src": SRC}, fh)
         print(f"generation: {time.perf_counter() - t:.1f}s", flush=True)
 
     import bench
