@@ -319,14 +319,20 @@ def compact_partitions(
 
     ensure_session_defaults(spark)
     root = pathlib.Path(path)
-    root.mkdir(parents=True, exist_ok=True)
+    if not root.is_dir():
+        # do NOT mkdir: silently creating a typo'd/mis-mounted table
+        # path and returning 0 would report success forever while the
+        # real table's small-file debt grows (r13 review)
+        raise FileNotFoundError(
+            f"compact_partitions: no such table directory: {path}"
+        )
     lock = str(root / ".compaction.lock")
     # staleness window sized for real Spark rewrites, not the ledger's
     # 60 s commit window: a per-leaf coalesce write can run minutes
     fd = acquire_exclusive_lock(lock, stale_s=_INTENT_STALE_S)
     try:
         return _compact_partitions_locked(
-            spark, root, target_file_bytes, lock
+            spark, root, target_file_bytes, lock, fd
         )
     finally:
         release_exclusive_lock(lock, fd)
@@ -337,6 +343,7 @@ def _compact_partitions_locked(
     root: pathlib.Path,
     target_file_bytes: int,
     lock: str,
+    lock_fd: int,
 ) -> int:
     import math
     import shutil
@@ -349,8 +356,12 @@ def _compact_partitions_locked(
     _recover_compaction(root, stage_root, trash_root)
     for leaf, files, nbytes in _leaf_partitions(root):
         # keep the live lock younger than the staleness window — it
-        # is sized for ONE leaf's rewrite, not the whole run
-        heartbeat_lock(lock)
+        # is sized for ONE leaf's rewrite, not the whole run. The
+        # heartbeat also VERIFIES ownership and raises if the lock was
+        # stolen (this run stalled past the window): aborting here,
+        # before the next mutating rename, is what keeps a resumed
+        # zombie run from racing the stealer.
+        heartbeat_lock(lock, lock_fd)
         n_target = max(1, math.ceil(nbytes / target_file_bytes))
         if len(files) <= n_target:
             continue  # partition already healthy — untouched, byte-stable
@@ -421,7 +432,15 @@ def _compact_partitions_locked(
             _publish_intent(
                 root,
                 token,
-                {"mode": "dir", "leaf": str(rel)},
+                {
+                    "mode": "dir",
+                    "leaf": str(rel),
+                    # recovery must resolve THE swap's own staged
+                    # output, never guess at a shared path where a
+                    # stale unrelated stage could be rolled forward
+                    # as live data (r13 review)
+                    "stage": str(stage.relative_to(root)),
+                },
             )
             try:
                 aside = trash_root / rel / token
@@ -437,9 +456,33 @@ def _compact_partitions_locked(
                 raise
             _clear_intent(root, token)
             shutil.rmtree(aside, ignore_errors=True)
-    shutil.rmtree(stage_root, ignore_errors=True)
-    shutil.rmtree(trash_root, ignore_errors=True)
+            shutil.rmtree(stage_root / token, ignore_errors=True)
+    # End-of-run cleanup removes EMPTY directories only — never a
+    # recursive rmtree of the shared roots: a stolen-lock concurrent
+    # compactor (this run stalled past the staleness window, another
+    # took over) may have an in-flight stage/aside under them, and
+    # deleting it would destroy the only copy of a mid-swap partition
+    # (r13 review). Each swap already reclaims its own token-scoped
+    # residue above; whatever remains belongs to someone else or to a
+    # crash the next recovery pass heals.
+    _prune_empty_dirs(stage_root)
+    _prune_empty_dirs(trash_root)
     return sum(1 for _, fs, _ in _leaf_partitions(root) for _ in fs)
+
+
+def _prune_empty_dirs(top: pathlib.Path) -> None:
+    """Remove ``top`` and its subdirectories bottom-up, but only the
+    EMPTY ones — os.rmdir refuses non-empty dirs, so any foreign
+    in-flight content survives untouched."""
+    import os
+
+    if not top.is_dir():
+        return
+    for dirpath, _dirnames, _filenames in os.walk(top, topdown=False):
+        try:
+            os.rmdir(dirpath)
+        except OSError:
+            pass  # non-empty (someone's in-flight state) — keep
 
 
 _INTENT_DIR = ".compaction_intent"
@@ -586,10 +629,14 @@ def _recover_compaction(
         else:
             rel = pathlib.Path(intent["leaf"])
             leaf, aside = root / rel, trash_root / rel / token
-            stage = root / ".compaction_tmp" / token / rel
-            if not stage.exists():
-                # pre-r13 markers staged without the token scope
-                stage = root / ".compaction_tmp" / rel
+            # the marker RECORDS its swap's stage path (r13): existence
+            # probing could mistake a stale unrelated staged dir for
+            # this swap's output and roll it forward as live data. The
+            # legacy fallback applies only to pre-r13 markers that
+            # never recorded one.
+            stage = root / intent.get(
+                "stage", str(pathlib.Path(".compaction_tmp") / rel)
+            )
             if not leaf.exists():
                 # crash between leaf→aside and stage→leaf: finish the
                 # swap if the staged output survived, else roll back

@@ -210,9 +210,6 @@ def _publish_manifest(path: str, name: str, manifest: dict) -> None:
 # spelling shared with io.py's compaction serialization — r13 review);
 # these names remain the ledger sink's local spelling of it.
 from mobility_etl_spark.locks import (  # noqa: E402
-    DEFAULT_STALE_S as _LOCK_STALE_S,
-)
-from mobility_etl_spark.locks import (  # noqa: E402
     acquire_exclusive_lock as _acquire_ledger_lock,
 )
 from mobility_etl_spark.locks import (  # noqa: E402

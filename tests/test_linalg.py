@@ -289,7 +289,10 @@ def test_kmeans_assign_blas_matches_codegen_and_tolerates_nulls(spark, emb):
     ref = float(((x - cents[r0.cluster_id]) ** 2).sum())
     assert abs(r0.d2 - ref) < 1e-6
 
-    bad = emb.limit(3).select(
+    # orderBy before limit: an unordered limit re-executes per action
+    # and can pick DIFFERENT rows for the union job vs the collect
+    # below (the assertion would KeyError on correct code)
+    bad = emb.orderBy("vec_id").limit(3).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.when(F.col("vec_id") % 3 == 0, F.col("embedding"))
         .when(F.col("vec_id") % 3 == 1, F.lit(None).cast("array<float>"))
