@@ -648,8 +648,11 @@ def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
     t.start()
     # the waiter steals the fresh lock, sees the inode mismatch, and
     # must restore it — poll until the restore lands, then verify the
-    # SAME inode is back under the original name and no steal leaks
-    deadline = time.monotonic() + 10
+    # SAME inode is back under the original name and no steal leaks.
+    # Generous deadline: under a full-suite run the box is saturated
+    # by 32-thread Spark jobs and the waiter thread can be descheduled
+    # for many seconds (the 10 s window flaked exactly once there).
+    deadline = time.monotonic() + 60
     while time.monotonic() < deadline:
         try:
             if real_stat(lock).st_ino == fresh_ino and lied.is_set():
@@ -663,7 +666,7 @@ def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
     assert "fd" not in acquired, "waiter acquired while holder lives"
     # holder releases; the waiter must now acquire normally
     pds.release_exclusive_lock(lock, fd_holder)
-    t.join(timeout=30)
+    t.join(timeout=60)
     assert not t.is_alive() and "fd" in acquired
     pds.release_exclusive_lock(lock, acquired["fd"])
     assert not os.path.exists(lock)
