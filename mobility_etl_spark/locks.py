@@ -26,7 +26,14 @@ Long-running holders must :func:`heartbeat_lock` more often than the
 staleness window; the heartbeat verifies the lock is still OWNED
 (inode match against the holder's fd) and raises if it was stolen,
 so a stalled-then-resumed holder aborts before its next mutation
-instead of silently racing the stealer. Waiters treat an ADVANCING
+instead of silently racing the stealer.
+
+Known bounded liveness quirk: if a holder RELEASES (unlinks) while a
+mistaken stealer holds the renamed file, the stealer's link-restore
+resurrects a holder-less lock; waiters then wait it out — the dead-
+PID fast path or the staleness window reclaims it, so the stall is
+bounded by ``stale_s``, never a deadlock, and no correctness window
+opens (nobody holds an fd to it). Waiters treat an ADVANCING
 lock mtime as proof of liveness and extend their acquire deadline,
 so a healthy multi-window run never produces a spurious
 "holder is wedged" timeout. Same-host scope (local-filesystem rename

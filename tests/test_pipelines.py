@@ -622,6 +622,7 @@ def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
     fresh_ino = os.stat(lock).st_ino
 
     lied = threading.Event()
+    past_steal = threading.Event()
     real_stat = os.stat
 
     def lying_stat(p, *a, **k):
@@ -633,6 +634,13 @@ def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
             return SimpleNamespace(
                 st_ino=st.st_ino + 1, st_mtime=time.time() - 3600
             )
+        # a SECOND stat of the lock means the steal+restore iteration
+        # completed — the synchronization point the main thread must
+        # wait for before releasing the holder (releasing mid-steal
+        # makes the restore resurrect a holder-less lock, and the
+        # waiter then legitimately waits out the staleness window —
+        # the flake this event de-races)
+        past_steal.set()
         return st
 
     acquired = {}
@@ -647,19 +655,14 @@ def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
     t = threading.Thread(target=waiter)
     t.start()
     # the waiter steals the fresh lock, sees the inode mismatch, and
-    # must restore it — poll until the restore lands, then verify the
-    # SAME inode is back under the original name and no steal leaks.
-    # Generous deadline: under a full-suite run the box is saturated
-    # by 32-thread Spark jobs and the waiter thread can be descheduled
-    # for many seconds (the 10 s window flaked exactly once there).
-    deadline = time.monotonic() + 60
-    while time.monotonic() < deadline:
-        try:
-            if real_stat(lock).st_ino == fresh_ino and lied.is_set():
-                break
-        except FileNotFoundError:
-            pass
-        time.sleep(0.01)
+    # must restore it — wait for the POST-restore iteration (the
+    # second stat), then verify the SAME inode is back under the
+    # original name and no steal leaks. Waiting on lied alone raced:
+    # lied is set BEFORE the rename, so under load the main thread
+    # could release the holder mid-steal and the link-restore would
+    # resurrect a holder-less lock the waiter then (correctly) waits
+    # a full staleness window on.
+    assert past_steal.wait(timeout=60), "waiter never completed a steal"
     assert real_stat(lock).st_ino == fresh_ino, (
         "fresh lock was not restored after the mistaken steal"
     )
