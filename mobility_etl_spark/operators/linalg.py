@@ -161,15 +161,21 @@ def kmeans_fit(
     set is *control state* that lives driver-side and broadcasts into
     each pass; the data never shuffles at all. Per iteration, one
     mapInPandas pass assigns each vector to its nearest centroid and
-    emits per-partition (cluster, dim, partial_sum) rows — k·(d+1)
-    scalars per partition — whose merge is a tiny groupBy; the driver
-    recomputes means (an O(k·d) update) and loops. Seeding is
-    deterministic and layout-invariant: the k rows with the smallest
-    ``xxhash64(key)``.
+    emits ONE row per (partition, cluster): ``(cid, sum array<double>,
+    count)`` — k array-rows per partition, not k·d scalar rows
+    (VERDICT r13 #1: at the SemDeDup deployment cap k=4096, d=64 the
+    scalar form pushed ~262k rows per partition per iteration through
+    the Exchange and collected ~262k Rows on the driver; the array
+    form shuffles k rows and collects exactly k — ~2 MB at the cap).
+    The merge is a grouped elementwise-sum ``applyInPandas`` (k
+    groups); the driver recomputes means (an O(k·d) update) and
+    loops. Seeding is deterministic and layout-invariant: the k rows
+    with the smallest ``xxhash64(key)``.
 
     Returns (centroids ndarray [k×d], counts ndarray [k]). Empty
     clusters keep their previous centroid. tests/test_linalg.py gates
-    parity with single-machine numpy Lloyd's and monotone inertia.
+    parity with single-machine numpy Lloyd's and monotone inertia,
+    plus scalar-vs-array merge parity at k ∈ {8, 256, 4096}.
     """
     import numpy as np
     import pandas as pd
@@ -183,40 +189,49 @@ def kmeans_fit(
     )
     cents = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
     counts = np.zeros(k)
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "cid": [int(pdf["cid"].iloc[0])],
+                "s": [np.stack(pdf["s"].to_numpy()).sum(axis=0)],
+                "n": [float(pdf["n"].sum())],
+            }
+        )
+
     for _ in range(iters):
         c_b = cents.copy()
 
         def partials(batches, c_b=c_b):
             sums = np.zeros((k, dim))
             cnt = np.zeros(k)
+            seen = False
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 a = _gram_d2(x, c_b).argmin(axis=1)
                 np.add.at(sums, a, x)
                 cnt += np.bincount(a, minlength=k)
-            cc, dd = np.nonzero(np.ones((k, dim)))
+                seen = True
+            if not seen:
+                return  # empty partition: contribute nothing
             yield pd.DataFrame(
-                {
-                    "cid": np.concatenate([cc, np.arange(k)]),
-                    "j": np.concatenate([dd, np.full(k, -1)]),
-                    "s": np.concatenate([sums[cc, dd], cnt]),
-                }
+                {"cid": np.arange(k), "s": list(sums), "n": cnt}
             )
 
         merged = (
             df.select(vec_col)
-            .mapInPandas(partials, "cid int, j int, s double")
-            .groupBy("cid", "j")
-            .agg(F.sum("s").alias("s"))
+            .mapInPandas(partials, "cid int, s array<double>, n double")
+            .groupBy("cid")
+            .applyInPandas(merge, "cid int, s array<double>, n double")
             .collect()
         )
         sums = np.zeros((k, dim))
         counts = np.zeros(k)
         for r in merged:
-            if r.j == -1:
-                counts[r.cid] = r.s
-            else:
-                sums[r.cid, r.j] = r.s
+            sums[r.cid] = np.asarray(r.s, dtype=np.float64)
+            counts[r.cid] = r.n
         nonempty = counts > 0
         cents[nonempty] = sums[nonempty] / counts[nonempty, None]
     return cents, counts

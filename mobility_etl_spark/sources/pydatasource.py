@@ -212,6 +212,7 @@ def _publish_manifest(path: str, name: str, manifest: dict) -> None:
 from mobility_etl_spark.locks import (  # noqa: E402
     acquire_exclusive_lock as _acquire_ledger_lock,
 )
+from mobility_etl_spark.locks import heartbeat_lock as _verify_ledger_lock  # noqa: E402
 from mobility_etl_spark.locks import (  # noqa: E402
     release_exclusive_lock as _release_ledger_lock,
 )
@@ -249,15 +250,12 @@ class LedgerWriter(DataSourceWriter):
         # two concurrent committers that both read the same prior
         # ledger would each publish prior+own and the second rename
         # silently drops the first writer's files. Serialize with an
-        # O_EXCL lockfile (put-if-absent, the same primitive as
-        # snapshots.py's hard-link commit). A crashed holder cannot
-        # wedge the sink forever: _acquire_ledger_lock steals locks
-        # older than the staleness window by atomic rename, with an
-        # inode verify + link-restore closing the stat-then-rename
-        # TOCTOU on a fresh lock (see its docstring). The acquire
-        # deadline (STALE + 30 s) extends past the staleness window so
-        # a waiter blocked behind a crashed holder lives long enough
-        # to perform the steal.
+        # flock-held lockfile (mobility_etl_spark/locks.py). A
+        # crashed holder cannot wedge the sink at all — the kernel
+        # drops its flock on process death and the next waiter
+        # acquires instantly; a WEDGED-alive holder (no heartbeat
+        # past the staleness window) is broken by a verified rename
+        # (see the locks module docstring).
         lock = manifest_path + ".lock"
         try:
             fd = _acquire_ledger_lock(lock)
@@ -281,6 +279,12 @@ class LedgerWriter(DataSourceWriter):
                     "files": sorted(set(prior_files) | set(new_files)),
                     "n_rows": prior_rows + n_rows,
                 }
+            # re-verify ownership immediately before the mutation: a
+            # commit that stalled past the staleness window has had
+            # its lock broken, and publishing anyway would overwrite
+            # the new holder's manifest (same pattern as the
+            # compactor's post-write heartbeat, ADVICE r13)
+            _verify_ledger_lock(lock, fd)
             _publish_manifest(self.path, "_LEDGER", manifest)
         finally:
             # (A stalled holder's own manifest write may still have

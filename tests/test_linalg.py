@@ -315,3 +315,43 @@ def test_kmeans_assign_blas_matches_codegen_and_tolerates_nulls(spark, emb):
             assert cid is None and d2 is None
         else:
             assert cid is not None and d2 is not None
+
+
+def test_kmeans_fit_array_merge_parity_large_k(spark):
+    """VERDICT r13 #1: kmeans_fit's partial merge is one array-row per
+    (partition, cluster) — k rows through the Exchange and k collected
+    Rows, not k·d scalars. Gate: the fit matches single-machine numpy
+    Lloyd's from the same deterministic seeds at k ∈ {8, 256, 4096}
+    (4096 = the SemDeDup deployment cap, queries/similarity.py), with
+    every vector accounted for and empty clusters keeping their seed."""
+    from mobility_etl_spark.operators.linalg import _gram_d2, kmeans_fit
+
+    n, dim, iters = 5000, 16, 2
+    base = spark.range(n).select(
+        F.concat(F.lit("v"), F.col("id")).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), "
+            "i -> sin(CAST(id * 16 + i AS DOUBLE)))"
+        ).alias("embedding"),
+    )
+    rows = (
+        base.withColumn("__h", F.xxhash64("vec_id"))
+        .orderBy("__h", "vec_id")
+        .collect()
+    )
+    x = np.stack([r.embedding for r in rows]).astype(np.float64)
+    for k in (8, 256, 4096):
+        ref = x[:k].copy()  # same seeds: k smallest hashes
+        for _ in range(iters):
+            a = _gram_d2(x, ref).argmin(axis=1)
+            sums = np.zeros((k, dim))
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=k)
+            ne = cnt > 0
+            ref[ne] = sums[ne] / cnt[ne, None]
+        cents, counts = kmeans_fit(
+            base.repartition(7), "embedding", dim, k=k, iters=iters
+        )
+        assert cents.shape == (k, dim)
+        assert np.allclose(cents, ref, atol=1e-8), f"k={k} diverged"
+        assert int(counts.sum()) == n, f"k={k} lost vectors"

@@ -599,83 +599,305 @@ def test_compact_recovery_liveness_tiers(tmp_path):
     assert (intent / "dddd.json").exists()
 
 
-def test_ledger_lock_steal_restores_fresh_lock(tmp_path):
-    """ADVICE r12 (pydatasource lock-steal TOCTOU): a waiter that
-    observed a STALE lock but whose rename lands on a FRESH lock
-    (another stealer removed the stale one and a new holder recreated
-    it in between) must detect the inode mismatch, RESTORE the fresh
-    lock under its original name, and keep waiting — not unlink it
-    and let two committers run the read-modify-write concurrently.
-    Driven deterministically through the _lock_stat seam: the first
-    staleness stat lies (stale mtime + the old lock's inode) while
-    the on-disk lock is the fresh holder's."""
-    import os
-    import threading
+def test_compact_recovery_recycled_pid_and_missing_ts(tmp_path):
+    """VERDICT r13 #5 + ADVICE r13: two more liveness tiers —
+    (a) a fresh foreign marker whose pid is ALIVE but whose recorded
+    ``pid_start`` mismatches /proc (a recycled PID: the real holder
+    is dead) is recovered immediately, not pinned until staleness;
+    (b) a marker WITHOUT a ts (pre-r13 writer) is not treated as
+    infinitely stale — a live pre-upgrade holder keeps its in-flight
+    swap through a mixed-version window, while a dead one is still
+    recovered via the PID tier."""
+    import json
     import time
-    from types import SimpleNamespace
 
-    from mobility_etl_spark import locks as pds
+    from mobility_etl_spark import io as mio
+    from mobility_etl_spark.locks import proc_start
 
-    lock = str(tmp_path / "_LEDGER.lock")
-    # the FRESH lock currently held by an in-flight committer
-    fd_holder = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    fresh_ino = os.stat(lock).st_ino
+    root = tmp_path / "t"
+    trash = root / ".compaction_trash"
+    intent = root / mio._INTENT_DIR
+    intent.mkdir(parents=True)
+    trash.mkdir(parents=True)
 
-    lied = threading.Event()
-    past_steal = threading.Event()
-    real_stat = os.stat
-
-    def lying_stat(p, *a, **k):
-        st = real_stat(p, *a, **k)
-        if not lied.is_set():
-            lied.set()
-            # what the waiter WOULD have seen before the interleave:
-            # the old stale lock (different inode, mtime past window)
-            return SimpleNamespace(
-                st_ino=st.st_ino + 1, st_mtime=time.time() - 3600
+    def plant(token, original, **fields):
+        (trash / f"{token}-{original}").write_bytes(b"x")
+        (intent / f"{token}.json").write_text(
+            json.dumps(
+                {"mode": "files", "originals": [original], "staged": []}
+                | fields
             )
-        # a SECOND stat of the lock means the steal+restore iteration
-        # completed — the synchronization point the main thread must
-        # wait for before releasing the holder (releasing mid-steal
-        # makes the restore resurrect a holder-less lock, and the
-        # waiter then legitimately waits out the staleness window —
-        # the flake this event de-races)
-        past_steal.set()
-        return st
+        )
 
-    acquired = {}
+    now = time.time()
+    # (a) recycled pid: PID 1 is alive but the recorded starttime is
+    # a fabrication → provably not the holder → recovered while fresh
+    plant("aaaa", "a.parquet", pid=1, pid_start="999999999", ts=now)
+    # (a') genuine live holder: PID 1 with ITS OWN starttime → skipped
+    plant("bbbb", "b.parquet", pid=1, pid_start=proc_start(1), ts=now)
+    # (b) no ts, live pre-upgrade holder (PID 1, no pid_start either)
+    # → skipped, NOT recovered as infinitely-stale
+    plant("cccc", "c.parquet", pid=1)
+    # (b') no ts, dead holder → recovered via the PID tier
+    plant("dddd", "d.parquet", pid=2**22 + 11)
+    mio._recover_compaction(root, root / ".compaction_tmp", trash)
+    assert (root / "a.parquet").exists()  # recycled pid: recovered
+    assert not (intent / "aaaa.json").exists()
+    assert not (root / "b.parquet").exists()  # live holder: skipped
+    assert (intent / "bbbb.json").exists()
+    assert not (root / "c.parquet").exists()  # ts-less live: skipped
+    assert (intent / "cccc.json").exists()
+    assert (root / "d.parquet").exists()  # ts-less dead: recovered
+    assert not (intent / "dddd.json").exists()
 
-    def waiter():
-        pds._lock_stat = lying_stat
-        try:
-            acquired["fd"] = pds.acquire_exclusive_lock(lock)
-        finally:
-            pds._lock_stat = None
 
-    t = threading.Thread(target=waiter)
-    t.start()
-    # the waiter steals the fresh lock, sees the inode mismatch, and
-    # must restore it — wait for the POST-restore iteration (the
-    # second stat), then verify the SAME inode is back under the
-    # original name and no steal leaks. Waiting on lied alone raced:
-    # lied is set BEFORE the rename, so under load the main thread
-    # could release the holder mid-steal and the link-restore would
-    # resurrect a holder-less lock the waiter then (correctly) waits
-    # a full staleness window on.
-    assert past_steal.wait(timeout=60), "waiter never completed a steal"
-    assert real_stat(lock).st_ino == fresh_ino, (
-        "fresh lock was not restored after the mistaken steal"
+def test_compact_recovery_reclaims_staged_output(tmp_path):
+    """ADVICE r13: recovery must delete the crashed swap's token-
+    scoped stage dir once originals are restored — otherwise every
+    crashed swap leaves a full compacted copy under .compaction_tmp
+    forever. A legacy dir-mode marker with NO recorded stage path
+    must leave the shared fallback dir untouched (it may hold an
+    unrelated in-flight stage)."""
+    import json
+
+    from mobility_etl_spark import io as mio
+
+    root = tmp_path / "t"
+    stage_root = root / ".compaction_tmp"
+    trash = root / ".compaction_trash"
+    intent = root / mio._INTENT_DIR
+    intent.mkdir(parents=True)
+    trash.mkdir(parents=True)
+
+    # files-mode crashed swap: stage dir holds the compacted output
+    (stage_root / "tok1").mkdir(parents=True)
+    (stage_root / "tok1" / "part-0.parquet").write_bytes(b"y")
+    (trash / "tok1-orig.parquet").write_bytes(b"x")
+    (intent / "tok1.json").write_text(
+        json.dumps(
+            {"mode": "files", "originals": ["orig.parquet"], "staged": []}
+        )
     )
-    assert "fd" not in acquired, "waiter acquired while holder lives"
-    # holder releases; the waiter must now acquire normally
-    pds.release_exclusive_lock(lock, fd_holder)
-    t.join(timeout=60)
-    assert not t.is_alive() and "fd" in acquired
-    pds.release_exclusive_lock(lock, acquired["fd"])
+    # dir-mode crashed swap (r13+ marker records its stage)
+    (stage_root / "tok2" / "dt=1").mkdir(parents=True)
+    (stage_root / "tok2" / "dt=1" / "part-0.parquet").write_bytes(b"y")
+    (root / "dt=1").mkdir()
+    (root / "dt=1" / "part-0.parquet").write_bytes(b"x")
+    (intent / "tok2.json").write_text(
+        json.dumps(
+            {"mode": "dir", "leaf": "dt=1", "stage": ".compaction_tmp/tok2/dt=1"}
+        )
+    )
+    # legacy dir-mode marker: no recorded stage; the shared fallback
+    # path holds what could be ANOTHER swap's in-flight stage
+    (stage_root / "dt=2").mkdir(parents=True)
+    (stage_root / "dt=2" / "part-0.parquet").write_bytes(b"z")
+    (root / "dt=2").mkdir()
+    (root / "dt=2" / "part-0.parquet").write_bytes(b"x")
+    (intent / "tok3.json").write_text(
+        json.dumps({"mode": "dir", "leaf": "dt=2"})
+    )
+    mio._recover_compaction(root, stage_root, trash)
+    assert (root / "orig.parquet").exists()
+    assert not (stage_root / "tok1").exists()  # files stage reclaimed
+    assert (root / "dt=1" / "part-0.parquet").read_bytes() == b"x"
+    assert not (stage_root / "tok2").exists()  # dir stage reclaimed
+    assert (stage_root / "dt=2" / "part-0.parquet").exists()  # legacy kept
+    assert not list(intent.glob("*.json"))
+
+
+def test_lock_recycled_pid_steals_fast(tmp_path):
+    """VERDICT r13 #5: a lockfile whose recorded pid is ALIVE but
+    whose starttime token mismatches /proc (PID reuse — the real
+    holder is dead) is stolen on the dead-holder fast path, without
+    waiting out the staleness window. A bare-pid legacy payload with
+    a live pid still waits (kill-only degradation), and our own
+    payload round-trips through read→liveness as alive."""
+    import os
+    import time
+
+    from mobility_etl_spark import locks
+
+    # holder_payload round-trip: written identity reads back alive
+    lock = str(tmp_path / "a.lock")
+    with open(lock, "wb") as fh:
+        fh.write(locks.holder_payload())
+    assert locks._pid_dead(*locks._read_holder(lock)) is False
+
+    # recycled pid: alive PID 1 + fabricated starttime → fast steal
+    lock2 = str(tmp_path / "b.lock")
+    with open(lock2, "wb") as fh:
+        fh.write(b"1:999999999")
+    t0 = time.monotonic()
+    fd = locks.acquire_exclusive_lock(lock2, stale_s=300.0)
+    assert time.monotonic() - t0 < 30.0  # window not waited out
+    locks.release_exclusive_lock(lock2, fd)
+    assert not os.path.exists(lock2)
+
+    # legacy bare-pid payload, genuinely live holder: NOT stealable
+    lock3 = str(tmp_path / "c.lock")
+    with open(lock3, "wb") as fh:
+        fh.write(b"1")
+    assert locks._pid_dead(*locks._read_holder(lock3)) is False
+    # and the full identity of live PID 1 is also not stealable
+    lock4 = str(tmp_path / "d.lock")
+    with open(lock4, "wb") as fh:
+        fh.write(f"1:{locks.proc_start(1)}".encode())
+    assert locks._pid_dead(*locks._read_holder(lock4)) is False
+
+
+def test_compact_aborts_before_intent_when_lock_stolen_after_write(
+    spark, tmp_path, sf_dir
+):
+    """ADVICE r13 (medium): the Spark rewrite is the one step that
+    can stall past the staleness window, so ownership is re-verified
+    AFTER the write and BEFORE _publish_intent — a zombie run whose
+    lock was stolen mid-write must abort with the table untouched
+    and no intent marker published, instead of racing the stealer's
+    renames. Driven by making the post-write heartbeat observe a
+    stolen lock (the lockfile is re-created with a different inode
+    mid-run via the heartbeat seam on locks.heartbeat_lock)."""
+    import os
+
+    import pytest
+
+    from mobility_etl_spark import locks
+    from mobility_etl_spark.io import compact_partitions, load_table
+
+    path = tmp_path / "flat"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).write.mode("append").parquet(
+            str(path)
+        )
+    n_rows = spark.read.parquet(str(path)).count()
+    files = sorted(f.name for f in path.glob("*.parquet"))
+
+    real_heartbeat = locks.heartbeat_lock
+    calls = {"n": 0}
+
+    def stealing_heartbeat(lock, fd):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # simulate the steal landing during the rewrite: replace
+            # the lockfile (new inode) so the post-write verify —
+            # call #2 for the first leaf — sees a foreign lock; the
+            # REAL heartbeat below then raises and compact aborts
+            os.unlink(lock)
+            with open(lock, "w") as fh:
+                fh.write("1")
+        real_heartbeat(lock, fd)
+
+    locks.heartbeat_lock = stealing_heartbeat
+    try:
+        with pytest.raises(TimeoutError):
+            compact_partitions(
+                spark, str(path), target_file_bytes=1 << 30
+            )
+    finally:
+        locks.heartbeat_lock = real_heartbeat
+    assert calls["n"] == 2, "no post-write ownership re-verify ran"
+    # nothing mutated: all originals in place, no intent marker
+    assert sorted(f.name for f in path.glob("*.parquet")) == files
+    assert spark.read.parquet(str(path)).count() == n_rows
+    intent_dir = path / ".compaction_intent"
+    assert not intent_dir.exists() or not list(intent_dir.glob("*.json"))
+    (path / ".compaction.lock").unlink(missing_ok=True)
+
+
+def test_lock_crashed_holder_releases_instantly(tmp_path):
+    """r14 flock protocol: a CRASHED holder's lock costs waiters
+    nothing — the kernel drops its flock on process death, so the
+    next acquire succeeds immediately instead of waiting out the
+    staleness window (the PID-reuse hazard VERDICT r13 #5 flagged is
+    gone with the PID itself)."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from mobility_etl_spark import locks
+
+    lock = str(tmp_path / "t.lock")
+    # a real separate PROCESS acquires and dies holding the flock
+    child = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, %r); "
+            "from mobility_etl_spark import locks; "
+            "locks.acquire_exclusive_lock(%r); "
+            "import os; os._exit(9)" % ("/root/repo", lock),
+        ],
+        timeout=60,
+    )
+    assert child.returncode == 9
+    assert os.path.exists(lock)  # the corpse's lockfile remains
+    t0 = time.monotonic()
+    fd = locks.acquire_exclusive_lock(lock, stale_s=300.0)
+    assert time.monotonic() - t0 < 30.0  # no staleness wait
+    locks.release_exclusive_lock(lock, fd)
+    assert not os.path.exists(lock)
+
+
+def test_lock_wedged_holder_is_broken_and_detected(tmp_path):
+    """r14 flock protocol: a WEDGED-alive holder (flock held, no
+    heartbeat past the staleness window) is broken by a waiter; the
+    zombie's next heartbeat_lock raises so it aborts before further
+    mutation, and its release is a no-op that leaves the new
+    holder's lock intact."""
+    import os
+    import pytest
+    import time
+
+    from mobility_etl_spark import locks
+
+    lock = str(tmp_path / "t.lock")
+    fd_wedged = locks.acquire_exclusive_lock(lock, stale_s=1.0)
+    # simulate the wedge: the holder stops heartbeating and its
+    # mtime ages past the window
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    t0 = time.monotonic()
+    fd_new = locks.acquire_exclusive_lock(lock, stale_s=1.0)
+    assert time.monotonic() - t0 < 30.0
+    # the zombie resumes: pre-mutation verify must abort it
+    with pytest.raises(TimeoutError):
+        locks.heartbeat_lock(lock, fd_wedged)
+    locks.release_exclusive_lock(lock, fd_wedged)  # no-op: not ours
+    assert os.path.exists(lock), "zombie release deleted the new lock"
+    locks.heartbeat_lock(lock, fd_new)  # new holder unaffected
+    locks.release_exclusive_lock(lock, fd_new)
     assert not os.path.exists(lock)
     assert not [
         f for f in os.listdir(tmp_path) if ".lock.steal-" in f
-    ], "steal artifacts leaked"
+    ], "break artifacts leaked"
+
+
+def test_lock_break_grace_spares_live_holder(tmp_path):
+    """r14 flock protocol: the break path's double-stat grace — a
+    holder that stamps/heartbeats between a waiter's staleness
+    observation and the break attempt is NOT robbed (the re-stat
+    sees a changed mtime and backs off)."""
+    import os
+    import time
+
+    from mobility_etl_spark import locks
+
+    lock = str(tmp_path / "t.lock")
+    fd = locks.acquire_exclusive_lock(lock)
+    stale = os.stat(lock)
+
+    class Observed:
+        st_ino = stale.st_ino
+        st_mtime = time.time() - 3600  # what a lagging waiter saw
+
+    # the holder heartbeats before the break lands
+    locks.heartbeat_lock(lock, fd)
+    locks._break_wedged(lock, Observed, stale_s=60.0)
+    assert os.stat(lock).st_ino == stale.st_ino, "live holder robbed"
+    locks.heartbeat_lock(lock, fd)  # still ours
+    locks.release_exclusive_lock(lock, fd)
 
 
 def test_check_constraints_valid_plus_violations_partition(spark):
@@ -965,3 +1187,131 @@ def test_ledger_lock_steal_is_single_winner(tmp_path):
     assert not [
         f for f in os.listdir(path) if ".lock.steal-" in f
     ], "steal artifacts leaked"
+
+
+_CHAOS_CHILD = r"""
+import os, pathlib, sys
+root, mode, point, repo = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
+sys.path.insert(0, repo)
+from mobility_etl_spark import io as mio
+from mobility_etl_spark.session import get_spark
+
+def boom():
+    os.kill(os.getpid(), 9)  # SIGKILL: no finally, no atexit, no flush
+
+real_publish, real_clear = mio._publish_intent, mio._clear_intent
+if point == "pre_marker":
+    mio._publish_intent = lambda *a, **k: boom()
+elif point == "post_marker":
+    def _p(*a, **k):
+        real_publish(*a, **k); boom()
+    mio._publish_intent = _p
+elif point == "pre_clear":
+    mio._clear_intent = lambda *a, **k: boom()
+elif point == "post_clear":
+    def _c(*a, **k):
+        real_clear(*a, **k); boom()
+    mio._clear_intent = _c
+elif point.startswith("rename"):
+    n_kill, state = int(point.split("-")[1]), {"n": 0}
+    real_rename = pathlib.Path.rename
+    def _r(self, target):
+        out = real_rename(self, target)
+        state["n"] += 1
+        if state["n"] >= n_kill:
+            boom()
+        return out
+    pathlib.Path.rename = _r
+spark = get_spark(f"chaos-{mode}-{point}", master="local[2]",
+                  shuffle_partitions=2)
+mio.compact_partitions(spark, os.path.join(root, "t"),
+                       target_file_bytes=1 << 30)
+print("NO-KILL", flush=True)  # reachable only if the point never fired
+"""
+
+
+@pytest.mark.slow
+def test_compact_sigkill_chaos_drill(spark, tmp_path):
+    """VERDICT r13 #2: the cross-process drills race HEALTHY
+    processes; this one `kill -9`s a real compactor child at every
+    distinct point of the swap protocol — pre-marker, post-marker/
+    pre-rename, mid-rename (files: half the originals in trash;
+    dir: leaf moved aside, stage not yet renamed in), pre-clear,
+    post-clear/pre-trash-cleanup — then runs one healing
+    compact_partitions pass and a full read-back. Every table must
+    read exactly its original rows, be compacted, and carry zero
+    orphaned marker/stage/trash/lock artifacts (io.py swap protocol +
+    _sweep_unreferenced; locks.py flock releases on SIGKILL)."""
+    import pathlib
+    import subprocess
+    import sys
+
+    from mobility_etl_spark.io import compact_partitions
+
+    cases = [
+        ("files", "pre_marker"),
+        ("files", "post_marker"),
+        ("files", "rename-2"),
+        ("files", "pre_clear"),
+        ("files", "post_clear"),
+        ("dir", "post_marker"),
+        ("dir", "rename-1"),
+        ("dir", "post_clear"),
+    ]
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    expected = {}
+    for mode, point in cases:
+        case_root = tmp_path / f"{mode}-{point}"
+        t = case_root / "t"
+        for i in range(4):
+            df = spark.range(i * 10, i * 10 + 5)
+            if mode == "dir":
+                df = df.withColumn("dt", F.lit("2024-01-01"))
+                df.write.partitionBy("dt").mode("append").parquet(str(t))
+            else:
+                df.write.mode("append").parquet(str(t))
+        expected[(mode, point)] = sorted(
+            r.id for r in spark.read.parquet(str(t)).collect()
+        )
+
+    procs = {
+        (mode, point): subprocess.Popen(
+            [
+                sys.executable, "-c", _CHAOS_CHILD,
+                str(tmp_path / f"{mode}-{point}"), mode, point, repo,
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        )
+        for mode, point in cases
+    }
+    for (mode, point), p in procs.items():
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == -9, (
+            f"{mode}/{point}: child exited {p.returncode} ({out}) — "
+            "the kill point never fired"
+        )
+        assert "NO-KILL" not in out
+
+    for mode, point in cases:
+        case_root = tmp_path / f"{mode}-{point}"
+        t = case_root / "t"
+        # healing pass: recovery + orphan sweep + normal compaction
+        n_files = compact_partitions(
+            spark, str(t), target_file_bytes=1 << 30
+        )
+        got = sorted(r.id for r in spark.read.parquet(str(t)).collect())
+        assert got == expected[(mode, point)], f"{mode}/{point} rows"
+        assert n_files == 1, f"{mode}/{point}: not compacted"
+        # zero orphans of any kind
+        intent = t / ".compaction_intent"
+        assert not intent.exists() or not list(intent.glob("*.json")), (
+            f"{mode}/{point}: marker leaked"
+        )
+        for hidden in (".compaction_tmp", ".compaction_trash"):
+            hdir = t / hidden
+            leftovers = list(hdir.rglob("*")) if hdir.exists() else []
+            assert not leftovers, f"{mode}/{point}: {hidden} leaked: {leftovers}"
+        assert not (t / ".compaction.lock").exists(), (
+            f"{mode}/{point}: lockfile leaked"
+        )
+        assert not list(t.glob("*.steal-*")), f"{mode}/{point}: steal leaked"
