@@ -440,6 +440,7 @@ def capstone_soak(spark, n_batches=100, batch_rows=1_000) -> dict:
 
             catalog_vacuum(root, keep_last=2)
         wall = time.perf_counter() - t0
+        out.setdefault("walls_s", []).append(round(wall, 3))
         if (b + 1) in checkpoints:
             tips = {
                 name: snapshot_tip(os.path.join(root, name))["n_files"]
@@ -460,6 +461,23 @@ def capstone_soak(spark, n_batches=100, batch_rows=1_000) -> dict:
                 }
             )
             print(json.dumps(out["batches"][-1]), flush=True)
+    # VERDICT r13 #4: the number a long-lived cluster actually pays —
+    # median per-batch wall over the steady-state tail (batches 25..N),
+    # after compaction cadence and index growth have reached regime.
+    # bench_pipeline.py publishes this into BENCH_PIPELINE.json.
+    tail = sorted(out["walls_s"][24:]) or sorted(out["walls_s"])
+    mid = len(tail) // 2
+    out["steady_state_per_batch"] = round(
+        tail[mid]
+        if len(tail) % 2
+        else (tail[mid - 1] + tail[mid]) / 2.0,
+        3,
+    )
+    out["steady_state_params"] = {
+        "n_batches": n_batches,
+        "batch_rows": batch_rows,
+        "tail_from_batch": 25,
+    }
     shutil.rmtree(base, ignore_errors=True)
     return out
 
@@ -480,6 +498,10 @@ def main():
         print(json.dumps({"probe": doc["probe"]}, indent=1), flush=True)
     if which in ("soak", "all"):
         doc["soak"] = capstone_soak(spark)
+        # persisted so bench_pipeline.py can publish the steady-state
+        # number without re-running the 100-batch soak every bench pass
+        with open("SOAK_LATEST.json", "w") as fh:
+            json.dump(doc["soak"], fh, indent=1, sort_keys=True)
     print("FINAL " + json.dumps(doc))
     spark.stop()
 
