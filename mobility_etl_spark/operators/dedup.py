@@ -91,20 +91,34 @@ def minhash_perm_hash(i: int, shingle_col) -> "F.Column":
 
 
 def minhash_signatures(
-    shingle_df: DataFrame, key_col: str, num_perm: int = 32
+    shingle_df: DataFrame, key_col: str, num_perm: int = 32,
+    with_count: bool = False,
 ) -> DataFrame:
     """MinHash signature per key: array of num_perm minima of seeded
     portable hashes (:func:`minhash_perm_hash`) over the shingle set.
     One aggregation shuffle; signature size is num_perm*8 bytes
-    regardless of document size."""
+    regardless of document size.
+
+    ``with_count=True`` additionally emits ``n_shingles`` from the
+    SAME aggregation pass (r14, guide §2.4): a caller that needs both
+    the signatures and the per-key shingle-set sizes (the LSH →
+    exact-Jaccard verify chain) otherwise runs the whole shingle DAG —
+    split, n zip_with slices, explode, array_distinct — twice through
+    two separate exchanges keyed identically."""
     mins = [
         F.min(minhash_perm_hash(i, F.col("shingle"))).alias(f"h{i}")
         for i in range(num_perm)
     ]
+    if with_count:
+        mins.append(F.count("*").alias("n_shingles"))
     sig = shingle_df.groupBy(key_col).agg(*mins)
-    return sig.select(
-        key_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
-    )
+    cols = [
+        F.col(key_col),
+        F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"),
+    ]
+    if with_count:
+        cols.append(F.col("n_shingles"))
+    return sig.select(*cols)
 
 
 def lsh_candidate_pairs(
@@ -152,6 +166,7 @@ def jaccard_pairs(
     key_col: str,
     candidates: DataFrame | None = None,
     min_jaccard: float = 0.0,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity for document pairs from shingle sets.
 
@@ -160,24 +175,44 @@ def jaccard_pairs(
     oracle path). Intersection counts come from a self-join on the
     shingle; union = |A| + |B| − |A∩B|; all integer arithmetic until
     the final division, so the score is engine-exact.
+
+    ``sizes`` (key, n_shingles) lets a caller that already aggregated
+    the shingle sets (e.g. minhash_signatures(with_count=True)) skip
+    this function's own size pass — one fewer execution of the
+    shingle DAG (r14, guide §2.4).
     """
-    sizes = shingle_df.groupBy(key_col).agg(F.count("*").alias("n_shingles"))
+    if sizes is None:
+        sizes = shingle_df.groupBy(key_col).agg(
+            F.count("*").alias("n_shingles")
+        )
+    else:
+        sizes = sizes.select(key_col, "n_shingles")
     a = shingle_df.alias("a")
     b = shingle_df.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{key_col}").alias("key_a"),
-            F.col(f"b.{key_col}").alias("key_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
+    pairs = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
+    ).select(
+        F.col(f"a.{key_col}").alias("key_a"),
+        F.col(f"b.{key_col}").alias("key_b"),
     )
     if candidates is not None:
-        inter = inter.join(candidates, ["key_a", "key_b"], "left_semi")
+        # r14 (guide §3.2/§2.3 — drop non-matching rows BEFORE the
+        # shuffle): the candidate set is LSH-bounded (bucket
+        # populations, not the pair space), so it broadcasts; the
+        # semi-join below the pair-count aggregation filters the
+        # co-shingle pairs before they are shuffled and counted,
+        # instead of counting EVERY co-shingled pair and discarding
+        # non-candidates afterwards. Same surviving pairs either way.
+        pairs = pairs.join(
+            F.broadcast(candidates.select("key_a", "key_b")),
+            ["key_a", "key_b"],
+            "left_semi",
+        )
+    inter = pairs.groupBy("key_a", "key_b").agg(
+        F.count("*").alias("n_common")
+    )
     scored = (
         inter.join(
             sizes.select(F.col(key_col).alias("key_a"), F.col("n_shingles").alias("n_a")),

@@ -408,6 +408,41 @@ def append_snapshot(
     return v
 
 
+def append_snapshot_files(
+    spark: SparkSession,
+    table_path: str,
+    new_files: list[str],
+    note: str = "append",
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Commit ALREADY-WRITTEN data files (relative names under the
+    table root, unique — e.g. ``append-{token}-*.parquet``) as an
+    append — the driver-resident-payload path (r14): a micro-batch-
+    bounded payload the driver already holds can be written with
+    pyarrow directly (no Spark job) and committed here with the same
+    retry-with-reapply + orphan-cleanup discipline as
+    :func:`append_snapshot`. Uncommitted files are invisible to
+    readers (only manifests are scanned), so no staging dir is needed
+    when names are unique."""
+    root = pathlib.Path(table_path)
+    try:
+        v = commit_snapshot_update(
+            spark,
+            table_path,
+            lambda cur: cur + list(new_files),
+            note=note,
+            stats_cols=stats_cols,
+            op="append",
+            added=list(new_files),
+        )
+    except RuntimeError:
+        for f in new_files:
+            (root / f).unlink(missing_ok=True)
+        raise
+    assert v is not None  # append never aborts
+    return v
+
+
 def read_snapshot(
     spark: SparkSession,
     table_path: str,

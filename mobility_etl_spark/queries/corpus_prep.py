@@ -916,6 +916,19 @@ def mixture_pack_curriculum(spark: SparkSession, s3: DataFrame) -> DataFrame:
     capstone's finalize (streaming/jobs.py:pretraining_finalize) run
     the IDENTICAL plan over their respective corpora — the
     byte-identity claim reduces to the corpora being equal."""
+    # r14 (guide §5 / §3.3 — materialize an intermediate referenced
+    # twice): ``quota`` and the main packing branch BOTH consume s3,
+    # and s3's lineage is the whole upstream chain — quality scan,
+    # the semantic-dedup Python stage, the n-gram explode and the
+    # decontamination joins — so without a barrier the entire chain
+    # executed TWICE per run (measured: full-capstone noop ≈ 2× the
+    # s3-only noop at sf0.1). s3 is the finished train corpus —
+    # (doc_id, lang, n_tokens), a few narrow columns, orders of
+    # magnitude smaller than the documents it came from — so
+    # localCheckpoint materializes it once inside the timed query and
+    # both branches read the materialized rows. Values are unchanged;
+    # this is a lineage cut, not a cross-run cache.
+    s3 = s3.localCheckpoint()
     # (4) balanced mixture: per-lang quota = smallest lang's count
     quota = s3.groupBy("lang").count().agg(F.min("count").alias("m"))
     # (doc_id % 1000003) pre-reduction before the multiply — the same
@@ -1025,7 +1038,16 @@ def pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     toks = F.split(F.col("text"), " ")
-    base = docs.select("doc_id", "lang", toks.alias("toks"))
+    # r14 (guide §5): ``base`` is consumed by four independent
+    # branches of this one query (the embedded join, the survivor
+    # anti-join, and the eval/train sides of the n-gram stage), each
+    # of which otherwise re-runs the documents scan AND the
+    # whitespace split. localCheckpoint materializes the tokenized
+    # rows once inside the timed query (MEMORY_AND_DISK, spills at
+    # scale); values are unchanged. Same exact-baseline posture as
+    # the all-pairs gram below — the 100 TB path is the clustered
+    # vector_semantic_dedup, not this face.
+    base = docs.select("doc_id", "lang", toks.alias("toks")).localCheckpoint()
     s1 = base.withColumn("n_tokens", F.size("toks")).filter(
         F.col("n_tokens").between(50, 2000)
     )
@@ -1120,50 +1142,48 @@ def run_pretraining_stream(
     feed_dir = os.path.join(root, "feed")
     # Harness scaffolding (carving one table into micro-batch drop
     # files — a production feed arrives externally), but it is inside
-    # the face's wall clock: persist the text column across the carve
-    # (the max-id probe + every chunk otherwise re-scans the parquet)
-    # and run the n_files single-file writes CONCURRENTLY from a
-    # driver thread pool — each coalesce(1) write is one
-    # parquet-encode task, and running them 4-up overlaps what
-    # measured 6 s sequential at sf0.1 (r13 profile). Concurrent
-    # writes finish in arbitrary order, and FileStreamSource processes
-    # files OLDEST-MTIME-FIRST — which would randomize micro-batch
-    # order and trip the id-ordered admission contract — so after the
-    # pool joins, every chunk's files get an EXPLICIT mtime stamped in
-    # chunk order (2 s apart, far above the source's ms granularity),
-    # restoring exactly the ordering the sequential writes gave.
-    docs = (
+    # the face's wall clock. r14 (guide §2.4, remove jobs outright):
+    # ONE ranged write replaces the r13 persist + max-id probe +
+    # n_files filtered writes (1 job, one scan, one shuffle — was
+    # 2 + n_files jobs). repartitionByRange(n_files, doc_id) gives
+    # disjoint ascending doc_id ranges, so part-file k IS chunk k of
+    # the id-ordered carve; each part is renamed into its own chunk
+    # dir. Chunk boundaries move from arithmetic id cuts to sampled
+    # range cuts — the micro-batch-boundary invariance gate
+    # (tests/test_streaming.py, 1 vs 4 vs 7 files) is exactly the
+    # proof that boundaries cannot change the result, and the
+    # id-ordered admission contract only needs ranges to be disjoint
+    # and ascending, which range partitioning guarantees.
+    # FileStreamSource processes files OLDEST-MTIME-FIRST, so every
+    # chunk file gets an EXPLICIT mtime stamped in chunk order (2 s
+    # apart, far above the source's ms granularity).
+    stage = os.path.join(root, ".feed-stage")
+    (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", "lang")
-        .persist()
+        .repartitionByRange(n_files, "doc_id")
+        .write.parquet(stage)
     )
-    try:
-        max_id = docs.agg(F.max("doc_id")).first()[0]
-        if max_id is None:
-            raise ValueError(
-                f"run_pretraining_stream: documents table at {sf_dir} is "
-                "empty — nothing to stream (MAX(doc_id) is NULL)"
-            )
-        hi = max_id + 1
-        bounds = [round(i * hi / n_files) for i in range(n_files + 1)]
-        from concurrent.futures import ThreadPoolExecutor
+    parts = sorted(
+        f for f in os.listdir(stage)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+    if not parts:
+        raise ValueError(
+            f"run_pretraining_stream: documents table at {sf_dir} is "
+            "empty — nothing to stream (the ranged carve wrote no rows)"
+        )
+    base_ts = time.time() - 2.0 * (n_files + 1)
+    for i, part in enumerate(parts):
+        chunk = os.path.join(feed_dir, f"c{i:02d}")
+        os.makedirs(chunk, exist_ok=True)
+        dst = os.path.join(chunk, part)
+        os.rename(os.path.join(stage, part), dst)
+        ts = base_ts + 2.0 * i
+        os.utime(dst, (ts, ts))
+    import shutil
 
-        def _write_chunk(i: int) -> None:
-            docs.filter(
-                (F.col("doc_id") >= bounds[i])
-                & (F.col("doc_id") < bounds[i + 1])
-            ).coalesce(1).write.parquet(os.path.join(feed_dir, f"c{i:02d}"))
-
-        with ThreadPoolExecutor(max_workers=min(n_files, 8)) as pool:
-            list(pool.map(_write_chunk, range(n_files)))
-        base_ts = time.time() - 2.0 * (n_files + 1)
-        for i in range(n_files):
-            chunk = os.path.join(feed_dir, f"c{i:02d}")
-            ts = base_ts + 2.0 * i
-            for fn in os.listdir(chunk):
-                os.utime(os.path.join(chunk, fn), (ts, ts))
-    finally:
-        docs.unpersist()
+    shutil.rmtree(stage, ignore_errors=True)
     t0 = _stamp(-1, "setup:feed-write", t0)
 
     emb_static = load_table(spark, sf_dir, "embeddings")
@@ -1363,7 +1383,16 @@ def snapshot_change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
 
-    # v1 bootstrap, then fold each version's DELTA into the state
+    # v1 bootstrap, then fold each version's DELTA into the state.
+    # r14 note (measured, left as-is): the final union re-references
+    # each fold's state from later branches, so earlier aggregates
+    # re-execute nested — but the states are n_langs control-plane
+    # rows and the deltas are file-pruned; an A/B with
+    # localCheckpoint barriers after each fold measured SLOWER warm
+    # (≈1.03 s vs ≈0.85 s at sf0.1: three extra eager job
+    # round-trips outweigh re-running tiny aggregates). The barrier
+    # only pays when the duplicated subplan is expensive — see
+    # mixture_pack_curriculum, where it is.
     from mobility_etl_spark.operators.snapshots import read_snapshot
 
     state = agg(read_snapshot(spark, path, versions[0]))

@@ -196,9 +196,17 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ngram_jaccard_pairs`` remains asserted in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < PAIR_SCOPE)
     sh = shingles(docs, "text", "doc_id", n=3)
-    sigs = minhash_signatures(sh, "doc_id", num_perm=32)
+    # r14 (guide §2.4): ONE keyed aggregation yields signatures AND
+    # shingle-set sizes (was two identical exchanges over two full
+    # runs of the shingle DAG); the exact-Jaccard verify then
+    # semi-joins the broadcast candidate list BELOW its pair count.
+    # Signatures, buckets, candidates, and verified pairs are
+    # byte-identical — the md5 permutation hashes are untouched.
+    sigs = minhash_signatures(sh, "doc_id", num_perm=32, with_count=True)
     cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
-    return jaccard_pairs(sh, "doc_id", candidates=cands, min_jaccard=0.2)
+    return jaccard_pairs(
+        sh, "doc_id", candidates=cands, min_jaccard=0.2, sizes=sigs
+    )
 
 
 #: SimHash oracle pieces — mirror operators/dedup.py:simhash exactly.

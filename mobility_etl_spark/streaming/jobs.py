@@ -1169,6 +1169,39 @@ _PRETRAIN_SCHEMAS = {
     "embindex": "doc_id long, embedding array<float>, cell int, ccos double",
 }
 
+
+def _pretrain_arrow_schemas():
+    """Arrow mirrors of _PRETRAIN_SCHEMAS for the job-free 0-row seed
+    writes (r14): same field order/types Spark writes, list elements
+    named "element" to match Spark's parquet group layout."""
+    import pyarrow as pa
+
+    return {
+        "survivors": pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("n_tokens", pa.int32()),
+                ("sem_kept", pa.bool_()),
+            ]
+        ),
+        "evalgrams": pa.schema([("ngh", pa.int64())]),
+        "traingrams": pa.schema(
+            [("doc_id", pa.int64()), ("ngh", pa.int64())]
+        ),
+        "embindex": pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                (
+                    "embedding",
+                    pa.list_(pa.field("element", pa.float32())),
+                ),
+                ("cell", pa.int32()),
+                ("ccos", pa.float64()),
+            ]
+        ),
+    }
+
 #: Coarse-quantizer width and the stored-IVF layout knobs for the
 #: embedding index (VERDICT r10 #1): every embindex append/compaction
 #: is range-partitioned on ``cell`` into ``_EMBINDEX_FILES`` files and
@@ -1231,6 +1264,81 @@ def _load_centroids(root: str):
         return np.asarray(json.load(fh), dtype=np.float64)
 
 
+def _write_embindex_files(
+    spark, table_path: str, inc_rows, pre, centroids, note: str
+) -> int:
+    """Append one micro-batch's embindex delta WITHOUT a Spark job
+    (r14): the rows are driver-resident (``inc_rows`` — micro-batch-
+    bounded by the id-ordered admission contract, already collected
+    for the probe), the cell/ccos assignment is the same float64
+    ``inc_m @ cents.T`` argmax :func:`operators.similarity.assign_cells`
+    computes executor-side (``pre`` IS the matrix the probes use), and
+    pyarrow writes one parquet per occupied cell — each file a
+    single-cell, ccos-sorted span, i.e. the stored-IVF layout the
+    range-partitioned Spark write approximated by sampling. Files are
+    committed through append_snapshot_files with the standard
+    [cell, ccos, doc_id] manifest stats; an empty payload commits one
+    0-row schema-bearing file exactly like every other table."""
+    import os
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mobility_etl_spark.operators.snapshots import (
+        append_snapshot_files,
+    )
+
+    schema = _pretrain_arrow_schemas()["embindex"]
+    emb_type = schema.field("embedding").type
+    token = uuid.uuid4().hex[:12]
+
+    if inc_rows:
+        inc_ids, inc_m = pre
+        vecs = [r["embedding"] for r in inc_rows]
+        if centroids is not None:
+            cents = np.ascontiguousarray(centroids, dtype=np.float64)
+            sims = inc_m @ cents.T
+            cell = np.argmax(sims, axis=1).astype(np.int32)
+            ccos = sims[np.arange(len(inc_m)), cell]
+        else:  # pruning-less fallback: same sentinel the r13 payload
+            cell = np.full(len(inc_m), -1, dtype=np.int32)
+            ccos = np.ones(len(inc_m), dtype=np.float64)
+        order = np.lexsort((ccos, cell))
+        cells_sorted = cell[order]
+        cut = np.nonzero(np.diff(cells_sorted))[0] + 1
+        bounds = [0, *cut.tolist(), len(order)]
+        groups = [order[a:b] for a, b in zip(bounds, bounds[1:])]
+    else:
+        groups = [np.array([], dtype=np.int64)]
+        inc_ids, vecs, cell, ccos = (
+            np.array([], dtype=np.int64),
+            [],
+            np.array([], dtype=np.int32),
+            np.array([], dtype=np.float64),
+        )
+
+    new_files = []
+    for i, gidx in enumerate(groups):
+        tbl = pa.Table.from_arrays(
+            [
+                pa.array(inc_ids[gidx], type=pa.int64()),
+                pa.array([vecs[j] for j in gidx], type=emb_type),
+                pa.array(cell[gidx], type=pa.int32()),
+                pa.array(ccos[gidx], type=pa.float64()),
+            ],
+            schema=schema,
+        )
+        name = f"append-{token}-{i:05d}.parquet"
+        pq.write_table(tbl, os.path.join(table_path, name))
+        new_files.append(name)
+    return append_snapshot_files(
+        spark, table_path, new_files, note=note,
+        stats_cols=_EMBINDEX_STATS,
+    )
+
+
 def pretraining_stream_init(
     spark: SparkSession,
     root: str,
@@ -1254,10 +1362,15 @@ def pretraining_stream_init(
     import json
     import os
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from mobility_etl_spark.operators.snapshots import (
         commit_catalog,
         commit_snapshot,
     )
+
+    _PRETRAIN_ARROW = _pretrain_arrow_schemas()
 
     if emb is not None:
         from mobility_etl_spark.operators.similarity import (
@@ -1271,16 +1384,23 @@ def pretraining_stream_init(
     tables = {}
     for name in _PRETRAIN_TABLES:
         path = os.path.join(root, name)
-        # repartition(1), NOT coalesce(1): createDataFrame([]) is a
-        # Python-parallelized RDD of defaultParallelism empty
-        # partitions, and coalesce(1) computes ALL of them inside ONE
-        # task — 16 sequential Python-worker round-trips, measured
-        # 3.6 s per seed write (r13 profile) vs 0.7 s for the
-        # shuffled repartition, which still lands exactly one 0-row
-        # schema-bearing file for the snapshot commit.
-        spark.createDataFrame([], _PRETRAIN_SCHEMAS[name]).repartition(
-            1
-        ).write.parquet(path)
+        # r14 (guide §2.4 — remove jobs outright): a 0-row seed file
+        # needs no Spark job at all. pyarrow writes the empty
+        # schema-bearing parquet directly (~1 ms vs 0.7 s for the r13
+        # repartition(1) write, ×4 tables per stream init). Arrow
+        # fields mirror _PRETRAIN_SCHEMAS exactly, with list elements
+        # named "element" to match Spark's parquet layout, so readers
+        # see the identical logical schema; the footer still reports
+        # num_rows = 0, which commit_snapshot records as _rows = 0 for
+        # the pruned probe.
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in _PRETRAIN_ARROW[name]],
+                schema=_PRETRAIN_ARROW[name],
+            ),
+            os.path.join(path, "seed-00000.parquet"),
+        )
         # stats for embindex's 0-row seed file record _rows = 0, so
         # the pruned probe can provably skip it instead of keeping it
         # forever as a stats-less unknown
@@ -1397,25 +1517,52 @@ def pretraining_apply_batch(
     )
 
     # contract check: any indexed id >= this batch's min that is not
-    # the batch's own (replayed) append violates id-ordering. The read
-    # is manifest-pruned on the committed per-file doc_id spans
-    # (where=), so with id-ordered appends it opens O(1) recent files,
-    # not the index.
-    stray = (
-        read_catalog_table(
-            spark, root, "embindex", where=("doc_id", batch_min, 1 << 62)
-        )
-        .filter(F.col("doc_id") >= batch_min)
-        .join(batch_df.select("doc_id"), "doc_id", "left_anti")
-        .limit(1)
-        .collect()
+    # the batch's own (replayed) append violates id-ordering. r14 fast
+    # path (guide §1.2 — don't compute what metadata already proves):
+    # every embindex commit carries per-file [min, max] doc_id spans
+    # (_EMBINDEX_STATS, preserved across compaction), so when every
+    # committed file is provably below batch_min (or provably empty)
+    # the manifest ALONE proves no stray exists and no Spark job runs.
+    # In the normal id-ordered flow that is every batch; only a replay
+    # (the batch's own append overlaps) or a stats-less file falls
+    # through to the distributed check, which is manifest-pruned on
+    # the same spans (where=) so it opens O(1) recent files.
+    from mobility_etl_spark.operators.similarity import _load_manifest
+    from mobility_etl_spark.operators.snapshots import (
+        catalog_table_entry,
     )
-    if stray:
-        raise ValueError(
-            f"pretraining ingest: embindex doc_id {stray[0]['doc_id']} "
-            f">= batch minimum {batch_min} and not in the current batch "
-            "— the index violates the id-ordered admission contract"
+
+    idx_path, idx_version = catalog_table_entry(root, "embindex")
+    _man = _load_manifest(idx_path, idx_version)
+    _stats = _man.get("stats", {})
+
+    def _provably_below(f: str) -> bool:
+        st = _stats.get(f)
+        if st is None:
+            return False
+        if st.get("_rows") == 0:
+            return True
+        span = st.get("doc_id")
+        return span is not None and span[1] < batch_min
+
+    if not all(_provably_below(f) for f in _man["files"]):
+        stray = (
+            read_catalog_table(
+                spark, root, "embindex",
+                where=("doc_id", batch_min, 1 << 62),
+            )
+            .filter(F.col("doc_id") >= batch_min)
+            .join(batch_df.select("doc_id"), "doc_id", "left_anti")
+            .limit(1)
+            .collect()
         )
+        if stray:
+            raise ValueError(
+                f"pretraining ingest: embindex doc_id "
+                f"{stray[0]['doc_id']} >= batch minimum {batch_min} and "
+                "not in the current batch — the index violates the "
+                "id-ordered admission contract"
+            )
     t0 = _stamp(epoch, "contract", t0)
 
     # Exact-witness probe, distributed + vectorized: one BLAS gram per
@@ -1438,12 +1585,10 @@ def pretraining_apply_batch(
     # The increment is micro-batch-bounded by contract — every probe
     # collects it anyway — so one collect feeds all three consumers.
     from mobility_etl_spark.operators.similarity import (
-        assign_cells,
         exact_probe_blas,
         exact_probe_blas_pruned,
         normalize_pairs,
     )
-    from mobility_etl_spark.operators.snapshots import catalog_table_entry
 
     inc_rows = embedded.select("doc_id", "embedding").collect()
     pre = (
@@ -1454,28 +1599,10 @@ def pretraining_apply_batch(
         if inc_rows
         else (None, None)
     )
-    _EMB_LOCAL_SCHEMA = "doc_id long, embedding array<float>"
-    if inc_rows:
-        import pandas as pd
-
-        # Arrow path (one columnar batch), not per-Row conversion —
-        # createDataFrame(list[Row]) re-validates every element of
-        # every 64-float list driver-side
-        emb_local = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "doc_id": [r["doc_id"] for r in inc_rows],
-                    "embedding": [r["embedding"] for r in inc_rows],
-                }
-            ),
-            _EMB_LOCAL_SCHEMA,
-        )
-    else:
-        emb_local = spark.createDataFrame([], _EMB_LOCAL_SCHEMA)
-
     centroids = _load_centroids(root)
     if centroids is not None:
-        idx_path, idx_version = catalog_table_entry(root, "embindex")
+        # idx_path/idx_version resolved once by the contract check
+        # above — nothing commits to embindex within the batch
         hits_index_raw = exact_probe_blas_pruned(
             spark,
             embedded,
@@ -1547,31 +1674,31 @@ def pretraining_apply_batch(
         .select("doc_id", F.xxhash64("ng").alias("ngh"))
     )
 
-    # embindex payload from the already-collected batch rows (a
-    # parallelized local relation), not a fourth execution of the
-    # batch x embeddings join; assign_cells runs the same Arrow/BLAS
-    # tagging pass either way.
-    if centroids is not None:
-        emb_payload = assign_cells(emb_local, centroids)
-    else:
-        emb_payload = emb_local.select(
-            "doc_id",
-            "embedding",
-            F.lit(-1).alias("cell"),
-            F.lit(1.0).alias("ccos"),
-        )
-
+    # r14 (guide §2.4/§1.2): the embindex payload is DRIVER-RESIDENT
+    # already (inc_rows + the normalized matrix every probe uses), so
+    # its append needs no Spark job at all. The r13 path re-uploaded
+    # the rows as a local relation, ran assign_cells (an Arrow
+    # round-trip), then repartitionByRange (a range-sampling job + a
+    # shuffle) into a 16-task write; _write_embindex_files computes
+    # the SAME cell/ccos assignment (identical float64 matmul over
+    # the identical normalized matrix — decisions margin-gated as
+    # everywhere else in the admission path) and writes one
+    # pyarrow parquet per occupied cell, sorted by ccos — a strictly
+    # cleaner stored-IVF layout than sampled range partitioning
+    # (every file is single-cell), committed through the same
+    # manifest protocol with the same per-file stats.
     note = f"e{epoch}"
     payloads = {
         "survivors": survivors,
         "evalgrams": eval_g,
         "traingrams": train_g,
-        "embindex": emb_payload,
+        "embindex": None,  # driver-side: see _write_embindex_files
     }
-    for name in _PRETRAIN_TABLES:
+    def _do_append(name: str) -> None:
         path = os.path.join(root, name)
         if note in _notes_seen(path):
-            continue  # this epoch's append already committed (replay)
+            return  # this epoch's append already committed (replay)
+        ta = time.monotonic()
         df = payloads[name]
         # Always append — even an empty payload (a batch with no eval
         # docs, say) commits a 0-row file: its manifest records
@@ -1583,20 +1710,14 @@ def pretraining_apply_batch(
         # (the write-job floor dominates, measured r11) but makes the
         # per-epoch note — the replay-idempotence ledger — uniform
         # across empty and non-empty epochs.
-        if name == "embindex" and centroids is not None:
-            # stored-IVF layout: range-clustered by cell so each
-            # file covers a contiguous cell span, with per-file
-            # [cell, ccos, doc_id] stats committed to the manifest
-            # — the metadata the pruned probe and the id-contract
-            # check plan against
-            append_snapshot(
-                spark,
-                path,
-                df.repartitionByRange(
-                    _EMBINDEX_FILES, "cell", "ccos"
-                ).sortWithinPartitions("cell", "ccos"),
-                note=note,
-                stats_cols=_EMBINDEX_STATS,
+        if name == "embindex":
+            # stored-IVF layout, written driver-side: one
+            # single-cell file per occupied cell, rows sorted by
+            # ccos, with per-file [cell, ccos, doc_id] stats
+            # committed to the manifest — the metadata the pruned
+            # probe and the id-contract check plan against
+            _write_embindex_files(
+                spark, path, inc_rows, pre, centroids, note
             )
         else:
             # batch-sized state deltas: one file per (table, epoch)
@@ -1606,9 +1727,33 @@ def pretraining_apply_batch(
             # stress run)
             append_snapshot(spark, path, df.coalesce(1), note=note)
         _note_record(path, note)
-        t0 = _stamp(epoch, f"append:{name}", t0)
-        if fail_after == name:
-            raise RuntimeError(f"simulated crash after {name} append")
+        _stamp(epoch, f"append:{name}", ta)
+
+    if fail_after is not None:
+        # the replay drills crash "after the named table's append" —
+        # that contract needs the deterministic sequential order
+        for name in _PRETRAIN_TABLES:
+            _do_append(name)
+            if fail_after == name:
+                raise RuntimeError(
+                    f"simulated crash after {name} append"
+                )
+    else:
+        # r14 (guide §2.6 — overlap independent jobs): the four table
+        # appends share no state (separate table roots, separate
+        # manifest logs, per-table notes; the catalog binds them only
+        # AFTER all four), so their write jobs run concurrently from a
+        # driver pool and each job's tail back-fills the others'
+        # executors. Exactly-once is untouched: each append is still
+        # individually note-guarded, and a crash mid-pool replays
+        # exactly the missing tables (in any order) on the next run.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=len(_PRETRAIN_TABLES)
+        ) as pool:
+            list(pool.map(_do_append, _PRETRAIN_TABLES))
+    t0 = time.monotonic()
 
     # ---- ONE catalog commit makes the batch visible atomically
     commit_catalog(
