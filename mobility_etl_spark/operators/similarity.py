@@ -42,6 +42,16 @@ def _dot_expr(a: str, b: str) -> F.Column:
     DECIMAL(27,6) quantization but ~10× cheaper: long adds inside
     codegen instead of a BigDecimal allocation per element (measured
     on the near-dup benches, tools/bench_pipeline.py).
+
+    r14 note (measured, left as the HOF form): higher-order functions
+    with lambdas are CodegenFallback in Spark 4, so this evaluates
+    interpreted — but an unrolled ``FLOOR(a[0]*b[0]*1e6) + …`` chain
+    A/B'd 6× SLOWER still (2M-row microbench: HOF 2.3 s vs unrolled
+    14.4 s — the 64-deep nullable Add tree defeats codegen worse than
+    the fallback does). The quadratic-pair consumers bypass this
+    expression entirely (near_dup_pairs scores per-bucket in numpy);
+    the remaining call sites are bounded/capped paths where the HOF
+    cost is immaterial.
     """
     return F.expr(
         f"""
@@ -556,6 +566,7 @@ def _sig_col(
     num_planes: int,
     bands: int,
     signature: str,
+    dim: int | None = None,
 ) -> F.Column:
     """Per-band bucket array (length = bands, index = band id) as a
     scalar column — 'arrow' (vectorized pandas UDF, the default) or
@@ -586,12 +597,13 @@ def _sig_col(
     # to the expression path, which derives planes per-row and needs no
     # dim: on zero rows it costs nothing and yields the same (empty,
     # correctly-typed) result instead of a TypeError.
-    first = (
-        df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
-    )
-    if first is None or first[0] is None:
-        return _sig_col(df, vec_col, num_planes, bands, "expr")
-    dim = len(first[0])
+    if dim is None:
+        first = (
+            df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        )
+        if first is None or first[0] is None:
+            return _sig_col(df, vec_col, num_planes, bands, "expr")
+        dim = len(first[0])
     H = _hyperplanes(df.sparkSession, num_planes, dim).T
 
     @F.pandas_udf("array<long>")
@@ -639,19 +651,46 @@ def near_dup_pairs(
     default (100 TB) path; same output contract as
     ``cosine_near_dup_pairs_exact`` minus the misses LSH allows.
 
-    Plan shape: signature map (no shuffle; vectorized Arrow by
-    default, see :func:`_sig_col` — the pure-expression fallback costs
-    ~100× more signature CPU) → explode bands → self equi-join on
-    (band, bucket) → per-candidate exact cosine → groupBy pair. Two
-    shuffles: the bucket join and the pair dedup. The bucket
-    join DOES carry the exploded vectors — `bands`× vector bytes per
-    side — because the in-bucket re-rank needs both vectors colocated;
-    what stays narrow is the dedup, which shuffles (a_id, b_id, cos)
-    triples only (a pair colliding in several bands is re-scored
-    map-side rather than carried through a wide distinct). For vectors
-    wide enough that bands×dim dominates the shuffle (≳1k dims), use
-    :func:`near_dup_pairs_idonly`, which buckets ids only and fetches
-    vectors once per surviving pair.
+    Plan shape (r14; guide §8, §4.2 — decide with small rows, hand
+    whole batches to vectorized native code): signature map (no
+    shuffle; vectorized Arrow by default, see :func:`_sig_col`) →
+    explode bands → ONE exchange grouping the exploded ``(id, vec,
+    band, bucket)`` rows by (band, bucket) → per-bucket exact cosine
+    over all in-bucket pairs in vectorized numpy (applyInPandas) →
+    a scalar pair dedup over only the rows that already passed the
+    threshold. Until r14 the in-bucket re-rank was a (band, bucket)
+    self equi-join + a per-pair fixed-point dot expression; both
+    measured as the scale walls (sf1-equivalent, 40k vectors, 18.3M
+    collisions): the HOF dot is CodegenFallback in Spark 4 (~20 s of
+    the 33 s face just evaluating it pair-at-a-time), and the dedup
+    exchange carried EVERY collision — ~n²/128 rows on a
+    near-orthogonal corpus, since a random pair agrees per plane with
+    p = 1 − arccos(0)/π = 0.5 and collides in ≥1 of 16 bands with
+    ≈ 16/2¹⁰. The grouped scorer moves bands×corpus rows (not pairs)
+    across the Python boundary once, computes the IDENTICAL
+    order-free fixed-point arithmetic on whole matrices, and returns
+    only survivors, so both former walls are gone; the threshold
+    filter inside the scorer is sound because a pair scores the same
+    cos_sim in every band it collides in (same two vectors, same
+    quantized expression — a pushdown no optimizer can prove).
+    For vectors wide enough that bands×dim dominates the exploded
+    exchange (≳1k dims), :func:`near_dup_pairs_idonly` buckets ids
+    only and fetches vectors once per surviving pair.
+
+    Exactness: per-term FLOOR((x·y)·1e6) as int64, summed (order-free
+    integer addition), CAST→double /1e6, divided by sqrt of the
+    identically-quantized norms, floor-quantized to 1e-6 — every step
+    an IEEE-double op numpy executes bit-identically to the JVM
+    expression path (np.sqrt and Math.sqrt are both correctly
+    rounded; float32→float64 widening is exact; int64 sums are
+    order-free). tests/test_similarity.py asserts output identity
+    against :func:`near_dup_pairs_idonly`, which still scores through
+    the pure-expression path — a cross-engine replay of the same
+    claim the DuckDB oracles make. Rows whose vector contains a null
+    element (→ null dot under zip_with) or a NaN are dropped by the
+    scorer's finite mask — no corpus or face produces either; whole
+    null vectors never reach it (null signature → posexplode emits
+    nothing).
 
     Default geometry: 16 bands × 10 bits. For cos ≥ 0.9 the per-plane
     agreement is p = 1 − arccos(0.9)/π ≈ 0.856, so a band matches with
@@ -661,42 +700,95 @@ def near_dup_pairs(
     inspects ~all pairs) — loose-pair mining stays on the exact path
     over a bounded slice.
     """
+    import numpy as np
+    import pandas as pd
+
     sig = _sig_col(df, vec_col, num_planes, bands, signature)
+    exploded = df.select(
+        F.col(key_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.posexplode(sig).alias("band", "bucket"),
+    )
 
-    def banded(side: str) -> DataFrame:
-        # the squared norm rides from here: computed ONCE per input
-        # row (Generate repeats it per band for free) instead of per
-        # CANDIDATE PAIR — the pair set is the expensive side, and the
-        # O(dim) interpreted norm fold was being re-run twice per pair
-        return df.select(
-            F.col(key_col).alias(f"{side}_id"),
-            F.col(vec_col).alias(f"__{side}vec"),
-            _sq_norm_expr(vec_col).alias(f"__{side}n2"),
-            F.posexplode(sig).alias("band", "bucket"),
+    thr = float(threshold)
+
+    def _score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series([], dtype="int64"),
+                "b_id": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["__id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.vstack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf["__vec"].to_numpy()[order]
+            ]
+        )
+        finite = np.isfinite(M).all(axis=1)
+        if not finite.all():
+            ids, M = ids[finite], M[finite]
+        n = len(ids)
+        if n < 2:
+            return empty
+        # norms: FLOOR((x·x)·1e6) summed as int64 → double/1e6 — the
+        # exact doubles _sq_norm_expr produces
+        q2 = (
+            np.floor((M * M) * 1e6)
+            .astype(np.int64)
+            .sum(axis=1)
+            .astype(np.float64)
+            / 1e6
+        )
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        # chunk the a-axis so the (chunk, width, dim) per-term tensor
+        # stays ~64 MB regardless of bucket population; the b-axis
+        # starts at the chunk's own offset so only the upper triangle
+        # (plus a chunk-local sliver masked below) is ever computed —
+        # half the flops of the full n×n rectangle
+        chunk = max(1, 125_000 // n)
+        for s in range(0, n - 1, chunk):
+            e = min(s + chunk, n - 1)
+            T = M[s:e, None, :] * M[None, s:, :]
+            T *= 1e6
+            q = (
+                np.floor(T)
+                .astype(np.int64)
+                .sum(axis=2)
+                .astype(np.float64)
+                / 1e6
+            )
+            cos = (
+                np.floor((q / np.sqrt(q2[s:e, None] * q2[None, s:])) * 1e6)
+                / 1e6
+            )
+            ii, jj = np.nonzero(cos >= thr)
+            keep = jj > ii  # strict upper triangle: a_id < b_id
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                out_a.append(ids[ii + s])
+                out_b.append(ids[jj + s])
+                out_c.append(cos[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a).astype(np.int64),
+                "b_id": np.concatenate(out_b).astype(np.int64),
+                "cos_sim": np.concatenate(out_c),
+            }
         )
 
-    candidates = (
-        banded("a")
-        .join(banded("b"), ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            # 1e-6 FLOOR quantization, not round: floor has no
-            # half-tie mode for engines to disagree on, which is what
-            # lets the near-dup faces' DuckDB oracles match the score
-            # bit for bit (r11); the precomputed norms are the SAME
-            # doubles the inline fold produced, so scores are
-            # bit-identical
-            (
-                F.floor(
-                    _dot_expr("__avec", "__bvec")
-                    / F.sqrt(F.col("__an2") * F.col("__bn2"))
-                    * 1000000.0
-                )
-                / 1000000.0
-            ).alias("cos_sim"),
-        )
+    candidates = exploded.groupBy("band", "bucket").applyInPandas(
+        _score_bucket, "a_id long, b_id long, cos_sim double"
     )
     return (
         candidates.groupBy("a_id", "b_id")

@@ -142,6 +142,46 @@ def test_near_dup_idonly_matches_vector_carrying(spark, emb):
     assert idonly == carrying
 
 
+def test_near_dup_grouped_scorer_chunking_and_null_elements(spark, emb):
+    """Focused gate for the r14 grouped-numpy in-bucket scorer
+    (operators/similarity.py:near_dup_pairs): (a) a bucket population
+    LARGER than the scorer's a-axis chunk (125_000 // n) must produce
+    the identical pair set as the pure-expression id-only path — this
+    drives the multi-chunk upper-triangle loop, which a uniform corpus
+    never does at test scale; (b) a vector with a NULL ELEMENT must be
+    dropped by the scorer's finite mask, matching the expression
+    path's null-dot semantics."""
+    from mobility_etl_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_idonly,
+    )
+
+    # 400 near-identical vectors (tiny deterministic jitter on one
+    # component) -> one LSH bucket per band, n=400 > chunk=312, every
+    # pair cos >= 0.9; plus one row with a null element.
+    base = emb.filter(F.col("vec_id") < 1).select("embedding").first()[0]
+    rows = []
+    for i in range(400):
+        v = list(base)
+        v[0] = float(v[0]) + i * 1e-7
+        rows.append((i, v))
+    rows.append((400, [None] + [float(x) for x in base[1:]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in near_dup_pairs(df, threshold=0.9).collect()
+    }
+    want = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in near_dup_pairs_idonly(df, threshold=0.9).collect()
+    }
+    assert len(want) >= 399 * 200  # dense cluster: ~C(400,2) pairs
+    assert got == want
+    assert not any(400 in p for p in got), (
+        "a null-element vector must never survive into a scored pair"
+    )
+
+
 def test_arrow_and_expr_signatures_identical(spark, emb):
     """The vectorized Arrow signature path must produce bit-identical
     (band, bucket) assignments to the pure-expression path — same
