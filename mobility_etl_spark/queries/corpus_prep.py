@@ -560,8 +560,6 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds ``pack_sequences_docs``. Every stage is the already-gated
     operator, so the oracle proves their composition, not just each
     piece."""
-    from mobility_etl_spark.operators.dedup import exact_dedup
-
     docs = load_table(spark, sf_dir, "documents")
     scrubbed = docs.select(
         "doc_id", "lang", _scrub_expr(F.col("text")).alias("clean")
@@ -594,8 +592,31 @@ def pipeline_pretraining_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens").between(50, 2000))
         .filter(dup_ratio <= 0.5)
     )
-    deduped = exact_dedup(kept, "clean", "doc_id").select(
-        "doc_id", "lang", "n_tokens"
+    # r14 (guide §2.4, §1.2): exact_dedup's reps.join(df) shape
+    # re-executes the upstream lineage on BOTH join sides — here that
+    # lineage is the 3-regex scrub + trigram dup-ratio chain, i.e. the
+    # face's entire compute, run twice. Downstream needs only
+    # (doc_id, lang, n_tokens), so dedup on the narrow digest
+    # projection with a per-digest rank instead: ONE execution of the
+    # chain, one exchange carrying (digest, doc_id, lang, n_tokens) —
+    # never the payload. Same representative rule (min doc_id per
+    # digest ≡ rank-1 by doc_id), same result set. exact_dedup stays
+    # the right operator when the payload must survive dedup (there
+    # the digest-only shuffle + re-join beats shuffling payloads).
+    from pyspark.sql import Window
+
+    narrow = kept.select(
+        "doc_id", "lang", "n_tokens", F.md5(F.col("clean")).alias("__digest")
+    )
+    deduped = (
+        narrow.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("__digest").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "lang", "n_tokens")
     )
     chunks = deduped.select(
         "doc_id",

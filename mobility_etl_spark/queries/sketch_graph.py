@@ -379,37 +379,60 @@ def sketch_theta_custkey_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys > k) and the merge-identity property (sketch of the whole ≡
     merge of part-sketches, EXACT equality — k-smallest is
     associative)."""
-    from mobility_etl_spark.operators.sketch import (
-        kmv_estimate,
-        kmv_set_ops,
-        kmv_sketch,
-    )
+    from mobility_etl_spark.operators.sketch import KMV_ONE, kmv_sketch
 
+    # r14 (guide §1.2 — don't compute things twice; §5 — the driver
+    # SHOULD do the O(k) work): the old composition ran SEVEN jobs
+    # (2 estimate collects + 2 theta collects + 3 join-count jobs),
+    # each re-executing a sketch DAG (orders scan + distinct + window)
+    # from scratch. Both sketches now come out of ONE side-tagged
+    # kmv_sketch job (same hash, same per-side k-smallest — grouping
+    # by side is exactly the single-set sketch twice), and the set
+    # algebra runs driver-side over the ≤2k collected hashes with the
+    # IDENTICAL arithmetic (exact integer threshold compares; the
+    # th/2^60 fraction and each ratio are the same IEEE double ops the
+    # old Spark expressions evaluated). Sketch set algebra is O(k) BY
+    # DESIGN — collecting k hashes is control-plane, not data-plane.
     orders = load_table(spark, sf_dir, "orders")
-    a_rows = orders.filter(F.col("o_totalprice") > 150000.0).select(
-        F.col("o_custkey").alias("key")
+    tagged = (
+        orders.filter(F.col("o_totalprice") > 150000.0)
+        .select(F.lit("a").alias("side"), F.col("o_custkey").alias("key"))
+        .unionByName(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.lit("b").alias("side"), F.col("o_custkey").alias("key")
+            )
+        )
     )
-    b_rows = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.col("o_custkey").alias("key")
-    )
-    mk = lambda d: kmv_sketch(  # noqa: E731 - single-set sketch (no group)
-        d.withColumn("__g", F.lit(1)), ["__g"], "key", k=_KMV_K
-    ).drop("__g")
-    sk_a, sk_b = mk(a_rows), mk(b_rows)
-    est_a = kmv_estimate(
-        sk_a.withColumn("__g", F.lit(1)), ["__g"], _KMV_K
-    ).collect()[0]["est_distinct"]
-    est_b = kmv_estimate(
-        sk_b.withColumn("__g", F.lit(1)), ["__g"], _KMV_K
-    ).collect()[0]["est_distinct"]
-    ops = kmv_set_ops(sk_a, sk_b, k=_KMV_K)
-    return ops.select(
-        F.lit(float(est_a)).alias("est_a"),
-        F.lit(float(est_b)).alias("est_b"),
-        "est_union",
-        "est_intersection",
-        "est_only_a",
-        "est_only_b",
+    rows = kmv_sketch(tagged, ["side"], "key", k=_KMV_K).collect()
+    ua = sorted(r["u"] for r in rows if r["side"] == "a")
+    ub = sorted(r["u"] for r in rows if r["side"] == "b")
+
+    def est(us: list[int]) -> float:
+        if len(us) < _KMV_K:
+            return float(len(us))
+        return float(_KMV_K - 1) / (float(us[-1]) / float(KMV_ONE))
+
+    def theta(us: list[int]) -> int:
+        return KMV_ONE if len(us) < _KMV_K else int(us[-1])
+
+    th = min(theta(ua), theta(ub))
+    th_frac = th / float(KMV_ONE)
+    sa = {u for u in ua if u < th}
+    sb = {u for u in ub if u < th}
+    inter, only_a, only_b = len(sa & sb), len(sa - sb), len(sb - sa)
+    return spark.createDataFrame(
+        [
+            (
+                est(ua),
+                est(ub),
+                float((inter + only_a + only_b) / th_frac),
+                float(inter / th_frac),
+                float(only_a / th_frac),
+                float(only_b / th_frac),
+            )
+        ],
+        "est_a double, est_b double, est_union double, "
+        "est_intersection double, est_only_a double, est_only_b double",
     )
 
 

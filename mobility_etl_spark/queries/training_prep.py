@@ -169,6 +169,51 @@ def training_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_us_cutoffs(
+    events: DataFrame, fracs: tuple[float, ...], n: int
+) -> list[int]:
+    """Batched :func:`exact_us_cutoff`: the SAME exact order-statistic
+    per fraction, with the control-plane jobs fused across fractions
+    (guide §1.2 — fewer passes; §2.6 — overlap independent jobs):
+    ONE approxQuantile call carries every bracket probe (the sketch is
+    built once from (data, relativeError) and queried per probability,
+    so each answer is identical to a single-probe call), ONE
+    aggregation computes every bracket's below-count, and the
+    per-fraction sliver ranks — each a few-percent slice of the data —
+    run concurrently from a driver thread pool so their small jobs
+    back-fill each other's task tails. Values returned are
+    bit-identical to calling exact_us_cutoff per fraction."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mobility_etl_spark.operators.sampling import bucketed_global_rank
+
+    probes: list[float] = []
+    for f in fracs:
+        probes += [max(0.0, f - 0.02), min(1.0, f + 0.02)]
+    qs = events.approxQuantile("us", probes, 0.001)
+    brackets = [(qs[2 * i], qs[2 * i + 1]) for i in range(len(fracs))]
+    below = events.agg(
+        *[
+            F.sum((F.col("us") < F.lit(lo)).cast("long")).alias(f"b{i}")
+            for i, (lo, _) in enumerate(brackets)
+        ]
+    ).collect()[0]
+
+    def one(i: int) -> int:
+        lo, hi = brackets[i]
+        target = int(fracs[i] * n)
+        sliver = events.filter((F.col("us") >= lo) & (F.col("us") <= hi))
+        ranked, _ = bucketed_global_rank(
+            sliver.select("us", "event_id"), "us", "event_id", "rank"
+        )
+        return ranked.filter(
+            F.col("rank") == target - int(below[f"b{i}"] or 0)
+        ).select("us").collect()[0]["us"]
+
+    with ThreadPoolExecutor(max_workers=len(fracs)) as pool:
+        return list(pool.map(one, range(len(fracs))))
+
+
 def exact_us_cutoff(events: DataFrame, frac: float, n: int) -> int:
     """Exact order-statistic timestamp (unix micros) at rank
     floor(frac*n), computed scale-correctly: approx-quantile bracket
@@ -397,40 +442,80 @@ def training_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
     )
     n = events.count()  # control-plane scalar
-    cuts = [exact_us_cutoff(events, f, n) for f in _BT_FRACS]
-    out = None
-    for i, lo_us in enumerate(cuts):
-        train = events.filter(F.col("us") <= lo_us)
-        test = events.filter(F.col("us") > lo_us)
-        if i + 1 < len(cuts):
-            test = test.filter(F.col("us") <= cuts[i + 1])
-        model = train.groupBy("user_id").agg(
+    cuts = exact_us_cutoffs(events, _BT_FRACS, n)
+
+    # r14 (guide §1.2 "the distributed algorithm", §2.4): the per-fold
+    # loop ran 4 model aggregations + 4 train.count jobs + 8 event
+    # scans (26 jobs with the per-fold cutoff machinery). The fold
+    # tests are DISJOINT us ranges and every fold's train set is a
+    # prefix of the next, so one scan computes all four: the four
+    # per-fold train counts fuse into ONE aggregation, the four
+    # per-user train means fuse into ONE groupBy with conditional
+    # decimal sums (identical values — the decimal sum is exact and
+    # order-free, and the single IEEE division is unchanged), and the
+    # test side becomes one tagged scan + one broadcast join. A user
+    # unseen in fold i's train has a NULL conditional sum, so mean_i
+    # is NULL exactly where the old left-join missed (ANSI-safe: the
+    # NULL numerator short-circuits before the /0 check).
+    n_trains = events.agg(
+        *[
+            F.sum((F.col("us") <= F.lit(c)).cast("long")).alias(f"t{i}")
+            for i, c in enumerate(cuts)
+        ]
+    ).collect()[0]
+    model = events.filter(F.col("us") <= cuts[-1]).groupBy("user_id").agg(
+        *[
             (
-                F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
-                / F.count("*")
-            ).alias("mean_v")
+                F.sum(
+                    F.when(
+                        F.col("us") <= F.lit(c),
+                        F.col("value").cast("decimal(20,6)"),
+                    )
+                ).cast("double")
+                / F.sum((F.col("us") <= F.lit(c)).cast("long"))
+            ).alias(f"mean_{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    fold_tag = F.when(F.col("us") <= cuts[1], 0)
+    for i in range(1, len(cuts) - 1):
+        fold_tag = fold_tag.when(F.col("us") <= cuts[i + 1], i)
+    fold_tag = fold_tag.otherwise(len(cuts) - 1)
+    mean_sel = F.when(F.col("fold") == 0, F.col("mean_0"))
+    for i in range(1, len(cuts)):
+        mean_sel = mean_sel.when(F.col("fold") == i, F.col(f"mean_{i}"))
+    err = F.when(
+        mean_sel.isNotNull(),
+        F.floor(1000000.0 * F.abs(F.col("value") - mean_sel)).cast(
+            "bigint"
+        ),
+    )
+    scored = (
+        events.filter(F.col("us") > cuts[0])
+        .withColumn("fold", fold_tag)
+        .join(F.broadcast(model), "user_id", "left")
+        .groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.count(mean_sel).cast("bigint").alias("n_scored"),
+            F.sum(err).cast("bigint").alias("abs_err_fx"),
         )
-        err = F.when(
-            F.col("mean_v").isNotNull(),
-            F.floor(
-                1000000.0 * F.abs(F.col("value") - F.col("mean_v"))
-            ).cast("bigint"),
-        )
-        n_train = train.count()  # control-plane scalar per fold
-        fold = (
-            test.join(F.broadcast(model), "user_id", "left")
-            .agg(
-                F.count("*").cast("bigint").alias("n_test"),
-                F.count(F.col("mean_v")).cast("bigint").alias("n_scored"),
-                F.sum(err).cast("bigint").alias("abs_err_fx"),
-            )
-            .select(
-                F.lit(i).alias("fold"),
-                F.lit(n_train).cast("bigint").alias("n_train"),
-                "n_test",
-                "n_scored",
-                "abs_err_fx",
-            )
-        )
-        out = fold if out is None else out.unionAll(fold)
-    return out
+    )
+    # Literal fold spine: a fold with an empty test range must still
+    # emit its row (count 0, null error sum) exactly as the old
+    # ungrouped per-fold aggregate did.
+    folds = spark.createDataFrame(
+        [(i, int(n_trains[f"t{i}"] or 0)) for i in range(len(cuts))],
+        "fold int, n_train bigint",
+    )
+    return folds.join(scored, "fold", "left").select(
+        "fold",
+        "n_train",
+        F.coalesce(F.col("n_test"), F.lit(0).cast("bigint")).alias(
+            "n_test"
+        ),
+        F.coalesce(F.col("n_scored"), F.lit(0).cast("bigint")).alias(
+            "n_scored"
+        ),
+        "abs_err_fx",
+    )
