@@ -175,12 +175,88 @@ _EWMA_SCHEMA = "user_id long, n_events long, ewma_fx long"
 
 def _ewma_fold(values: Iterable[float], alpha: float) -> float:
     """Left fold e ← (1−α)·e + α·x with e₀ = x₀ — the exact op sequence
-    DuckDB's list_reduce runs, so results are bit-identical."""
+    DuckDB's list_reduce runs, so results are bit-identical. The α·x
+    products are precomputed vectorized when a numpy array is passed
+    (each is the identical single double multiply the inline loop
+    performed; the fold's multiply-add order is untouched)."""
+    import numpy as np
+
+    om = 1.0 - alpha
+    if isinstance(values, np.ndarray):
+        ax = (alpha * values.astype(np.float64, copy=False)).tolist()
+        e = float(values[0])
+        for axi in ax[1:]:
+            e = om * e + axi
+        return e
     it = iter(values)
     e = next(it)
     for x in it:
-        e = (1.0 - alpha) * e + alpha * x
+        e = om * e + alpha * x
     return e
+
+
+def _series_partition_fold(events: DataFrame, emit, schema: str) -> DataFrame:
+    """Per-series sequential fold WITHOUT per-group pandas overhead
+    (guide §4.2/§4.5): the old groupBy().applyInPandas shape paid a
+    pandas DataFrame construction + sort + Python emit per GROUP —
+    at ~67 rows/series that overhead, not the fold arithmetic, was
+    ~all of the face (measured: events has 1 500 tiny series at
+    sf0.1). Same single shuffle (hash repartition on the series key,
+    partition count from spark.sql.shuffle.partitions — scale-
+    adaptive conf, not a constant), then a JVM sort-within-partitions
+    replaces the 1 500 pandas sorts, only (user_id, value) crosses the
+    Arrow boundary, and ONE mapInPandas pass walks each partition's
+    contiguous series runs, carrying the open run across Arrow batch
+    boundaries. ``emit(user_id, values_np)`` receives the series'
+    values in exactly the (ts, event_id) order the old per-group
+    ``pdf.sort_values`` produced and returns one output-row dict;
+    every fold still executes the identical IEEE op sequence, so
+    results stay bit-identical (oracle-gated per face). State is one
+    open series per partition — the same bound as applyInPandas."""
+    import numpy as np
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+
+    def run(batches):
+        cur_uid = None
+        parts: list = []
+        rows: list = []
+
+        def flush() -> None:
+            if cur_uid is not None:
+                vals = (
+                    np.concatenate(parts) if len(parts) > 1 else parts[0]
+                )
+                rows.append(emit(int(cur_uid), vals))
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy()
+            idx = np.flatnonzero(uids[1:] != uids[:-1]) + 1
+            starts = np.concatenate(([0], idx))
+            ends = np.concatenate((idx, [len(uids)]))
+            for s, e in zip(starts, ends):
+                if cur_uid is None or uids[s] != cur_uid:
+                    flush()
+                    cur_uid = uids[s]
+                    parts = []
+                parts.append(vals[s:e])
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+                rows = []
+        flush()
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .repartition(F.col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "value")
+        .mapInPandas(run, schema)
+    )
 
 
 @register(
@@ -215,23 +291,15 @@ def timeseries_ewma_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch holds one group's rows, same bound as any sessionizer)."""
     events = load_table(spark, sf_dir, "events")
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        vals = [float(v) for v in pdf["value"]]
+    def emit(uid: int, vals) -> dict:
         e = _ewma_fold(vals, _ALPHA)
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(vals)],
-                "ewma_fx": [int(math.floor(e * 1000000.0))],
-            }
-        )
+        return {
+            "user_id": uid,
+            "n_events": len(vals),
+            "ewma_fx": int(math.floor(e * 1000000.0)),
+        }
 
-    return (
-        events.select("user_id", "ts", "event_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(fold, _EWMA_SCHEMA)
-    )
+    return _series_partition_fold(events, emit, _EWMA_SCHEMA)
 
 
 @register(
@@ -274,28 +342,28 @@ def timeseries_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: one shuffle on the series key, O(1) state per group."""
     events = load_table(spark, sf_dir, "events")
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        vfx = [
-            int(math.floor((v if pd.notna(v) else 0.0) * 1000000.0))
-            for v in pdf["value"]
-        ]
-        mu = sum(vfx) / len(vfx)
-        s = 0.0
-        for x in vfx:
-            s = max(0.0, s + (float(x) - mu))
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(vfx)],
-                "cusum_fx": [int(math.floor(s))],
-            }
-        )
+    import numpy as np
 
-    return (
-        events.select("user_id", "ts", "event_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(fold, "user_id long, n_events long, cusum_fx long")
+    def emit(uid: int, vals) -> dict:
+        # same per-element arithmetic as the old list comprehension:
+        # NaN→0.0, one double multiply, floor — exact-int float64s
+        a = np.where(np.isnan(vals), 0.0, vals.astype(np.float64))
+        vfx = np.floor(a * 1000000.0).astype(np.int64)
+        mu = int(vfx.sum()) / len(vfx)
+        # (x − mu) is one double subtraction per element in the old
+        # loop too — precomputing it vectorized leaves the fold's
+        # s := max(0, s + d_i) op sequence untouched
+        s = 0.0
+        for dx in (vfx.astype(np.float64) - mu).tolist():
+            s = max(0.0, s + dx)
+        return {
+            "user_id": uid,
+            "n_events": len(vfx),
+            "cusum_fx": int(math.floor(s)),
+        }
+
+    return _series_partition_fold(
+        events, emit, "user_id long, n_events long, cusum_fx long"
     )
 
 
@@ -544,31 +612,25 @@ def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the series key, O(1) state per group."""
     events = load_table(spark, sf_dir, "events")
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        vfx = [
-            float(math.floor((v if pd.notna(v) else 0.0) * 1000000.0))
-            for v in pdf["value"]
-        ]
+    import numpy as np
+
+    def emit(uid: int, vals) -> dict:
+        a = np.where(np.isnan(vals), 0.0, vals.astype(np.float64))
+        vfx = np.floor(a * 1000000.0).tolist()  # exact-int doubles
         l, t = vfx[0], 0.0
         for x in vfx[1:]:
             nl = 0.5 * x + 0.5 * (l + t)
             nt = 0.25 * (nl - l) + 0.75 * t
             l, t = nl, nt
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(vfx)],
-                "level_fx": [int(math.floor(l))],
-                "trend_fx": [int(math.floor(t))],
-            }
-        )
+        return {
+            "user_id": uid,
+            "n_events": len(vfx),
+            "level_fx": int(math.floor(l)),
+            "trend_fx": int(math.floor(t)),
+        }
 
-    return (
-        events.select("user_id", "ts", "event_id", "value")
-        .groupBy("user_id")
-        .applyInPandas(
-            fold,
-            "user_id long, n_events long, level_fx long, trend_fx long",
-        )
+    return _series_partition_fold(
+        events,
+        emit,
+        "user_id long, n_events long, level_fx long, trend_fx long",
     )
