@@ -210,6 +210,8 @@ def k_core(
                     "edge_parts": cur.rdd.getNumPartitions(),
                 }
             )
-        if cur.isEmpty():
-            return deg.filter(F.lit(False))  # empty core, stable schema
+        # No per-round isEmpty() probe (r14, guide §1.2 — one fewer
+        # job per round): if every edge was peeled, the NEXT round's
+        # degree aggregate is empty, n_weak is 0, and the empty deg
+        # (same schema) returns through the fixpoint branch.
     raise RuntimeError(f"k_core: no fixpoint within {max_iter} rounds")

@@ -430,27 +430,22 @@ def cosine_near_dup_pairs_exact(
     re-rank), whose recall is gated against this function in
     tests/test_similarity.py.
     """
-    a = df.select(F.col(key_col).alias("a_id"), F.col(vec_col).alias("__avec"))
-    b = df.select(F.col(key_col).alias("b_id"), F.col(vec_col).alias("__bvec"))
+    # r14 (guide §4.2): the theta self-join (BroadcastNestedLoopJoin)
+    # evaluated the CodegenFallback HOF dot interpreted per pair —
+    # ~n²/2 × (dim) interpreted ops. The bounded slice now scores all
+    # pairs in ONE vectorized numpy pass (the near_dup_pairs scorer:
+    # identical 1e-6 fixed-point arithmetic, bit-identical output —
+    # oracle-exact and twin-gated). The single-group applyInPandas is
+    # the right shape HERE because this function is the deliberately
+    # row-capped oracle baseline; production paths stay bucketed.
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select(
-            "a_id",
-            "b_id",
-            # 1e-6 FLOOR quantization (tie-mode-free; matches the
-            # LSH variants and both DuckDB oracles — r11)
-            (
-                F.floor(
-                    _dot_expr("__avec", "__bvec")
-                    / F.sqrt(
-                        _sq_norm_expr("__avec") * _sq_norm_expr("__bvec")
-                    )
-                    * 1000000.0
-                )
-                / 1000000.0
-            ).alias("cos_sim"),
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(key_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda _k, pdf: _pair_scorer(float(threshold))(pdf),
+            "a_id long, b_id long, cos_sim double",
         )
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -638,79 +633,21 @@ def _sig_col(
     return buckets(F.col(vec_col))
 
 
-def near_dup_pairs(
-    df: DataFrame,
-    key_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.9,
-    num_planes: int = 160,
-    bands: int = 16,
-    signature: str = "arrow",
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via banded LSH — the
-    default (100 TB) path; same output contract as
-    ``cosine_near_dup_pairs_exact`` minus the misses LSH allows.
-
-    Plan shape (r14; guide §8, §4.2 — decide with small rows, hand
-    whole batches to vectorized native code): signature map (no
-    shuffle; vectorized Arrow by default, see :func:`_sig_col`) →
-    explode bands → ONE exchange grouping the exploded ``(id, vec,
-    band, bucket)`` rows by (band, bucket) → per-bucket exact cosine
-    over all in-bucket pairs in vectorized numpy (applyInPandas) →
-    a scalar pair dedup over only the rows that already passed the
-    threshold. Until r14 the in-bucket re-rank was a (band, bucket)
-    self equi-join + a per-pair fixed-point dot expression; both
-    measured as the scale walls (sf1-equivalent, 40k vectors, 18.3M
-    collisions): the HOF dot is CodegenFallback in Spark 4 (~20 s of
-    the 33 s face just evaluating it pair-at-a-time), and the dedup
-    exchange carried EVERY collision — ~n²/128 rows on a
-    near-orthogonal corpus, since a random pair agrees per plane with
-    p = 1 − arccos(0)/π = 0.5 and collides in ≥1 of 16 bands with
-    ≈ 16/2¹⁰. The grouped scorer moves bands×corpus rows (not pairs)
-    across the Python boundary once, computes the IDENTICAL
-    order-free fixed-point arithmetic on whole matrices, and returns
-    only survivors, so both former walls are gone; the threshold
-    filter inside the scorer is sound because a pair scores the same
-    cos_sim in every band it collides in (same two vectors, same
-    quantized expression — a pushdown no optimizer can prove).
-    For vectors wide enough that bands×dim dominates the exploded
-    exchange (≳1k dims), :func:`near_dup_pairs_idonly` buckets ids
-    only and fetches vectors once per surviving pair.
-
-    Exactness: per-term FLOOR((x·y)·1e6) as int64, summed (order-free
-    integer addition), CAST→double /1e6, divided by sqrt of the
-    identically-quantized norms, floor-quantized to 1e-6 — every step
-    an IEEE-double op numpy executes bit-identically to the JVM
-    expression path (np.sqrt and Math.sqrt are both correctly
-    rounded; float32→float64 widening is exact; int64 sums are
-    order-free). tests/test_similarity.py asserts output identity
-    against :func:`near_dup_pairs_idonly`, which still scores through
-    the pure-expression path — a cross-engine replay of the same
-    claim the DuckDB oracles make. Rows whose vector contains a null
-    element (→ null dot under zip_with) or a NaN are dropped by the
-    scorer's finite mask — no corpus or face produces either; whole
-    null vectors never reach it (null signature → posexplode emits
-    nothing).
-
-    Default geometry: 16 bands × 10 bits. For cos ≥ 0.9 the per-plane
-    agreement is p = 1 − arccos(0.9)/π ≈ 0.856, so a band matches with
-    p¹⁰ ≈ 0.21 and ≥1 of 16 bands with ≈ 0.978 — while uniform buckets
-    prune candidate pairs by ~2¹⁰/16 ≈ 64×. Banding CANNOT prune at low
-    thresholds (cos 0.2 ⇒ p ≈ 0.56: any geometry with usable recall
-    inspects ~all pairs) — loose-pair mining stays on the exact path
-    over a bounded slice.
-    """
+def _pair_scorer(thr: float):
+    """Vectorized exact-cosine scorer over one group's ``(__id,
+    __vec)`` rows: every a_id < b_id pair at or above ``thr``, with
+    the repo's shared 1e-6 fixed-point quantization — per-term
+    FLOOR((x·y)·1e6) as int64, summed (order-free integer addition),
+    CAST→double /1e6, divided by sqrt of the identically-quantized
+    norms, floor-quantized to 1e-6. Every step is an IEEE-double op
+    numpy executes bit-identically to the JVM expression path
+    (np.sqrt and Math.sqrt are both correctly rounded; float32→
+    float64 widening is exact; int64 sums are order-free). Rows whose
+    vector contains a non-finite element are dropped by the finite
+    mask — identical to the expression path, where a null/NaN term
+    nulls the dot and the score filter drops the pair."""
     import numpy as np
     import pandas as pd
-
-    sig = _sig_col(df, vec_col, num_planes, bands, signature)
-    exploded = df.select(
-        F.col(key_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        F.posexplode(sig).alias("band", "bucket"),
-    )
-
-    thr = float(threshold)
 
     def _score_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
@@ -787,8 +724,81 @@ def near_dup_pairs(
             }
         )
 
+    return _score_bucket
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 160,
+    bands: int = 16,
+    signature: str = "arrow",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded LSH — the
+    default (100 TB) path; same output contract as
+    ``cosine_near_dup_pairs_exact`` minus the misses LSH allows.
+
+    Plan shape (r14; guide §8, §4.2 — decide with small rows, hand
+    whole batches to vectorized native code): signature map (no
+    shuffle; vectorized Arrow by default, see :func:`_sig_col`) →
+    explode bands → ONE exchange grouping the exploded ``(id, vec,
+    band, bucket)`` rows by (band, bucket) → per-bucket exact cosine
+    over all in-bucket pairs in vectorized numpy (applyInPandas) →
+    a scalar pair dedup over only the rows that already passed the
+    threshold. Until r14 the in-bucket re-rank was a (band, bucket)
+    self equi-join + a per-pair fixed-point dot expression; both
+    measured as the scale walls (sf1-equivalent, 40k vectors, 18.3M
+    collisions): the HOF dot is CodegenFallback in Spark 4 (~20 s of
+    the 33 s face just evaluating it pair-at-a-time), and the dedup
+    exchange carried EVERY collision — ~n²/128 rows on a
+    near-orthogonal corpus, since a random pair agrees per plane with
+    p = 1 − arccos(0)/π = 0.5 and collides in ≥1 of 16 bands with
+    ≈ 16/2¹⁰. The grouped scorer moves bands×corpus rows (not pairs)
+    across the Python boundary once, computes the IDENTICAL
+    order-free fixed-point arithmetic on whole matrices, and returns
+    only survivors, so both former walls are gone; the threshold
+    filter inside the scorer is sound because a pair scores the same
+    cos_sim in every band it collides in (same two vectors, same
+    quantized expression — a pushdown no optimizer can prove).
+    For vectors wide enough that bands×dim dominates the exploded
+    exchange (≳1k dims), :func:`near_dup_pairs_idonly` buckets ids
+    only and fetches vectors once per surviving pair.
+
+    Exactness: per-term FLOOR((x·y)·1e6) as int64, summed (order-free
+    integer addition), CAST→double /1e6, divided by sqrt of the
+    identically-quantized norms, floor-quantized to 1e-6 — every step
+    an IEEE-double op numpy executes bit-identically to the JVM
+    expression path (np.sqrt and Math.sqrt are both correctly
+    rounded; float32→float64 widening is exact; int64 sums are
+    order-free). tests/test_similarity.py asserts output identity
+    against :func:`near_dup_pairs_idonly`, which still scores through
+    the pure-expression path — a cross-engine replay of the same
+    claim the DuckDB oracles make. Rows whose vector contains a null
+    element (→ null dot under zip_with) or a NaN are dropped by the
+    scorer's finite mask — no corpus or face produces either; whole
+    null vectors never reach it (null signature → posexplode emits
+    nothing).
+
+    Default geometry: 16 bands × 10 bits. For cos ≥ 0.9 the per-plane
+    agreement is p = 1 − arccos(0.9)/π ≈ 0.856, so a band matches with
+    p¹⁰ ≈ 0.21 and ≥1 of 16 bands with ≈ 0.978 — while uniform buckets
+    prune candidate pairs by ~2¹⁰/16 ≈ 64×. Banding CANNOT prune at low
+    thresholds (cos 0.2 ⇒ p ≈ 0.56: any geometry with usable recall
+    inspects ~all pairs) — loose-pair mining stays on the exact path
+    over a bounded slice.
+    """
+    sig = _sig_col(df, vec_col, num_planes, bands, signature)
+    exploded = df.select(
+        F.col(key_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.posexplode(sig).alias("band", "bucket"),
+    )
+
     candidates = exploded.groupBy("band", "bucket").applyInPandas(
-        _score_bucket, "a_id long, b_id long, cos_sim double"
+        _pair_scorer(float(threshold)),
+        "a_id long, b_id long, cos_sim double",
     )
     return (
         candidates.groupBy("a_id", "b_id")

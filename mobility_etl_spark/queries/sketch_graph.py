@@ -262,7 +262,10 @@ def network_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
-        .distinct()
+        # r14 (guide §2.3 — shuffle fewer bytes): the sparsifier is a
+        # pure function of (u, v), so filter-then-distinct ≡
+        # distinct-then-filter and the dedup exchange now carries
+        # ~1/23 of the co-occurrence pairs
         .filter(
             # pre-reduce before the Knuth multiply: partkeys reach 2e4
             # at sf0.1 and the unreduced product would pass 2^63
@@ -272,6 +275,7 @@ def network_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 23
             == 0
         )
+        .distinct()
     )
     stats: list = []
     core = k_core(pairs, k=3, stats=stats)
