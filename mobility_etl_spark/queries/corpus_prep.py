@@ -1302,22 +1302,28 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    docs.filter(F.col("doc_id") < 200).write.mode("overwrite").parquet(
-        path
-    )
+    # r14 (guide §6): one file per few-hundred-row delta — see
+    # snapshot_change_feed_ivm's note; results are layout-independent.
+    docs.filter(F.col("doc_id") < 200).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(path)
     from mobility_etl_spark.operators.snapshots import commit_snapshot
 
     v1 = commit_snapshot(spark, path, note="v1")
     append_snapshot(
         spark,
         path,
-        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)),
+        docs.filter(
+            (F.col("doc_id") >= 200) & (F.col("doc_id") < 350)
+        ).repartition(1),
         note="v2",
     )
     v3 = append_snapshot(
         spark,
         path,
-        docs.filter((F.col("doc_id") >= 350) & (F.col("doc_id") < 500)),
+        docs.filter(
+            (F.col("doc_id") >= 350) & (F.col("doc_id") < 500)
+        ).repartition(1),
         note="v3",
     )
     appended = snapshot_changes(spark, path, v1, v3).select(
@@ -1377,9 +1383,15 @@ def snapshot_change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    docs.filter(F.col("doc_id") < 200).write.mode("overwrite").parquet(
-        path
-    )
+    # r14 (guide §6 — sensible output file sizing): each delta is a
+    # few hundred narrow rows; written at scan parallelism they landed
+    # as ~32 near-empty files per version, inflating every manifest,
+    # commit, compaction and feed scan that follows. One file per
+    # delta is the correct layout at any scale where the delta is
+    # this small; results are layout-independent (oracle unchanged).
+    docs.filter(F.col("doc_id") < 200).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(path)
     versions = [commit_snapshot(spark, path, note="v1")]
     for lo, hi, note in ((200, 350, "v2"), (350, 500, "v3")):
         # a compaction between EVERY consumed version (r11): each of
@@ -1393,7 +1405,7 @@ def snapshot_change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 path,
                 docs.filter(
                     (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-                ),
+                ).repartition(1),
                 note=note,
             )
         )

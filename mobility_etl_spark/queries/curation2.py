@@ -86,16 +86,28 @@ def span_dedup_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= SPAN_W)
     )
-    pos = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {SPAN_W - 1}),"
-                f" i -> struct(CAST(i AS BIGINT) AS pos,"
-                f" md5(concat_ws(' ', slice(toks, i, {SPAN_W}))) AS sh))"
-            )
-        ).alias("w"),
-    ).select("doc_id", "w.pos", "w.sh")
+    pos = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SPAN_W - 1}),"
+                    f" i -> struct(CAST(i AS BIGINT) AS pos,"
+                    f" md5(concat_ws(' ', slice(toks, i, {SPAN_W}))) AS sh))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.sh")
+        # r14 (guide §5, §3.3): the window table feeds BOTH the
+        # duplicate-digest aggregate and the semi-join's probe side;
+        # unmaterialized, the split+md5 extraction (the face's CPU)
+        # ran twice. One localCheckpoint materializes the narrow
+        # (doc_id, pos, 32-byte sh) rows — within the timed query, a
+        # lineage cut, not a cross-run cache. The skew-safe shape is
+        # unchanged: counts still collapse map-side, the pos side is
+        # still never shuffled by sh (dup broadcasts back).
+        .localCheckpoint(eager=True)
+    )
 
     dup = pos.groupBy("sh").count().filter(F.col("count") >= 2).select("sh")
     dpos = pos.join(dup, "sh", "left_semi").select("doc_id", "pos")
