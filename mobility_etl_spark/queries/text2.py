@@ -309,7 +309,17 @@ def text_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
     train = bigrams.filter(F.col("doc_id") % 5 != 0)
-    c12 = train.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # r14 (guide §5, §3.3): c12 feeds the |bigrams| count job AND all
+    # three broadcast model tables — unmaterialized, the train-side
+    # explode + aggregation executed four times (once per consumer).
+    # The table is vocabulary-sized by design (distinct train
+    # bigrams — the docstring's 100 TB posture), so one
+    # localCheckpoint is the correct materialization at any scale.
+    c12 = (
+        train.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c12.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count("*").alias("n1fw")
     )

@@ -16,6 +16,8 @@ key arrival rate), not by stream length.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -1237,6 +1239,17 @@ from collections import deque as _deque
 
 STAGE_TIMINGS: "_deque[dict]" = _deque(maxlen=8192)
 
+#: Batch-row threshold below which a state-delta append reaches its
+#: one output file via coalesce(1) (whole payload DAG in one task —
+#: cheapest for small batches) instead of repartition(1) (parallel
+#: compute + one tiny shuffle — required for large ones). Measured
+#: r14: at 1 250-doc batches the extra shuffle stage per table costs
+#: +35% face wall; at production batch sizes a single-task ngram
+#: explode is the scale-killer. Env-tunable, same default everywhere.
+_APPEND_COALESCE_ROWS = int(
+    os.environ.get("PRETRAIN_APPEND_COALESCE_ROWS", "50000")
+)
+
 
 def _stamp(epoch: int, stage: str, t0: float) -> float:
     """Record one stage's wall time; returns the new t0."""
@@ -1485,9 +1498,13 @@ def pretraining_apply_batch(
     t0 = time.monotonic()
     if f"batch-{epoch}" in _cat_notes_seen(root):
         return  # replay of a fully-committed batch
-    # one job decides emptiness AND the id-contract floor (r13: the
-    # former take(1) probe was a second scan of the batch)
-    batch_min = batch_df.agg(F.min("doc_id")).first()[0]
+    # one job decides emptiness, the id-contract floor, AND the batch
+    # size the append layout adapts on (r13: the former take(1) probe
+    # was a second scan of the batch; r14: count rides the same agg)
+    _probe = batch_df.agg(
+        F.min("doc_id"), F.count("*").alias("__n")
+    ).first()
+    batch_min, batch_rows = _probe[0], int(_probe["__n"])
     if batch_min is None:
         return
     t0 = _stamp(epoch, "take", t0)
@@ -1724,8 +1741,27 @@ def pretraining_apply_batch(
             # append, or un-coalesced writes leave one parquet per
             # shuffle partition and the tips hit the compaction
             # budget immediately (measured in the r10 near-dup
-            # stress run)
-            append_snapshot(spark, path, df.coalesce(1), note=note)
+            # stress run). HOW the plan reaches one partition adapts
+            # to the measured batch size (r14, guide §2.4/§2.5):
+            # coalesce(1) propagates up the narrow chain and runs the
+            # whole payload DAG — the per-batch ngram explodes and
+            # the survivors probe join — in ONE task, which is the
+            # cheapest shape for small batches (an extra shuffle
+            # stage per table A/B'd +35% on the 1 250-doc bench
+            # batches) and a scale-killer for large ones (the r13
+            # seed-write coalesce(1) pathology); repartition(1) keeps
+            # the compute parallel and moves only the batch-sized
+            # delta (sort-before-repartition keeps retries
+            # deterministic). Both layouts produce the identical
+            # single file. Threshold via PRETRAIN_APPEND_COALESCE_ROWS
+            # (default 50k rows ≈ where single-task explode work
+            # passes the per-stage round-trip cost).
+            one = (
+                df.coalesce(1)
+                if batch_rows <= _APPEND_COALESCE_ROWS
+                else df.repartition(1)
+            )
+            append_snapshot(spark, path, one, note=note)
         _note_record(path, note)
         _stamp(epoch, f"append:{name}", ta)
 
