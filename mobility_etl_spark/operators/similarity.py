@@ -686,34 +686,46 @@ def _pair_scorer(thr: float):
         out_a: list = []
         out_b: list = []
         out_c: list = []
-        # chunk the a-axis so the (chunk, width, dim) per-term tensor
-        # stays ~64 MB regardless of bucket population; the b-axis
-        # starts at the chunk's own offset so only the upper triangle
-        # (plus a chunk-local sliver masked below) is ever computed —
-        # half the flops of the full n×n rectangle
-        chunk = max(1, 125_000 // n)
+        # BLAS prefilter (r14, guide §8 — decide with a cheap proxy,
+        # compute the expensive exact form on survivors only): the
+        # quantized dot can only sit BELOW the true dot (every
+        # per-term floor subtracts), so q ≤ dgemm_dot + ε_sum where
+        # ε_sum is the gemm's reordering error (~1e-11 here; 1e-6 —
+        # one full quantization unit — is an overwhelming upper
+        # bound). Hence cos_q ≥ thr implies
+        # (dgemm_dot + 1e-6)/denom ≥ thr, and a plain gram (one DGEMM
+        # — ~10x the throughput and ~1/d the memory traffic of the
+        # per-term floor tensor) selects a candidate superset; the
+        # IDENTICAL fixed-point arithmetic then scores only those
+        # pairs, so emitted rows are byte-for-byte unchanged (the
+        # idonly-twin identity gate and the DuckDB oracles re-prove
+        # it). Chunk the gram's a-axis to ~32 MB per slab.
+        chunk = max(1, 4_000_000 // n)
         for s in range(0, n - 1, chunk):
             e = min(s + chunk, n - 1)
-            T = M[s:e, None, :] * M[None, s:, :]
-            T *= 1e6
+            denom = np.sqrt(q2[s:e, None] * q2[None, s:])
+            G = (M[s:e] @ M[s:].T + 1e-6) / denom
+            ii, jj = np.nonzero(G >= thr)
+            keep = jj > ii  # strict upper triangle: a_id < b_id
+            ii, jj = ii[keep] + s, jj[keep] + s
+            if not len(ii):
+                continue
+            # exact fixed-point re-score on the candidate pairs only
             q = (
-                np.floor(T)
+                np.floor((M[ii] * M[jj]) * 1e6)
                 .astype(np.int64)
-                .sum(axis=2)
+                .sum(axis=1)
                 .astype(np.float64)
                 / 1e6
             )
             cos = (
-                np.floor((q / np.sqrt(q2[s:e, None] * q2[None, s:])) * 1e6)
-                / 1e6
+                np.floor((q / np.sqrt(q2[ii] * q2[jj])) * 1e6) / 1e6
             )
-            ii, jj = np.nonzero(cos >= thr)
-            keep = jj > ii  # strict upper triangle: a_id < b_id
-            ii, jj = ii[keep], jj[keep]
-            if len(ii):
-                out_a.append(ids[ii + s])
-                out_b.append(ids[jj + s])
-                out_c.append(cos[ii, jj])
+            ok = cos >= thr
+            if ok.any():
+                out_a.append(ids[ii[ok]])
+                out_b.append(ids[jj[ok]])
+                out_c.append(cos[ok])
         if not out_a:
             return empty
         return pd.DataFrame(

@@ -98,15 +98,18 @@ def span_dedup_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
         .select("doc_id", "w.pos", "w.sh")
-        # r14 (guide §5, §3.3): the window table feeds BOTH the
-        # duplicate-digest aggregate and the semi-join's probe side;
-        # unmaterialized, the split+md5 extraction (the face's CPU)
-        # ran twice. One localCheckpoint materializes the narrow
-        # (doc_id, pos, 32-byte sh) rows — within the timed query, a
-        # lineage cut, not a cross-run cache. The skew-safe shape is
-        # unchanged: counts still collapse map-side, the pos side is
-        # still never shuffled by sh (dup broadcasts back).
-        .localCheckpoint(eager=True)
+        # r14 note (measured, deliberately left as-is): the window
+        # table feeds BOTH the duplicate-digest aggregate and the
+        # semi-join's probe side, so the split+md5 extraction runs
+        # twice. Two single-execution variants were A/B'd at sf0.1
+        # AND the sf10-equivalent (500k docs): localCheckpoint (1.9
+        # vs 3.3 s at sf0.1 — but 34.6 vs 18.5 s at sf10) and a
+        # shared hash-repartition exchange (2.6 s / 29.8 s). Both
+        # LOSE at scale because the digest table (~48 B x n_windows)
+        # is ~10x the corpus text bytes: re-scanning the corpus is
+        # cheaper than moving or materializing the digests. The
+        # double-extraction + map-side-count + broadcast shape IS the
+        # 100 TB plan; see OPTIMIZATION_r14.md counter-measurements.
     )
 
     dup = pos.groupBy("sh").count().filter(F.col("count") >= 2).select("sh")

@@ -170,7 +170,7 @@ def training_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_us_cutoffs(
-    events: DataFrame, fracs: tuple[float, ...], n: int
+    events: DataFrame, fracs: tuple[float, ...], n: int | None = None
 ) -> list[int]:
     """Batched :func:`exact_us_cutoff`: the SAME exact order-statistic
     per fraction, with the control-plane jobs fused across fractions
@@ -192,12 +192,17 @@ def exact_us_cutoffs(
         probes += [max(0.0, f - 0.02), min(1.0, f + 0.02)]
     qs = events.approxQuantile("us", probes, 0.001)
     brackets = [(qs[2 * i], qs[2 * i + 1]) for i in range(len(fracs))]
+    # n (when the caller hasn't already counted) rides the same
+    # aggregation as the below-counts — no separate count() job
     below = events.agg(
         *[
             F.sum((F.col("us") < F.lit(lo)).cast("long")).alias(f"b{i}")
             for i, (lo, _) in enumerate(brackets)
-        ]
+        ],
+        F.count("*").alias("__n"),
     ).collect()[0]
+    if n is None:
+        n = int(below["__n"])
 
     def one(i: int) -> int:
         lo, hi = brackets[i]
@@ -221,21 +226,8 @@ def exact_us_cutoff(events: DataFrame, frac: float, n: int) -> int:
     INSIDE the sliver (every window partitioned by range bucket — a
     single-partition rank over even a few-percent sliver is terabytes
     through one task at 100 TB). ``events`` must carry (us, event_id).
-    Two bounded control-plane collects + one one-row collect."""
-    from mobility_etl_spark.operators.sampling import bucketed_global_rank
-
-    target = int(frac * n)
-    lo, hi = events.approxQuantile(
-        "us", [max(0.0, frac - 0.02), min(1.0, frac + 0.02)], 0.001
-    )
-    sliver = events.filter((F.col("us") >= lo) & (F.col("us") <= hi))
-    n_below = events.filter(F.col("us") < lo).count()  # control-plane
-    ranked, _n = bucketed_global_rank(
-        sliver.select("us", "event_id"), "us", "event_id", "rank"
-    )
-    return ranked.filter(F.col("rank") == target - n_below).select(
-        "us"
-    ).collect()[0]["us"]
+    Single-fraction form of :func:`exact_us_cutoffs` (one code path)."""
+    return exact_us_cutoffs(events, (frac,), n)[0]
 
 
 @register(
@@ -273,8 +265,9 @@ def training_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").withColumn(
         "us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
-    n = events.count()  # control-plane scalar
-    cut_us = exact_us_cutoff(events, 0.8, n)
+    # r14: one cutoff via the batched helper — n rides the below-count
+    # aggregation instead of a separate count() job
+    cut_us = exact_us_cutoffs(events, (0.8,))[0]
     tagged = events.withColumn(
         "split",
         F.when(F.col("us") <= F.lit(cut_us), "train").otherwise("test"),
@@ -441,8 +434,7 @@ def training_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
     )
-    n = events.count()  # control-plane scalar
-    cuts = exact_us_cutoffs(events, _BT_FRACS, n)
+    cuts = exact_us_cutoffs(events, _BT_FRACS)  # n rides the below-agg
 
     # r14 (guide §1.2 "the distributed algorithm", §2.4): the per-fold
     # loop ran 4 model aggregations + 4 train.count jobs + 8 event
