@@ -172,7 +172,13 @@ def k_core(
     import time
 
     cur = edges.select("u", "v").localCheckpoint(eager=True)
-    for rnd in range(max_iter):
+    # range(max_iter + 1), not range(max_iter): since the r14 removal
+    # of the per-round isEmpty() probe, a fully-peeled graph is
+    # detected by the NEXT round's n_weak == 0 check on the empty
+    # degree table — so a graph whose last edges peel exactly at round
+    # max_iter - 1 needs one extra (cheap, empty-aggregate) round to
+    # return its empty core instead of raising (ADVICE r14).
+    for rnd in range(max_iter + 1):
         t0 = time.monotonic()
         deg = (
             cur.select(F.col("u").alias("node"))

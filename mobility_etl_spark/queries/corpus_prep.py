@@ -1265,6 +1265,27 @@ def pipeline_pretraining_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pretraining_finalize(spark, root)
 
 
+def _delta_one_file(df: DataFrame, max_rows: int) -> DataFrame:
+    """One output file per change-feed delta, reached the cheap way
+    for the delta's KNOWN row bound (r15, VERDICT r14 #3 — the same
+    batch-size-adaptive layout streaming/jobs.py:_do_append ships):
+    ``coalesce(1)`` for small deltas collapses the (id-pruned) scan
+    into the write task — no exchange, no extra stage — while a
+    large delta keeps its compute parallel behind one ``repartition(1)``
+    shuffle of just the delta rows. The r14 unconditional
+    repartition(1) added a shuffle stage per version inside the timed
+    loop (+0.2-0.4 s at sf0.1 on the driver, PERF_r14). The change-feed
+    faces' deltas are FIXED id ranges (< 500 rows at any SF), so the
+    static bound is exact; results are layout-independent either way.
+    Threshold shared with the streaming appends
+    (PRETRAIN_APPEND_COALESCE_ROWS)."""
+    from mobility_etl_spark.streaming.jobs import _APPEND_COALESCE_ROWS
+
+    if max_rows <= _APPEND_COALESCE_ROWS:
+        return df.coalesce(1)
+    return df.repartition(1)
+
+
 @register(
     "snapshot_change_feed",
     oracle="""
@@ -1304,26 +1325,34 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r14 (guide §6): one file per few-hundred-row delta — see
     # snapshot_change_feed_ivm's note; results are layout-independent.
-    docs.filter(F.col("doc_id") < 200).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # r15: reached via the adaptive _delta_one_file layout (coalesce
+    # for these statically-small deltas — no per-delta shuffle stage).
+    _delta_one_file(
+        docs.filter(F.col("doc_id") < 200), 200
+    ).write.mode("overwrite").parquet(path)
     from mobility_etl_spark.operators.snapshots import commit_snapshot
 
     v1 = commit_snapshot(spark, path, note="v1")
     append_snapshot(
         spark,
         path,
-        docs.filter(
-            (F.col("doc_id") >= 200) & (F.col("doc_id") < 350)
-        ).repartition(1),
+        _delta_one_file(
+            docs.filter(
+                (F.col("doc_id") >= 200) & (F.col("doc_id") < 350)
+            ),
+            150,
+        ),
         note="v2",
     )
     v3 = append_snapshot(
         spark,
         path,
-        docs.filter(
-            (F.col("doc_id") >= 350) & (F.col("doc_id") < 500)
-        ).repartition(1),
+        _delta_one_file(
+            docs.filter(
+                (F.col("doc_id") >= 350) & (F.col("doc_id") < 500)
+            ),
+            150,
+        ),
         note="v3",
     )
     appended = snapshot_changes(spark, path, v1, v3).select(
@@ -1389,9 +1418,12 @@ def snapshot_change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # commit, compaction and feed scan that follows. One file per
     # delta is the correct layout at any scale where the delta is
     # this small; results are layout-independent (oracle unchanged).
-    docs.filter(F.col("doc_id") < 200).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(path)
+    # r15: adaptive _delta_one_file (VERDICT r14 #3) — coalesce(1)
+    # for these statically-bounded deltas removes the per-version
+    # shuffle stage the r14 repartition(1) put inside the timed loop.
+    _delta_one_file(
+        docs.filter(F.col("doc_id") < 200), 200
+    ).write.mode("overwrite").parquet(path)
     versions = [commit_snapshot(spark, path, note="v1")]
     for lo, hi, note in ((200, 350, "v2"), (350, 500, "v3")):
         # a compaction between EVERY consumed version (r11): each of
@@ -1403,9 +1435,12 @@ def snapshot_change_feed_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
             append_snapshot(
                 spark,
                 path,
-                docs.filter(
-                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-                ).repartition(1),
+                _delta_one_file(
+                    docs.filter(
+                        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                    ),
+                    hi - lo,
+                ),
                 note=note,
             )
         )

@@ -256,12 +256,33 @@ def network_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mobility_etl_spark.operators.components import k_core
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # r15 (VERDICT r14 #5, guide §2.4 — remove shuffles outright): the
+    # co-occurrence pair fan-out is generated IN-FRAME from each
+    # order's part SET instead of an orderkey self-join. The r14 shape
+    # shuffled both lineitem projections by orderkey (2 Exchanges),
+    # SortMergeJoined them, and deduped the pair explosion (a part in
+    # m lineitems of one order emitted m² copies of each pair); now
+    # ONE groupBy(ok) aggregation builds the deduped part set and a
+    # higher-order transform emits each u < v pair exactly once — no
+    # join, no sort, and the multiplicity blow-up is gone before it
+    # exists. Per-order fan-out is bounded by order size (≤ 7 parts on
+    # TPC-H), so the in-frame square is control-plane arithmetic, not
+    # a skew risk. Same distinct pair set by construction
+    # (collect_set ∘ pair-gen ≡ self-join ∘ distinct-of-pairs).
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        li.groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "filter(transform(ps, y -> IF(x < y, "
+                    "struct(x AS u, y AS v), NULL)), "
+                    "z -> z IS NOT NULL)))"
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         # r14 (guide §2.3 — shuffle fewer bytes): the sparsifier is a
         # pure function of (u, v), so filter-then-distinct ≡
         # distinct-then-filter and the dedup exchange now carries
@@ -504,16 +525,22 @@ def sketch_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, grouped by order priority (5 real partially-overlapping
     sets at sf0.1: ~11.3k keys each, ~8.5k pairwise common), reduced
     to one k-minimum-values sketch per group; all 10 pairwise
-    intersection/union estimates come from the sketches entirely
-    in-frame — per-group thetas as an aggregate, one tiny self-join on
-    the retained hashes, no driver-side math. This is the capability
-    matrix a contamination audit runs across training splits at 100 TB
-    for O(groups²+groups·k). EXACT-oracle checked since r10 (portable
-    md5 KMV hash, operators/sketch.py:kmv_hash — DuckDB rebuilds the
-    identical grouped sketch); tests/test_sketch.py additionally gates
-    every pair within 4·RSE of exact at sf0.1."""
+    intersection/union estimates come from the retained hashes. This
+    is the capability matrix a contamination audit runs across
+    training splits at 100 TB for O(groups²+groups·k). r15 (VERDICT
+    r14 #6 — the sketch_theta_custkey_sets treatment, guide §1.2/§5):
+    ONE Spark job collects the ≤ groups·k sketch rows and the matrix
+    algebra runs driver-side (operators/sketch.py:
+    kmv_overlap_matrix_rows — identical IEEE arithmetic, so estimates
+    are bit-identical to the r14 in-frame join pyramid, which survives
+    as the operator for data-plane-sized group counts). EXACT-oracle
+    checked since r10 (portable md5 KMV hash,
+    operators/sketch.py:kmv_hash — DuckDB rebuilds the identical
+    grouped sketch); tests/test_sketch.py additionally gates every
+    pair within 4·RSE of exact at sf0.1 and pins driver-vs-in-frame
+    equality."""
     from mobility_etl_spark.operators.sketch import (
-        kmv_overlap_matrix,
+        kmv_overlap_matrix_rows,
         kmv_sketch,
     )
 
@@ -521,9 +548,12 @@ def sketch_theta_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice") > 150000.0
     )
     sk = kmv_sketch(orders, ["o_orderpriority"], "o_custkey", k=_KMV_K)
-    return kmv_overlap_matrix(sk, "o_orderpriority", k=_KMV_K).orderBy(
-        "g_a", "g_b"
-    )
+    rows = kmv_overlap_matrix_rows(sk.collect(), k=_KMV_K)
+    return spark.createDataFrame(
+        rows,
+        "g_a string, g_b string, est_intersection double, "
+        "est_union double",
+    ).orderBy("g_a", "g_b")
 
 
 #: Per-process cache: sf_dir -> merged-sketch state root for the

@@ -181,3 +181,62 @@ def test_minhash_signature_mergeable_across_shards(spark, sf_dir):
             assert sig == (a or b)
         else:
             assert sig == [min(x, y) for x, y in zip(a, b)]
+
+
+def test_jaccard_candidates_broadcast_gate_fallback(spark, docs, monkeypatch):
+    """r15 (VERDICT r14 #7): the candidate broadcast into the exact
+    verify is size-gated. Force the gate shut (threshold 0) and
+    require (a) identical verified pairs through the shuffled
+    fallback, and (b) no broadcast of the candidate list in the
+    fallback plan."""
+    from mobility_etl_spark.operators import dedup as dd
+
+    sh = shingles(docs, "text", "doc_id", n=3)
+    sigs = minhash_signatures(sh, "doc_id", num_perm=32, with_count=True)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
+
+    def pairs():
+        return sorted(
+            map(
+                tuple,
+                jaccard_pairs(
+                    sh, "doc_id", candidates=cands,
+                    min_jaccard=0.3, sizes=sigs,
+                ).collect(),
+            )
+        )
+
+    broadcast_pairs = pairs()
+    monkeypatch.setattr(dd, "_CAND_BROADCAST_ROWS", 0)
+    fallback_df = jaccard_pairs(
+        sh, "doc_id", candidates=cands, min_jaccard=0.3, sizes=sigs
+    )
+    plan = fallback_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin LeftSemi" not in plan
+    assert sorted(map(tuple, fallback_df.collect())) == broadcast_pairs
+
+
+def test_jaccard_candidate_prefilter_bounds_self_join(spark, docs):
+    """r15 (VERDICT r14 #4): both sides of the co-shingle self-join
+    are semi-joined down to candidate-involved keys BEFORE the join —
+    a hot shingle can no longer go quadratic in non-candidate docs.
+    Gate the plan shape (two semi-joins feeding the self-join) and
+    exactness against the unfiltered form."""
+    sh = shingles(docs, "text", "doc_id", n=3)
+    sigs = minhash_signatures(sh, "doc_id", num_perm=32, with_count=True)
+    cands = lsh_candidate_pairs(sigs, "doc_id", num_perm=32, bands=8)
+    out = jaccard_pairs(
+        sh, "doc_id", candidates=cands, min_jaccard=0.3, sizes=sigs
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # key-set semi-joins on both self-join inputs + the pair-identity
+    # semi-join below the count: >= 3 LeftSemi joins in the plan
+    assert plan.count("LeftSemi") >= 3, plan
+    truth = {
+        (r["key_a"], r["key_b"])
+        for r in jaccard_pairs(
+            sh, "doc_id", min_jaccard=0.3
+        ).collect()
+    }
+    got = {(r["key_a"], r["key_b"]) for r in out.collect()}
+    assert got <= truth

@@ -248,3 +248,26 @@ def test_mg_verified_equals_exact_heavy_hitters(spark, sf_dir):
         for r in specs["token_hh_mg_verified"].builder(spark, sf_dir).collect()
     }
     assert verified == exact and exact
+
+
+def test_k_core_full_peel_at_max_iter_boundary(spark):
+    """ADVICE r14: since the isEmpty() probe removal, a fully-peeled
+    graph is detected by the NEXT round's empty degree aggregate — a
+    graph whose edges vanish exactly at round max_iter-1 must still
+    return the empty core (one extra cheap round), not raise."""
+    from mobility_etl_spark.operators.components import k_core
+
+    # path graph a-b-c under k=2: round 0 peels everything (ends have
+    # degree 1; the middle's edges both die with them), so the empty
+    # core is only DETECTABLE in round 1 — exactly max_iter with
+    # max_iter=1. The r14 range(max_iter) raised here.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "u long, v long"
+    )
+    core = k_core(edges, k=2, max_iter=1)
+    assert core.count() == 0
+    # a genuinely exhausted budget still raises
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        k_core(edges, k=2, max_iter=0)

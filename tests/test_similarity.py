@@ -899,3 +899,47 @@ def test_compaction_row_cap_splits_hot_cell_and_tightens_bound(
         spark, q, path, _list_versions(path)[-1], centers, 0.47
     )
     assert _probe_pair_sets(pruned) == _probe_pair_sets(full)
+
+
+def test_pair_scorer_drops_zero_quantized_norm_rows(spark):
+    """ADVICE r14: a vector whose every |x_i| < 1e-3 quantizes to norm
+    0; the old expression path scored its pairs NULL (non-ANSI x/0)
+    and dropped them, so the numpy scorer must drop them too — never
+    emit inf/NaN cos_sim — while normal pairs still score."""
+    from mobility_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs_exact,
+    )
+
+    rows = [
+        # q2 = 0 but positive quantized dot against row 2
+        (1, [9e-4] * 8),
+        (2, [1.0] + [0.0] * 7),
+        # a genuine near-dup pair
+        (3, [0.6] * 8),
+        (4, [0.6] * 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = cosine_near_dup_pairs_exact(df, threshold=0.5).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in got}
+    assert pairs == {(3, 4)}
+    assert all(
+        r["cos_sim"] == r["cos_sim"] and abs(r["cos_sim"]) != float("inf")
+        for r in got
+    )
+
+
+def test_pair_scorer_rejects_non_integral_key(spark):
+    """ADVICE r14: the vectorized exact scorer emits long ids; a
+    string key must fail loudly at plan time, not miscast at the
+    Arrow boundary."""
+    from mobility_etl_spark.operators.similarity import (
+        cosine_near_dup_pairs_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(TypeError, match="integral key"):
+        cosine_near_dup_pairs_exact(df, threshold=0.5)

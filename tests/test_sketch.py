@@ -239,3 +239,33 @@ def test_streaming_theta_merge_identity(spark):
         map(tuple, sketch_theta_overlap_matrix(spark, sf).collect())
     )
     assert got == want and len(got) == 10
+
+
+def test_kmv_overlap_matrix_rows_matches_in_frame(spark, sf_dir):
+    """r15 (VERDICT r14 #6): the driver-side matrix algebra
+    (kmv_overlap_matrix_rows) must be BIT-identical to the in-frame
+    join form it replaced in sketch_theta_overlap_matrix — same
+    integer threshold compares, same IEEE divisions."""
+    from mobility_etl_spark.operators.sketch import (
+        kmv_overlap_matrix,
+        kmv_overlap_matrix_rows,
+        kmv_sketch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 150000.0
+    )
+    k = 64  # engage the theta path at sf0.001
+    sk = kmv_sketch(orders, ["o_orderpriority"], "o_custkey", k=k)
+    in_frame = sorted(
+        map(
+            tuple,
+            kmv_overlap_matrix(sk, "o_orderpriority", k=k).collect(),
+        )
+    )
+    driver_side = kmv_overlap_matrix_rows(sk.collect(), k=k)
+    assert len(in_frame) == len(driver_side) == 10
+    for a, b in zip(in_frame, driver_side):
+        assert a[0] == b[0] and a[1] == b[1]
+        # bit-identical doubles, not approx
+        assert a[2] == b[2] and a[3] == b[3], (a, b)
