@@ -1277,167 +1277,6 @@ def _load_centroids(root: str):
         return np.asarray(json.load(fh), dtype=np.float64)
 
 
-#: The three Spark-written pretraining state tables (embindex is
-#: driver-written — _write_embindex_files) in commit order.
-_FUSED_TABLES = ("survivors", "evalgrams", "traingrams")
-
-
-def _fused_append_tables(
-    spark,
-    root: str,
-    payloads: dict,
-    note: str,
-    batch_rows: int,
-) -> None:
-    """Append one micro-batch's survivors/evalgrams/traingrams deltas
-    with ONE Spark job instead of three (r15, VERDICT r14 #1, guide
-    §1.2/§2.4): the three payloads share the tokenized-batch lineage
-    and each previously ran as its own single-output-file write job
-    (~3× per-batch job/stage scheduling — the profiled residual of the
-    stream capstone after r14, whose 8→32-core ratio of 1.54 showed
-    the driver, not the data, was the bottleneck). A tagged union now
-    computes all three in one job whose write tasks stream each tag's
-    rows into its OWN table directory as parquet (exact per-table
-    schemas — no superset-column files), and the driver then commits
-    each table's manifest separately through append_snapshot_files.
-
-    EXACTLY-ONCE is unchanged: per-table ``e{epoch}`` notes are still
-    the ledger. The caller only takes this path when ALL three notes
-    are missing; a crash mid-commit leaves the remaining tables to the
-    per-table replay fallback (_do_append), and the fused data files
-    are epoch-named (``append-fused-e{N}-p*.parquet``) so a re-run of
-    the fused job overwrites its own partial output instead of
-    orphaning it.
-
-    Layout adapts to the measured batch size exactly like the r14
-    per-table appends (guide §2.4/§2.5): small batches collapse the
-    whole union into one task (coalesce(1) — one job, one stage, one
-    task, three files); large batches keep the payload compute
-    parallel and range-shuffle by tag into ≤3 write tasks
-    (deterministic under retry — range boundaries on a 3-value column
-    are stable and each task's files are partition-named).
-    """
-    import os
-
-    import pyarrow as pa
-
-    from mobility_etl_spark.operators.snapshots import (
-        append_snapshot_files,
-    )
-
-    schemas = _pretrain_arrow_schemas()
-    null = lambda t: F.lit(None).cast(t)  # noqa: E731
-    tagged = (
-        payloads["survivors"]
-        .select(
-            F.lit(0).alias("__tag"),
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "sem_kept",
-            null("long").alias("ngh"),
-        )
-        .unionByName(
-            payloads["evalgrams"].select(
-                F.lit(1).alias("__tag"),
-                null("long").alias("doc_id"),
-                null("string").alias("lang"),
-                null("int").alias("n_tokens"),
-                null("boolean").alias("sem_kept"),
-                "ngh",
-            )
-        )
-        .unionByName(
-            payloads["traingrams"].select(
-                F.lit(2).alias("__tag"),
-                "doc_id",
-                null("string").alias("lang"),
-                null("int").alias("n_tokens"),
-                null("boolean").alias("sem_kept"),
-                "ngh",
-            )
-        )
-    )
-    one = (
-        tagged.coalesce(1)
-        if batch_rows <= _APPEND_COALESCE_ROWS
-        else tagged.repartitionByRange(len(_FUSED_TABLES), "__tag")
-    )
-
-    table_dirs = [os.path.join(root, t) for t in _FUSED_TABLES]
-    tag_schemas = [schemas[t] for t in _FUSED_TABLES]
-
-    def _writer(batches):
-        import os
-
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        writers: dict = {}
-        names: dict = {}
-        for rb in batches:
-            tbl = pa.Table.from_batches([rb])
-            for tag, schema in enumerate(tag_schemas):
-                sub = tbl.filter(pc.equal(tbl.column("__tag"), tag))
-                if sub.num_rows == 0:
-                    continue
-                out = pa.Table.from_arrays(
-                    [
-                        sub.column(f.name).cast(f.type)
-                        for f in schema
-                    ],
-                    schema=schema,
-                )
-                if tag not in writers:
-                    name = f"append-fused-{note}-p{pid:05d}.parquet"
-                    names[tag] = name
-                    writers[tag] = pq.ParquetWriter(
-                        os.path.join(table_dirs[tag], name), schema
-                    )
-                writers[tag].write_table(out)
-        for w in writers.values():
-            w.close()
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(sorted(names), type=pa.int32()),
-                pa.array(
-                    [names[t] for t in sorted(names)], type=pa.string()
-                ),
-            ],
-            names=["tag", "filename"],
-        )
-
-    meta = one.mapInArrow(_writer, "tag int, filename string").collect()
-    by_tag: dict = {i: [] for i in range(len(_FUSED_TABLES))}
-    for r in meta:
-        by_tag[r["tag"]].append(r["filename"])
-    import pyarrow.parquet as pq
-
-    for tag, tname in enumerate(_FUSED_TABLES):
-        path = table_dirs[tag]
-        files = sorted(by_tag[tag])
-        if not files:
-            # empty payload (e.g. a batch with no eval docs): commit a
-            # 0-row schema-bearing file exactly like the per-table path
-            name = f"append-fused-{note}-empty.parquet"
-            pq.write_table(
-                pa.Table.from_arrays(
-                    [
-                        pa.array([], type=f.type)
-                        for f in tag_schemas[tag]
-                    ],
-                    schema=tag_schemas[tag],
-                ),
-                os.path.join(path, name),
-            )
-            files = [name]
-        append_snapshot_files(spark, path, files, note=note)
-        _note_record(path, note)
-
-
 def _write_embindex_files(
     spark, table_path: str, inc_rows, pre, centroids, note: str
 ) -> int:
@@ -1659,16 +1498,6 @@ def pretraining_apply_batch(
     t0 = time.monotonic()
     if f"batch-{epoch}" in _cat_notes_seen(root):
         return  # replay of a fully-committed batch
-    # one job decides emptiness, the id-contract floor, AND the batch
-    # size the append layout adapts on (r13: the former take(1) probe
-    # was a second scan of the batch; r14: count rides the same agg)
-    _probe = batch_df.agg(
-        F.min("doc_id"), F.count("*").alias("__n")
-    ).first()
-    batch_min, batch_rows = _probe[0], int(_probe["__n"])
-    if batch_min is None:
-        return
-    t0 = _stamp(epoch, "take", t0)
 
     # the PREVIOUS batch's probe broadcasts (increment matrix +
     # per-file masks) are fully consumed by now — release their
@@ -1693,6 +1522,44 @@ def pretraining_apply_batch(
     embedded = s1.select("doc_id").join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
+
+    # ONE collect job feeds everything driver-resident the batch needs
+    # (r15, guide §1.2 — fewer jobs; VERDICT r14 #4's residual IS
+    # per-batch job scheduling): a two-legged tagged union returns
+    # (a) the batch floor + row count — emptiness, the id-contract
+    # floor, and the size the append layout adapts on — and (b) the
+    # batch's embedded (doc_id, embedding) rows for the BLAS probes
+    # and the driver-side embindex append. r14 ran these as two
+    # separate jobs per micro-batch (agg().first() + collect()); the
+    # work is identical, the round-trip is one.
+    emb_type = embedded.schema["embedding"].dataType
+    _tagged = (
+        batch_df.agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("__n"),
+        )
+        .select(
+            F.lit(0).alias("__leg"),
+            "doc_id",
+            F.lit(None).cast(emb_type).alias("embedding"),
+            "__n",
+        )
+        .unionByName(
+            embedded.select(
+                F.lit(1).alias("__leg"),
+                "doc_id",
+                "embedding",
+                F.lit(None).cast("long").alias("__n"),
+            )
+        )
+        .collect()
+    )
+    _stats = next(r for r in _tagged if r["__leg"] == 0)
+    batch_min, batch_rows = _stats["doc_id"], int(_stats["__n"])
+    if batch_min is None:
+        return
+    inc_rows = [r for r in _tagged if r["__leg"] == 1]
+    t0 = _stamp(epoch, "take+collect", t0)
 
     # contract check: any indexed id >= this batch's min that is not
     # the batch's own (replayed) append violates id-ordering. r14 fast
@@ -1756,19 +1623,20 @@ def pretraining_apply_batch(
     # footer opens — provably witness-free, so decisions (and the
     # shared batch-capstone oracle hash) are unchanged on any data.
     #
-    # The batch's embedded docs are collected ONCE (r13 profile): the
-    # index probe, the intra-batch witnesses, and the embindex payload
-    # previously each re-executed the batch x embeddings join (two
-    # driver collects + two more distributed runs per micro-batch).
-    # The increment is micro-batch-bounded by contract — every probe
-    # collects it anyway — so one collect feeds all three consumers.
+    # The batch's embedded docs are collected ONCE (r13 profile; r15:
+    # that collect additionally carries the batch-floor/count leg —
+    # see the tagged union above): the index probe, the intra-batch
+    # witnesses, and the embindex payload previously each re-executed
+    # the batch x embeddings join (two driver collects + two more
+    # distributed runs per micro-batch). The increment is micro-batch-
+    # bounded by contract — every probe collects it anyway — so one
+    # collect feeds all three consumers.
     from mobility_etl_spark.operators.similarity import (
         exact_probe_blas,
         exact_probe_blas_pruned,
         normalize_pairs,
     )
 
-    inc_rows = embedded.select("doc_id", "embedding").collect()
     pre = (
         normalize_pairs(
             [r["doc_id"] for r in inc_rows],
@@ -1936,32 +1804,38 @@ def pretraining_apply_batch(
                     f"simulated crash after {name} append"
                 )
     else:
-        # r15 (VERDICT r14 #1, guide §1.2 — fewer jobs): the three
-        # Spark-written deltas (survivors/evalgrams/traingrams) fuse
-        # into ONE tagged-union job (_fused_append_tables) whenever
-        # all three epoch notes are missing — the steady state. The
-        # r14 shape ran them as 3 concurrent jobs from a driver pool;
-        # the capstone's profiled residual was exactly that per-batch
-        # job/stage scheduling (8→32-core ratio 1.54). A replay that
-        # finds SOME notes committed (crash mid-epoch) falls back to
-        # the per-table note-guarded appends, so exactly-once
-        # semantics and the replay drills are untouched. The embindex
-        # append is driver-side (no Spark job) and runs inline.
-        fused = [
-            name
-            for name in _FUSED_TABLES
-            if note not in _notes_seen(os.path.join(root, name))
-        ]
-        ta = time.monotonic()
-        if len(fused) == len(_FUSED_TABLES):
-            _fused_append_tables(
-                spark, root, payloads, note, batch_rows
-            )
-            _stamp(epoch, "append:fused", ta)
-        else:
-            for name in fused:
-                _do_append(name)
-        _do_append("embindex")
+        # r14 (guide §2.6 — overlap independent jobs): the four table
+        # appends share no state (separate table roots, separate
+        # manifest logs, per-table notes; the catalog binds them only
+        # AFTER all four), so their write jobs run concurrently from a
+        # driver pool and each job's tail back-fills the others'
+        # executors. Exactly-once is untouched: each append is still
+        # individually note-guarded, and a crash mid-pool replays
+        # exactly the missing tables (in any order) on the next run.
+        #
+        # r15 COUNTER-MEASUREMENT (VERDICT r14 #1 tried and REJECTED,
+        # guide §1.3 — measure, then stop): fusing the three
+        # Spark-written deltas into ONE tagged-union job (single
+        # mapInArrow writer task streaming each tag into its own
+        # table dir, per-table manifests/notes intact) measured
+        # SLOWER in both run orders at sf0.1 — stream face 10.3-11.8 s
+        # fused vs 9.0-9.6 s pooled; per-stage stamps show why: the
+        # pool's per-epoch wall is max(survivors, evalgrams,
+        # traingrams) because the three jobs overlap, while one fused
+        # task runs the three payload DAGs (each re-tokenizing the
+        # batch) in SERIES — sum(), not max() — and adds an Arrow
+        # boundary crossing of the whole delta. An eager
+        # localCheckpoint of the tokenized batch to de-duplicate the
+        # branch compute regressed further (13.8 s: materializing the
+        # token arrays costs more than the triple tokenize it saves —
+        # the r14 lazy-BPE-checkpoint lesson again). Numbers in
+        # OPTIMIZATION_r15.md; the pool stays.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=len(_PRETRAIN_TABLES)
+        ) as pool:
+            list(pool.map(_do_append, _PRETRAIN_TABLES))
     t0 = time.monotonic()
 
     # ---- ONE catalog commit makes the batch visible atomically

@@ -16,6 +16,10 @@ import math
 
 import duckdb
 import pytest
+
+#: r15: the fuzz soaks are long-running drills — excluded from the
+#: default (driver-budget) run; see pytest.ini. Run with -m "".
+pytestmark = pytest.mark.slow
 from hypothesis import given, settings
 from hypothesis import strategies as st
 

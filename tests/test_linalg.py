@@ -317,6 +317,7 @@ def test_kmeans_assign_blas_matches_codegen_and_tolerates_nulls(spark, emb):
             assert cid is not None and d2 is not None
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_kmeans_fit_array_merge_parity_large_k(spark):
     """VERDICT r13 #1: kmeans_fit's partial merge is one array-row per
     (partition, cluster) — k rows through the Exchange and k collected

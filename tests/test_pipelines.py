@@ -326,6 +326,7 @@ def test_read_incremental_skips_processed(spark, tmp_path, sf_dir):
     assert batch2.filter(F.col("event_id") < 500).count() == 0
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_compact_partitions_reduces_files(spark, tmp_path, sf_dir):
     import pathlib
 
@@ -461,6 +462,7 @@ def test_compact_crash_recovery_files_mode(spark, tmp_path, sf_dir):
     assert not list(pathlib.Path(path).glob(".compaction_trash/*"))
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_compact_crash_recovery_dir_mode(spark, tmp_path, sf_dir):
     """Partitioned swap crash between leaf→trash and stage→leaf: the
     partition is MISSING from the live table until recovery. If the

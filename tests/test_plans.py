@@ -382,6 +382,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
 }
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_no_unbounded_global_windows(spark, sf_dir):
     """Walk EVERY registered query's physical plan (subqueries included)
     and assert the set of faces containing an unpartitioned

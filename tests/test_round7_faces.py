@@ -7,6 +7,8 @@ vocabulary."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mobility_etl_spark.io import load_table
@@ -26,6 +28,7 @@ def _word_counts(spark, sf_dir):
     }
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_bpe_trainer_incremental_parity_at_64_merges(spark, sf_dir):
     """The incremental-pair trainer (pair counts maintained as state,
     patched with per-round deltas over only the words containing the

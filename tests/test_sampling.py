@@ -8,6 +8,8 @@ per-class cap, and the no-shuffle plan shape of the narrow ops.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mobility_etl_spark.io import load_table
@@ -140,6 +142,7 @@ def test_partitioned_ntile_skewed_and_tiny(spark):
     assert [r["p"] for r in got.orderBy("k").collect()] == [1, 2, 3]
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_partitioned_ntile_fuzz_vs_window_form(spark):
     """Hypothesis fuzz of the flagship ranking operator: random value
     multisets (heavy ties included), random tile counts and bucket

@@ -396,6 +396,7 @@ def test_semantic_dedup_matches_numpy_rule_and_resolves_pairs(spark, sf_dir):
     assert resolved >= 0.9 * n_src, f"{resolved}/{n_src} pairs resolved"
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_neardup_survivors_match_union_find_replay(spark, sf_dir):
     """Composition contract of the end-to-end near-dup keep-list:
     replay the SAME candidate pairs through a driver-side union-find
