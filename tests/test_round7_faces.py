@@ -51,6 +51,7 @@ def test_bpe_trainer_incremental_parity_at_64_merges(spark, sf_dir):
         assert g == w, f"divergence at merge {k}: got {g}, want {w}"
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_bpe_trainer_per_round_work_is_affected_subset(spark, sf_dir):
     """Scale gate: each round's explode/merge job must scan only the
     words that actually CONTAIN the winning pair.  The trainer records

@@ -556,6 +556,7 @@ def test_ledger_stream_writer_epoch_manifests(spark, tmp_path):
     }
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_cdc_apply_stream_seq_order_invariant(spark, tmp_path):
     """streaming/jobs.py:cdc_apply_stream_seq — the same change feed
     applied in FILE order and in REVERSED order must settle to the
@@ -647,6 +648,7 @@ def test_near_dup_stream_invariant_to_batch_boundaries(spark, sf_dir):
     )
 
 
+@pytest.mark.slow  # r15: excluded from the default (driver-budget) run; see pytest.ini
 def test_near_dup_stream_matches_batch_sequential_replay(spark, sf_dir):
     """Parity with the batch probe: replay the same candidate graph —
     near_dup_probe(feed, initial index) for feed×index hits and
