@@ -652,6 +652,19 @@ def streaming_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") <= _KMV_K)
         .drop("__rk")
     )
-    return kmv_overlap_matrix(merged, "o_orderpriority", k=_KMV_K).orderBy(
-        "g_a", "g_b"
+    # r15: same treatment as sketch_theta_overlap_matrix (VERDICT r14
+    # #6) — ONE job collects the merged ≤ groups·k sketch rows and the
+    # pairwise algebra runs driver-side with bit-identical arithmetic
+    # (kmv_overlap_matrix_rows), instead of the in-frame join pyramid.
+    from mobility_etl_spark.operators.sketch import (
+        kmv_overlap_matrix_rows,
     )
+
+    rows = kmv_overlap_matrix_rows(
+        merged.select("o_orderpriority", "u").collect(), k=_KMV_K
+    )
+    return spark.createDataFrame(
+        rows,
+        "g_a string, g_b string, est_intersection double, "
+        "est_union double",
+    ).orderBy("g_a", "g_b")
